@@ -1,0 +1,152 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import Q.{dec4, sqlDec4}
+
+/** Joins & enrichment (SURVEY.md §2.8) plus a TPC-H-style relational suite.
+  *
+  * The reference's only join-shaped construct is a per-record JDBC lookup
+  * (`chapter8/AsyncFunctionExample.scala:77-159`). At scale that is a
+  * stream-static / dimension join: the dim side is small → `broadcast()` so
+  * the 100 TB fact side never shuffles. The TPC-H-style queries exercise the
+  * full join surface (multi-way, semi, anti, set ops) the engine owes a
+  * relational user.
+  */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // J1/J2 — enrichment lookup: fact (lineitem) joined to a small dimension
+    // (supplier). Broadcast hint: zero shuffle of the fact side — the Spark
+    // answer to the reference's async per-record lookups.
+    Q("j1_enrich_lookup",
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, s_name
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "s_name")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region —
+    // revenue by region (TPC-H Q5 shape). Dims broadcast; the single big
+    // shuffle is the final (tiny) aggregate.
+    Q("q5_revenue_by_region",
+      s"""SELECT r_name, ${sqlDec4("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("r_name")
+    },
+
+    // TPC-H Q1 shape — pricing summary; the canonical partial-agg benchmark
+    Q("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDec4("sum(l_quantity)")} AS sum_qty,
+         |  ${sqlDec4("sum(l_extendedprice)")} AS sum_base_price,
+         |  ${sqlDec4("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+         |  ${sqlDec4("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+         |  ${sqlDec4("avg(l_quantity)")} AS avg_qty,
+         |  ${sqlDec4("avg(l_extendedprice)")} AS avg_price,
+         |  ${sqlDec4("avg(l_discount)")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dec4(sum("l_quantity")).as("sum_qty"),
+          dec4(sum("l_extendedprice")).as("sum_base_price"),
+          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge"),
+          dec4(avg("l_quantity")).as("avg_qty"),
+          dec4(avg("l_extendedprice")).as("avg_price"),
+          dec4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Semi join (EXISTS): customers with at least one open order
+    Q("j_semi_exists",
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // Anti join (NOT EXISTS): parts never shipped
+    Q("j_anti_not_exists",
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    },
+
+    // Set ops — union/intersect/except never appear in the reference
+    // (multi-stream merge is `connect`); they come built-in (SURVEY §2.8)
+    Q("set_ops",
+      s"""SELECT k FROM (
+         |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         |  INTERSECT
+         |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+         |) ORDER BY k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+        .orderBy("k")
+    },
+
+    // Grouped join + HAVING: top-spending customers (TPC-H Q3-ish shape)
+    Q("q3_big_spenders",
+      s"""SELECT c_custkey, c_name, ${sqlDec4("sum(o_totalprice)")} AS total_spent,
+         |  count(*) AS n_orders
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name
+         |HAVING count(*) >= 5
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dec4(sum("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 5)
+        .orderBy("c_custkey")
+    },
+
+    // Stream-static shape on events: enrich the event stream with a computed
+    // dimension (per-user lifetime stats) — self-join twin of the reference's
+    // broadcast-state config lookup (chapter7/BroadcastStateFunction.scala)
+    Q("j_stream_static_twin",
+      s"""WITH dim AS (SELECT user_id, ${sqlDec4("avg(value)")} AS user_avg FROM events GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, e.value, dim.user_avg
+         |FROM events e JOIN dim ON e.user_id = dim.user_id
+         |WHERE e.value > CAST(dim.user_avg AS DOUBLE) * 1.5
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy("user_id").agg(dec4(avg("value")).as("user_avg"))
+      ev.join(broadcast(dim), Seq("user_id"))
+        .filter(col("value") > col("user_avg").cast("double") * 1.5)
+        .select("event_id", "user_id", "value", "user_avg")
+        .orderBy("event_id")
+    },
+  )
+}

@@ -1,0 +1,27 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — the engine's `StreamExecutionEnvironment` analog
+  * (SURVEY.md §3). Local mode for tests/bench; on a cluster only
+  * master/memory change, the SQL confs hold.
+  */
+object GraftSession {
+
+  def builder(cores: Int = 32, appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // streaming state at scale: RocksDB spills keyed state off-heap,
+      // replacing the default in-memory HDFS-backed store (SURVEY §4)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // checkpoint cadence parity with the reference's 10s checkpoints is a
+      // trigger setting per query, not a session conf
+
+  def get(cores: Int = 32): SparkSession = builder(cores).getOrCreate()
+}

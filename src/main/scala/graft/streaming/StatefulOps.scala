@@ -103,18 +103,34 @@ object StatefulOps {
             val now = System.currentTimeMillis()
             val sorted = rows.toSeq.sortBy(_.timestamp)
             var st = state.getOption.getOrElse(IncreaseState(Double.NaN, 0L))
+            val out = Seq.newBuilder[Alert]
+            // ProcessingTimeTimeout fires only for groups that receive NO
+            // data for the duration, so a sensor that keeps streaming rising
+            // readings (the reference's exact scenario) never reaches the
+            // hasTimedOut branch — an expired deadline must be honored here
+            // too, before this batch's readings are folded in.
+            if (st.deadlineMs != 0L && now >= st.deadlineMs) {
+              out += Alert(
+                s"Temperature of sensor '$id' monotonically increased for $riseMs ms",
+                st.deadlineMs)
+              st = st.copy(deadlineMs = 0L)
+            }
             sorted.foreach { r =>
-              if (st.lastTemp.isNaN || r.temperature <= st.lastTemp) {
-                st = IncreaseState(r.temperature, 0L) // falling: clear "timer"
-              } else if (st.deadlineMs == 0L) {
+              if (st.lastTemp.isNaN) {
+                st = IncreaseState(r.temperature, st.deadlineMs) // first reading
+              } else if (r.temperature < st.lastTemp) {
+                st = IncreaseState(r.temperature, 0L) // strictly falling: clear "timer"
+              } else if (r.temperature > st.lastTemp && st.deadlineMs == 0L) {
                 st = IncreaseState(r.temperature, now + riseMs) // first rise: arm
               } else {
-                st = st.copy(lastTemp = r.temperature) // still rising: keep deadline
+                // equal temps keep the timer (reference only deletes on
+                // `temp < lastTemp`, chapter6/ProcessFunctionTimers.scala:77-82)
+                st = st.copy(lastTemp = r.temperature)
               }
             }
             state.update(st)
             if (st.deadlineMs > 0L) state.setTimeoutDuration(math.max(st.deadlineMs - now, 1L))
-            Iterator.empty
+            out.result().iterator
           }
       }
   }
@@ -170,7 +186,16 @@ object StatefulOps {
   /** P5 — ReadingFilter (`chapter6/CoProcessFunctionTimers.scala:49-102`):
     * a control stream (id, durationMs) opens a per-sensor forwarding gate
     * for the duration; readings pass only while the gate is open. Connected
-    * keyed streams → union-ADT + one flatMapGroupsWithState. */
+    * keyed streams → union-ADT + one flatMapGroupsWithState.
+    *
+    * Flink disables the gate with a processing-time timer; here the deadline
+    * is evaluated lazily when data for the key arrives (`now >= disableAtMs`
+    * drops the reading), which yields identical forwarded output WITHOUT an
+    * armed `ProcessingTimeTimeout` — an armed timeout makes
+    * MicroBatchExecution busy-loop empty micro-batches until it fires (each
+    * writing a state delta), a real throughput defect for long gates. The
+    * trade-off is that an expired gate's tiny GateState lingers until the
+    * key's next record instead of being cleaned at the deadline. */
   def gatedReadings(readings: Dataset[SensorReading], switches: Dataset[Switch])
       : Dataset[SensorReading] = {
     val spark = readings.sparkSession
@@ -178,7 +203,7 @@ object StatefulOps {
     val routed = readings.map(Routed.ofReading _).union(switches.map(Routed.ofSwitch _))
     routed.groupByKey(_.key)
       .flatMapGroupsWithState[GateState, SensorReading](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[GateState]) =>
           val now = System.currentTimeMillis()
           var st = state.getOption.getOrElse(GateState(enabled = false, 0L))
@@ -193,7 +218,6 @@ object StatefulOps {
           if (st.enabled)
             data.sortBy(_.ts).map(Routed.toReading).foreach(out += _)
           state.update(st)
-          if (st.enabled) state.setTimeoutDuration(math.max(st.disableAtMs - now, 1L))
           out.result().iterator
       }
   }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.concurrent.TimeLimitedTests
+import org.scalatest.time.{Seconds, Span}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites; one JVM-wide SparkSession (sbt forks one
@@ -15,7 +17,11 @@ object TestSession {
     .getOrCreate()
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with TimeLimitedTests {
   lazy val spark: SparkSession = TestSession.spark
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Fail fast instead of wedging CI: no single test (incl. streaming ones
+    * driving micro-batches) may run longer than this. */
+  override val timeLimit: Span = Span(120, Seconds)
 }

@@ -59,10 +59,13 @@ class StatefulOpsSpec extends SparkSpec {
       .outputMode("append").start()
     readings.addData(SensorReading("sensor_1", 1000L, 20.0)) // gate closed
     q.processAllAvailable()
-    switches.addData(Switch("sensor_1", 60000L)) // open for 60s
+    switches.addData(Switch("sensor_1", 60000L), // open for 60s
+      Switch("sensor_3", 1L)) // open for 1ms — expired by the next batch
     q.processAllAvailable()
+    Thread.sleep(50) // let sensor_3's 1ms gate lapse in wall-clock time
     readings.addData(SensorReading("sensor_1", 2000L, 21.0), // forwarded
-      SensorReading("sensor_2", 2000L, 22.0)) // no switch: dropped
+      SensorReading("sensor_2", 2000L, 22.0), // no switch: dropped
+      SensorReading("sensor_3", 2000L, 23.0)) // gate expired: dropped
     q.processAllAvailable()
     val rows = spark.table("p5_out").as[SensorReading].collect().toSet
     q.stop()

@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout per the driver contract.
+  *
+  * Methodology:
+  *  - a warmup pass (flagship query) absorbs JVM/codegen/classloading cost
+  *    so per-query numbers are attributable to the plan, not to whoever
+  *    runs first;
+  *  - each query is timed to a `noop`-format write, which executes the FULL
+  *    physical plan (incl. final sort and projections that `count()` lets
+  *    Catalyst prune away) without sink I/O;
+  *  - failures are NOT swallowed: a failing query records `-1` seconds,
+  *    lands in `"failed"`, and the process exits nonzero so the driver
+  *    can't mistake a broken round for a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +21,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup: flagship query twice (JIT + codegen cache + parquet footer cache)
+    try { runOnce("w1_window_avg"); runOnce("q5_revenue_by_region") }
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+
+    val failed = Seq.newBuilder[String]
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val sec =
+        try runOnce(name)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            -1.0
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bad = failed.result()
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = bad.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
   }
 }

@@ -90,6 +90,24 @@ object AggQueries {
           .orderBy("window_start", "user_id")
     },
 
+    // W3 — the AggregateFunction (UDAF) surface: explicit-accumulator avg
+    // (AvgTempFunction, chapter6/WindowFunctions.scala:87-105) as an
+    // `Aggregator` registered via `functions.udaf` — reduce runs map-side,
+    // merge combines partial buffers post-shuffle, same distributed-combine
+    // contract as the reference's create/add/merge/getResult.
+    Q("w3_custom_aggfn",
+      s"""SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start, user_id,
+         |  ${sqlDec4("avg(value)")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, user_id""".stripMargin) {
+      (s, d) =>
+        val avgTemp = udaf(graft.functions.AvgTempAggregator)
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "15 minutes"), col("user_id"))
+          .agg(dec4(avgTemp(col("value"))).as("avg_value"))
+          .select(col("window.start").as("window_start"), col("user_id"), col("avg_value"))
+          .orderBy("window_start", "user_id")
+    },
+
     // W4 — min+max+window-end in one pass (HighAndLowTempProcessFunction,
     // chapter6/WindowFunctions.scala:114-128) — no buffering needed in Spark
     Q("w4_minmax",

@@ -111,21 +111,49 @@ object StatefulTwinQueries {
     },
 
     // E4/E6 — late-data routing: records whose event time lags the
-    // high-watermark (max ts seen so far in stream order) by > 10 minutes are
-    // "late" (chapter6/LateDataHandling.scala:129-144). Running max over
-    // arrival order = the watermark's monotone envelope.
+    // high-watermark (max ts seen so far in arrival order) by > 10 minutes
+    // are "late" (chapter6/LateDataHandling.scala:129-144). Arrival disorder
+    // is manufactured deterministically (±48 min from event_id, same trick
+    // as t6) so the check is non-vacuous — events.parquet itself is sorted.
+    //
+    // Scale note: a raw `max(ts) OVER (ORDER BY event_id)` is a
+    // single-partition window over the whole fact table — a scale-killer.
+    // The running max is instead decomposed into (1) per-bucket maxima
+    // (parallel shuffle on `event_id div 8192`), (2) a prefix max over the
+    // tiny bucket aggregate (~|events|/8192 rows — intentionally one task,
+    // partitioned by a constant), (3) a broadcast join back + per-bucket
+    // running max (parallel). Identical result, no full-table serialization.
     Q("e6_late_filter",
-      s"""SELECT event_id, user_id, ts
-         |FROM events
-         |QUALIFY ts < max(ts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      s"""WITH shuffled AS (
+         |  SELECT event_id, user_id,
+         |    ts + to_microseconds(((event_id % 97) - 48) * 60 * 1000000) AS sts
+         |  FROM events)
+         |SELECT event_id, user_id, sts
+         |FROM shuffled
+         |QUALIFY sts < max(sts) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
          |         - INTERVAL '10 minutes'
          |ORDER BY event_id""".stripMargin) { (s, d) =>
-      val arrival = Window.orderBy("event_id")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("timestampadd(MINUTE, CAST(event_id % 97 AS INT) - 48, ts)").as("sts"),
+          expr("event_id div 8192").as("bucket"))
+      val bucketMax = ev.groupBy("bucket").agg(max("sts").as("bmax"))
+      // prefix max over buckets: |events|/8192 rows — constant partition key
+      // documents the intentional single task (and silences the
+      // "No Partition Defined" WindowExec warning that flags real killers)
+      val bucketSeq = Window.partitionBy(lit(0)).orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
-        .withColumn("wm", max("ts").over(arrival) - expr("INTERVAL 10 minutes"))
-        .filter(col("ts") < col("wm"))
-        .select("event_id", "user_id", "ts")
+      val prefix = bucketMax
+        .withColumn("prev_bmax", max("bmax").over(bucketSeq))
+        .select("bucket", "prev_bmax")
+      val inBucket = Window.partitionBy("bucket").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.join(broadcast(prefix), Seq("bucket"))
+        // greatest() skips nulls: first bucket has no prefix, first row in
+        // each bucket has no in-bucket predecessor
+        .withColumn("wm", greatest(max("sts").over(inBucket), col("prev_bmax")))
+        .filter(col("sts") < col("wm") - expr("INTERVAL 10 minutes"))
+        .select("event_id", "user_id", "sts")
         .orderBy("event_id")
     },
 

@@ -33,8 +33,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: flagship query twice (JIT + codegen cache + parquet footer cache)
-    try { runOnce("w1_window_avg"); runOnce("q5_revenue_by_region") }
+    // warmup: one relational, one windowed, one LLM-pipeline query — covers
+    // the codegen'd join/agg paths AND the md5/array expression paths, so
+    // per-query numbers are attributable to plans, not JIT order
+    try { runOnce("w1_window_avg"); runOnce("q5_revenue_by_region"); runOnce("dd_jaccard") }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val failed = Seq.newBuilder[String]

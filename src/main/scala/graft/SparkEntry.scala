@@ -14,7 +14,9 @@ object SparkEntry {
   /** All correctness-gated queries, grouped by module. */
   def allQueries: Seq[Q] =
     TransformQueries.all ++ AggQueries.all ++ JoinQueries.all ++
-      StatefulTwinQueries.all
+      StatefulTwinQueries.all ++
+      graft.llm.DedupQueries.all ++ graft.llm.SimilarityQueries.all ++
+      graft.llm.TextQueries.all ++ graft.llm.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

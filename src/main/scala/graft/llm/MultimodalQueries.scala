@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.batch.Q
+import graft.core.Tables
+import LlmHash._
+
+/** Multimodal-column plumbing for LLM pipelines — north-star work.
+  *
+  * Media assets are opaque `BINARY` payload columns plus typed metadata.
+  * The Spark-side plumbing here is real: a binary payload column, byte
+  * counts, checksums, per-asset metadata derivation, and a frame-sampling
+  * explode whose output shape (one row per sampled frame, partitioned by
+  * asset) is exactly what a decode/feature-extract stage consumes.
+  *
+  * The DECODE itself is a STUB: this container has no image/audio codecs,
+  * so "decoding" derives deterministic fake metadata (width/height/frames)
+  * from the payload checksum — see [[Multimodal.decodeStub]] for the typed
+  * stub with the real mapPartitions batch shape. Swapping the stub for a
+  * real codec changes no schema, partitioning, or query shape.
+  */
+object MultimodalQueries {
+
+  private val frameStep = 4 // sample every 4th frame
+
+  val all: Seq[Q] = Seq(
+
+    Q("mm_frames",
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+         |    md5(text) AS checksum, ${duckH("md5(text)")} AS h
+         |  FROM documents
+         |),
+         |m AS (
+         |  SELECT doc_id, n_bytes, checksum,
+         |    CAST(320 + (h % 8) * 160 AS BIGINT) AS width,
+         |    CAST(240 + (h % 6) * 120 AS BIGINT) AS height,
+         |    CAST(1 + h % 24 AS BIGINT) AS n_frames
+         |  FROM b
+         |)
+         |SELECT doc_id, n_bytes, width, height, n_frames,
+         |  CAST(fi AS BIGINT) AS frame_idx,
+         |  md5(concat(checksum, ':', CAST(fi AS VARCHAR))) AS frame_sig
+         |FROM m, unnest(generate_series(0, n_frames - 1, $frameStep)) AS t(fi)
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val b = Tables.documents(s, d)
+        // payload: the real binary column an ingest pipeline would carry
+        .withColumn("payload", expr("encode(text, 'UTF-8')"))
+        .select(col("doc_id"),
+          expr("cast(octet_length(payload) as bigint)").as("n_bytes"),
+          md5(col("payload")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+      val m = b.select(col("doc_id"), col("n_bytes"), col("checksum"),
+        expr("cast(320 + (h % 8) * 160 as bigint)").as("width"),
+        expr("cast(240 + (h % 6) * 120 as bigint)").as("height"),
+        expr("cast(1 + h % 24 as bigint)").as("n_frames"))
+      m.withColumn("frame_idx", explode(expr(s"sequence(0L, n_frames - 1, ${frameStep}L)")))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("md5(concat(checksum, ':', cast(frame_idx as string)))").as("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
+    },
+  )
+}

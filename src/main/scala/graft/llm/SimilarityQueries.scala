@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.batch.Q
+import graft.core.Tables
+import LlmHash._
+
+/** Similarity search over the `embeddings.parquet` vector column
+  * (`Array[Float]`, 64-dim) — north-star work, no reference counterpart.
+  *
+  *   - `sim_topk_cosine` brute-force top-k cosine: the CORRECTNESS baseline.
+  *     One scan of the corpus per query batch, queries broadcast, ranking
+  *     windowed per query. O(|Q|·|C|) — fine for a query batch, not the
+  *     shape for all-pairs at 100 TB.
+  *   - `sim_ann_lsh`     the SCALE path: sign-LSH (8 random hyperplanes →
+  *     256 buckets); candidates are only vectors sharing the query's bucket,
+  *     so the join is hash-partitioned on the bucket id and never all-pairs.
+  *     Recall is probabilistic (documented LSH property); the oracle runs
+  *     the identical algorithm, so determinism is exact.
+  *
+  * All vector math is `zip_with`/`aggregate` over DOUBLE arrays — pure
+  * Catalyst expressions (codegen'd, no UDF), summed left-to-right so the
+  * DuckDB `list_dot_product` twin produces bit-identical doubles.
+  */
+object SimilarityQueries {
+
+  private val topK = 5
+  /** every 50th vector is a "query" — a deterministic stand-in for a query
+    * batch arriving from upstream */
+  private val querySel = "vec_id % 50 = 0"
+
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** (vec_id, v DOUBLE[], nrm) */
+  private def vectors(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+
+  private def topkOut(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("sim_topk_cosine",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |  WHERE q.$querySel
+         |)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+      val n = vectors(s, d)
+      val q = n.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+      topkOut(scored)
+    },
+
+    Q("sim_ann_lsh", {
+      val bucketDuck = (0 until nPlanes)
+        .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |    $bucketDuck AS bucket
+         |  FROM e
+         |),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.$querySel
+         |)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    }) { (s, d) =>
+      val bucketSpark = (0 until nPlanes)
+        .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val n = vectors(s, d).withColumn("bucket", expr(bucketSpark))
+      val q = n.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val scored = n.join(q,
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+      topkOut(scored)
+    },
+  )
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.batch.Q
+import graft.core.Tables
+import LlmHash._
+
+/** Text analysis for LLM training-data pipelines over `documents.parquet` —
+  * north-star work, no reference counterpart.
+  *
+  *   - `tx_stats`       token counts, lexical diversity, stopword ratio,
+  *                      average token length — per-doc quality features
+  *   - `tx_langid`      stopword-list language scoring with a deterministic
+  *                      argmax — the classic n-gram-free lang-id heuristic
+  *   - `tx_chunks`      fixed-width chunking with overlap (500 chars,
+  *                      step 400) — the pre-tokenization splitter
+  *   - `tx_fingerprint` winnowing document fingerprints: k-gram hashes,
+  *                      min per sliding window, distinct — the
+  *                      plagiarism/near-dup fingerprint set
+  *
+  * Everything is array-expression Catalyst (regexp_extract_all + lambda
+  * functions), no UDFs: the per-doc work stays inside whole-stage codegen
+  * and parallelizes embarrassingly (one doc never crosses a partition).
+  * The only shuffles are the final ORDER BYs (verification canonicalization,
+  * not part of the operator).
+  */
+object TextQueries {
+
+  private val tokRegex = "[a-z0-9]+"
+  private val stopEn = "'the','a','of','to','and','in','is','on','for','it'"
+  private val stopDe = "'der','die','das','und','ist','nicht','mit','ein','ich','zu'"
+  private val stopEs = "'el','la','que','y','en','un','es','se','no','por'"
+  private val stopFr = "'le','les','et','un','que','pour','dans','ce','il','au'"
+
+  private val chunkLen = 500
+  private val chunkStep = 400
+  private val gramLen = 8
+  private val winLen = 16 // winnowing window: min over this many k-gram hashes
+
+  val all: Seq[Q] = Seq(
+
+    Q("tx_stats",
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
+         |  round(len(list_filter(toks, x -> list_contains([$stopEn], x))) * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
+         |  round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) AS uniq_ratio
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .select(col("doc_id"),
+          expr("cast(size(toks) as bigint)").as("n_tokens"),
+          expr("cast(size(array_distinct(toks)) as bigint)").as("n_uniq"),
+          expr("round(cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1), 4)").as("avg_token_len"),
+          // NB: `1.0` in a Spark SQL string is a DECIMAL literal (unlike
+          // Scala-side 1.0) — `1.0D` keeps the division in DOUBLE like DuckDB
+          expr(s"round(size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1), 4)").as("stop_ratio"),
+          expr("round(size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1), 4)").as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+
+    Q("tx_langid",
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopEn], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopDe], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopEs], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopFr], x))) AS BIGINT) AS s_fr
+         |  FROM t
+         |)
+         |SELECT doc_id, lang AS declared_lang, s_en, s_de, s_es, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          expr(s"cast(size(filter(toks, x -> array_contains(array($stopEn), x))) as bigint)").as("s_en"),
+          expr(s"cast(size(filter(toks, x -> array_contains(array($stopDe), x))) as bigint)").as("s_de"),
+          expr(s"cast(size(filter(toks, x -> array_contains(array($stopEs), x))) as bigint)").as("s_es"),
+          expr(s"cast(size(filter(toks, x -> array_contains(array($stopFr), x))) as bigint)").as("s_fr"))
+        .withColumn("predicted_lang",
+          expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 |     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin))
+        .orderBy("doc_id")
+    },
+
+    Q("tx_chunks",
+      s"""SELECT doc_id,
+         |  CAST((pos - 1) // $chunkStep AS BIGINT) AS chunk_idx,
+         |  CAST(pos AS BIGINT) AS chunk_pos,
+         |  CAST(length(substring(text, CAST(pos AS INT), $chunkLen)) AS BIGINT) AS chunk_len,
+         |  md5(substring(text, CAST(pos AS INT), $chunkLen)) AS chunk_hash
+         |FROM documents, unnest(generate_series(1, greatest(length(text), 1), $chunkStep)) AS t(pos)
+         |ORDER BY doc_id, chunk_pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("pos", explode(expr(s"sequence(1, greatest(length(text), 1), $chunkStep)")))
+        .select(col("doc_id"),
+          expr(s"cast((pos - 1) div $chunkStep as bigint)").as("chunk_idx"),
+          col("pos").cast("long").as("chunk_pos"),
+          expr(s"cast(length(substring(text, pos, $chunkLen)) as bigint)").as("chunk_len"),
+          expr(s"md5(substring(text, pos, $chunkLen))").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_pos")
+    },
+
+    // Winnowing is row-local: k-gram hashes, sliding-window minima and the
+    // per-doc distinct are all array expressions on the doc's own row — no
+    // explode, no per-doc window function, no shuffle (a (doc, pos) explode
+    // + windowed min would shuffle |corpus|·|chars| rows to accomplish the
+    // same thing). Only full windows are kept, per standard winnowing.
+    Q("tx_fingerprint",
+      s"""WITH ga AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(length(text) - ${gramLen - 1}, 1)), i -> ${duckH(s"substring(text, CAST(i AS INT), $gramLen)")}) AS g
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(g) - ${winLen - 1}, 1)),
+         |    j -> list_min(list_slice(g, j, j + ${winLen - 1}))))) AS fp
+         |FROM ga ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
+      // Spark body: explode + codegen'd md5 (array lambdas run interpreted —
+      // measured 2x slower), then a per-doc window min over full windows
+      // only. The window sort and the following distinct both reuse the
+      // single hash partitioning on doc_id — one exchange total.
+      val g = Tables.documents(s, d)
+        .withColumn("ng", expr(s"greatest(length(text) - ${gramLen - 1}, 1)"))
+        .withColumn("pos", explode(expr("sequence(1, ng)")))
+        .select(col("doc_id"), col("ng"), col("pos"),
+          expr(sparkH(s"substring(text, pos, $gramLen)")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, winLen - 1)
+      g.withColumn("fp", min("h").over(w))
+        // winnowing keeps full windows only (the oracle's list_slice form);
+        // short docs (< one window) keep their single truncated window
+        .filter(col("pos") <= greatest(col("ng") - (winLen - 1), lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    },
+  )
+}

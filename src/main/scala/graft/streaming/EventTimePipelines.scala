@@ -19,6 +19,17 @@ import graft.core.SensorReading
   * `chapter6/WindowFunctions.scala:61-72`, is automatic here); the non-keyed
   * global window (W6) parallelizes the same way instead of Flink's forced
   * parallelism-1.
+  *
+  * E3 — punctuated watermarks (`chapter6/WatermarkGeneration.scala:67-86`,
+  * watermark advanced only by `sensor_1` marker records): Structured
+  * Streaming has NO per-record watermark hook — the watermark is recomputed
+  * once per micro-batch as global-max(ts) − delay. `withWatermark` is the
+  * documented approximation: whenever marker records are at least as
+  * frequent as the micro-batch cadence, the batch-boundary watermark
+  * envelope coincides with the punctuated one and every downstream windowed
+  * result is identical (spec: "E3 punctuated watermark approximation").
+  * A stream whose markers stall behind other traffic diverges: SS keeps
+  * advancing the watermark on non-marker records, Flink would hold it.
   */
 object EventTimePipelines {
 
@@ -67,15 +78,34 @@ object EventTimePipelines {
         col("avgTemp"))
 
   /** W7/W8 — per-sensor count in 30s windows assigned by `ts - ts % 30000`
-    * (`chapter6/CustomWindow.scala:56-84,152-168`): a custom assigner is just
-    * a computed, codegen'd group key. */
+    * (`chapter6/CustomWindow.scala:56-84,152-168`).
+    *
+    * The assigner's math is exactly Spark's epoch-aligned `window()`, so the
+    * streaming form groups on `window(ts, sizeMs)`: grouping on a derived
+    * plain Long (`ts - ts % size`) computes the same buckets but hides the
+    * event-time column from the engine — the watermark then can never evict
+    * aggregation state (unbounded growth) and append output is rejected.
+    * An assigner Spark can't express as `window()`/`session_window` should
+    * emit a TimestampType bucket column and group on that, keeping state
+    * eviction; the batch twin (`w8_custom_assigner`) keeps the raw
+    * computed-key form where no state is at stake. */
   def customWindowCounts(readings: Dataset[SensorReading], sizeMs: Long = 30000L,
       delay: String = "5 seconds"): DataFrame =
     withEventTime(readings, delay)
-      .withColumn("windowStartMs", (col("timestamp") - pmod(col("timestamp"), lit(sizeMs))))
-      .groupBy(col("id"), col("windowStartMs"))
+      .groupBy(col("id"), window(col("ts"), s"$sizeMs milliseconds"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("id"), (col("windowStartMs") + sizeMs).as("windowEnd"), col("cnt"))
+      .select(col("id"), unix_millis(col("window.end")).as("windowEnd"), col("cnt"))
+
+  /** W9 — early firing (`chapter6/CustomWindow.scala:87-148`
+    * OneSecondIntervalTrigger: FIRE per second of watermark progress,
+    * FIRE_AND_PURGE at window end). Structured Streaming's update output
+    * mode IS the early-firing loop at micro-batch granularity: every batch
+    * re-emits the refined count for windows it touched, and the watermark
+    * finalizes + purges window state — same refinement stream, trigger
+    * cadence = micro-batch cadence instead of 1s of watermark progress. */
+  def earlyFiringCounts(readings: Dataset[SensorReading], sizeMs: Long = 30000L,
+      delay: String = "5 seconds"): DataFrame =
+    customWindowCounts(readings, sizeMs, delay)
 
   /** Sliding windows — same Flink API family (`timeWindow(size, slide)`),
     * SURVEY §2.5 preamble. */

@@ -65,6 +65,19 @@ object LateData {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var st = state.getOption.getOrElse(WindowCounts(Map.empty, Set.empty))
+            // per-window eviction (reference evicts at windowEnd +
+            // allowedLateness, chapter6/LateDataHandling.scala:147-172):
+            // once the watermark passes a window's end, `withWatermark`
+            // filters any further row for it upstream, so its entry can
+            // never change again — drop it NOW. Without this, a
+            // continuously active key accumulates one entry per window
+            // forever (the whole-key timeout below only fires on idle keys).
+            val wm = state.getCurrentWatermarkMs()
+            if (wm > Long.MinValue) {
+              st = WindowCounts(
+                st.counts.filter { case (w, _) => w + windowMs > wm },
+                st.emitted.filter(w => w + windowMs > wm))
+            }
             val touched = scala.collection.mutable.LinkedHashSet[Long]()
             rows.foreach { r =>
               val w = r.timestamp - r.timestamp % windowMs
@@ -77,8 +90,8 @@ object LateData {
               (id, w + windowMs, st.counts(w), tag)
             }
             state.update(st)
-            // evict everything once the watermark passes the newest window
-            // end + one window of lateness
+            // whole-key GC for idle keys: one window of grace past the
+            // newest window end (live windows are pruned individually above)
             if (st.counts.nonEmpty)
               state.setTimeoutTimestamp(st.counts.keys.max + 2 * windowMs)
             out.iterator

@@ -80,22 +80,43 @@ object Sinks {
   }
 
   /** The merge step: latest-per-key union of target and batch, written to a
-    * temp dir then atomically swapped in. */
+    * temp dir then swapped in with a crash-recoverable two-step rename.
+    *
+    * Swap protocol (not atomic — two renames): tmp is complete on disk,
+    * then target→bak, then tmp→target, then bak deleted. A crash between
+    * the renames leaves bak-but-no-target; the next invocation restores bak
+    * first, so no committed keys are ever lost. A bak alongside an intact
+    * target is a leftover from a crash after the second rename and is
+    * discarded. */
   def upsertBatch(batch: DataFrame, keyCols: Seq[String], targetDir: String): Unit = {
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
+    val bak = Paths.get(targetDir + ".bak")
+    // crash recovery: restore the previous target if the last swap died
+    // between its two renames; drop a stale bak otherwise
+    if (!Files.exists(target) && Files.exists(bak)) Files.move(bak, target)
+    else if (Files.exists(bak)) deleteRecursively(bak)
     val existing =
       if (Files.exists(target)) Some(spark.read.parquet(targetDir)) else None
-    // batch rows win over existing rows; within the batch, last writer wins
+    // within the batch, last writer wins: keep only the latest row per key
+    // (batch order via the row's partition/offset index) before merging —
+    // two same-key rows in one micro-batch must not both land in the target
+    val arrival = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__arr").desc)
+    val latest = batch
+      .withColumn("__arr", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(arrival))
+      .filter(col("__rn") === 1)
+      .drop("__arr", "__rn")
+    // batch rows win over existing rows
     val merged = existing match {
       case Some(cur) =>
-        val newKeys = batch.select(keyCols.map(col): _*).distinct()
-        cur.join(newKeys, keyCols, "left_anti").unionByName(batch)
-      case None => batch
+        val newKeys = latest.select(keyCols.map(col): _*).distinct()
+        cur.join(newKeys, keyCols, "left_anti").unionByName(latest)
+      case None => latest
     }
     val tmp = targetDir + ".tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val bak = Paths.get(targetDir + ".bak")
     if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.REPLACE_EXISTING)
     Files.move(Paths.get(tmp), target)
     deleteRecursively(bak)

@@ -85,7 +85,16 @@ object StatefulOps {
   /** P3 — TempIncreaseAlertFunction (`chapter6/ProcessFunctionTimers.scala:42-97`):
     * warn if a sensor's temperature rises monotonically for `riseMs` of
     * processing time. Timer-set-on-first-increase / delete-on-decrease maps
-    * to a deadline in state + ProcessingTimeTimeout. */
+    * to a deadline in state + ProcessingTimeTimeout.
+    *
+    * Operational notes for ProcessingTimeTimeout queries:
+    *  - ALWAYS set an explicit `Trigger.ProcessingTime(...)`: with the
+    *    default trigger the engine busy-loops empty micro-batches (each
+    *    writing state deltas) because a configured processing-time timeout
+    *    makes `shouldRunAnotherBatch` unconditionally true.
+    *  - For the same reason `StreamingQuery.processAllAvailable()` NEVER
+    *    RETURNS on such queries (`noNewData` is never signaled) — tests and
+    *    ops tooling must poll the sink instead. */
   def temperatureIncreaseWarnings(readings: Dataset[SensorReading],
       riseMs: Long = 1000L): Dataset[Alert] = {
     import readings.sparkSession.implicits._

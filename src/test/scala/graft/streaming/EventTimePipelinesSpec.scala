@@ -66,6 +66,56 @@ class EventTimePipelinesSpec extends SparkSpec {
     assert(rows.contains(("sensor_1", 60000L, 1L)))
   }
 
+  test("W9 earlyFiringCounts emits early refinements then the final count (update mode)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = EventTimePipelines.earlyFiringCounts(readings(mem), sizeMs = 30000L)
+      .writeStream.format("memory").queryName("w9_out").outputMode("update").start()
+    // batch 1: two readings in window [0, 30000) → early firing: cnt=2
+    mem.addData(SensorReading("sensor_1", 1000L, 1.0),
+      SensorReading("sensor_1", 2000L, 1.0))
+    q.processAllAvailable()
+    // batch 2: one more in the same window → refined firing: cnt=3
+    mem.addData(SensorReading("sensor_1", 3000L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("w9_out").as[(String, Long, Long)].collect().toSeq
+    q.stop()
+    // update mode appended one row per firing: the early emission AND the
+    // refinement (Flink's FIRE ... FIRE sequence at micro-batch cadence)
+    assert(rows.contains(("sensor_1", 30000L, 2L)), s"early firing missing: $rows")
+    assert(rows.contains(("sensor_1", 30000L, 3L)), s"refined firing missing: $rows")
+  }
+
+  test("E3 punctuated watermark approximation: frequent markers → identical windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The reference's PunctuatedAssigner advances the watermark only on
+    // sensor_1 "marker" records. When markers are at least as frequent as
+    // the micro-batch cadence, withWatermark's batch-boundary envelope
+    // coincides with the punctuated one: every window closes at the same
+    // marker-driven points and downstream results are identical to the
+    // batch (oracle) aggregation of the same data.
+    val mem = MemoryStream[SensorReading]
+    val q = EventTimePipelines.windowedAvg(readings(mem), "1 second", "0 seconds")
+      .writeStream.format("memory").queryName("e3_out").outputMode("append").start()
+    // each batch carries a sensor_1 marker whose ts drives the watermark
+    mem.addData(SensorReading("sensor_2", 100L, 10.0),
+      SensorReading("sensor_1", 900L, 0.0)) // marker: wm → 900
+    q.processAllAvailable()
+    mem.addData(SensorReading("sensor_2", 1100L, 20.0),
+      SensorReading("sensor_1", 1900L, 0.0)) // marker: wm → 1900, closes [0,1000)
+    q.processAllAvailable()
+    mem.addData(SensorReading("sensor_1", 9000L, 0.0)) // marker: closes the rest
+    q.processAllAvailable()
+    val rows = spark.table("e3_out").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    // identical to the punctuated-semantics oracle: batch groupBy of all rows
+    assert(rows == Set(
+      ("sensor_2", 1000L, 10.0), ("sensor_1", 1000L, 0.0),
+      ("sensor_2", 2000L, 20.0), ("sensor_1", 2000L, 0.0)))
+  }
+
   test("session windows group readings separated by < gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

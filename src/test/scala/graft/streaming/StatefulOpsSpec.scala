@@ -72,6 +72,44 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows == Set(SensorReading("sensor_1", 2000L, 21.0)))
   }
 
+  test("P3 temperatureIncreaseWarnings alerts under continuous rising input") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val out = StatefulOps.temperatureIncreaseWarnings(mem.toDS(), riseMs = 300L)
+    val q = out.writeStream.format("memory").queryName("p3_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    // CAUTION: a ProcessingTimeTimeout operator makes the engine construct
+    // a batch every trigger (shouldRunAnotherBatch is unconditionally true),
+    // so `noNewData` is never signaled and processAllAvailable() BLOCKS
+    // FOREVER — the round-1 suite wedge. Tests of such queries must poll
+    // the sink instead.
+    def awaitAlerts(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("p3_out").count() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    }
+    // rising pair arms the deadline; a strictly falling sensor never arms
+    mem.addData(SensorReading("sensor_1", 1000L, 50.0),
+      SensorReading("sensor_1", 2000L, 51.0),
+      SensorReading("sensor_2", 1000L, 80.0),
+      SensorReading("sensor_2", 2000L, 70.0),
+      SensorReading("sensor_2", 3000L, 69.0))
+    Thread.sleep(500) // let sensor_1's 300ms deadline lapse
+    // STILL rising: a chatty key never reaches the hasTimedOut branch, so
+    // the data branch must honor the expired deadline (the ADVICE defect)
+    mem.addData(SensorReading("sensor_1", 3000L, 52.0))
+    awaitAlerts(1)
+    val alerts = spark.table("p3_out").as[(String, Long)].collect()
+    q.stop()
+    assert(alerts.nonEmpty, "expected a monotone-rise alert")
+    assert(alerts.forall(_._1.contains("sensor_1")),
+      s"only the rising sensor may alert, got ${alerts.mkString(", ")}")
+  }
+
   test("P7 updatableAlerts applies per-key streamed thresholds incl. removal") {
     implicit val s = spark
     import spark.implicits._

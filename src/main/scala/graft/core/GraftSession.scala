@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS): read nanos as Long session-wide
+      // (Tables.load rebuilds the µs ts column; see Tables.scala)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // streaming state at scale: RocksDB spills keyed state off-heap,
       // replacing the default in-memory HDFS-backed store (SURVEY §4)
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -19,7 +19,10 @@ object Tables {
     // (PARQUET_TYPE_ILLEGAL); read nanos as Long and rebuild a µs
     // TimestampType column. The data has no sub-µs components (verified),
     // so `ts div 1000` is lossless and matches DuckDB's ns→µs handling.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy flag is set once, only if absent — a loader silently
+    // re-configuring a live session on every call is a concurrency footgun.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

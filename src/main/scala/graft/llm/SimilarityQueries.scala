@@ -73,6 +73,70 @@ object SimilarityQueries {
       topkOut(scored)
     },
 
+    // IVF (inverted-file) ANN — the second scale path: partition the corpus
+    // into coarse cells (here the existing `label` column stands in for a
+    // k-means assignment, as it would after a clustering job), compute each
+    // cell's centroid, route each query to its nearest centroid (a 10-row
+    // broadcast), and search ONLY that cell. The probe join is
+    // hash-partitioned on the cell id; at 100 TB the centroid table stays
+    // broadcast-sized (cells ~ sqrt(corpus)) and each query scans
+    // |corpus|/cells vectors instead of |corpus|. Centroid components are
+    // rounded to 4dp so parallel partial-avg summation order can't leak
+    // into the oracle compare.
+    Q("sim_ivf",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings
+         |),
+         |cent AS (
+         |  SELECT label, list(cm ORDER BY i) AS c
+         |  FROM (SELECT label, i, round(avg(x), 4) AS cm FROM ex GROUP BY label, i)
+         |  GROUP BY label
+         |),
+         |asg AS (
+         |  SELECT query_id, qv, qn, probe_label FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent.label AS probe_label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(q.v, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) DESC, cent.label) AS rn
+         |    FROM n q, cent WHERE q.$querySel
+         |  ) WHERE rn = 1
+         |),
+         |s AS (
+         |  SELECT a.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(a.qv, c.v) / (a.qn * c.nrm) AS cos
+         |  FROM asg a JOIN n c ON c.label = a.probe_label AND c.vec_id <> a.query_id
+         |)
+         |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val n = e.withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+      val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      val cent = ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
+      val asgW = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("probe_label"))
+      val asg = n.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent.withColumnRenamed("label", "probe_label")))
+        .withColumn("score",
+          expr(s"${sparkDot("qv", "c")} / sqrt(${sparkDot("c", "c")})"))
+        .withColumn("rn", row_number().over(asgW))
+        .filter(col("rn") === 1)
+        .select("query_id", "qv", "qn", "probe_label")
+      val scored = n.join(broadcast(asg),
+          col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+      topkOut(scored)
+    },
+
     Q("sim_ann_lsh", {
       val bucketDuck = (0 until nPlanes)
         .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")

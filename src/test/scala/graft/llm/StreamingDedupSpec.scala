@@ -1,0 +1,32 @@
+package graft.llm
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streaming exact dedup drops in-watermark duplicates, frees state after") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.dedupExactStream(mem.toDS(), "10 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sd_out").outputMode("append").start()
+
+    mem.addData(DocEvent(1L, 1000L, "hello"), DocEvent(2L, 1500L, "world"))
+    q.processAllAvailable()
+    mem.addData(DocEvent(3L, 2000L, "hello")) // duplicate within watermark: dropped
+    q.processAllAvailable()
+    // jump event time far ahead: watermark passes hello's eviction point
+    mem.addData(DocEvent(4L, 200000L, "advance"))
+    q.processAllAvailable()
+    mem.addData(DocEvent(5L, 201000L, "advance2")) // extra batch applies the watermark
+    q.processAllAvailable()
+    mem.addData(DocEvent(6L, 202000L, "hello")) // state evicted: re-emitted as new
+    q.processAllAvailable()
+    val ids = spark.table("sd_out").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 4L, 5L, 6L),
+      s"doc 3 must dedup against doc 1; doc 6 arrives after eviction: $ids")
+  }
+}

@@ -39,4 +39,62 @@ class SinksSpec extends SparkSpec {
     q.stop()
     assert(rows == Set(("sensor_1", 30.0)))
   }
+
+  test("K6 dashboard polling loop observes successive refinements (QueryableState client)") {
+    // reference chapter7/QueryableState.scala:56-115 TemperatureDashboard:
+    // an external client polls the queryable state every interval; here the
+    // "client" is any session thread issuing SQL between micro-batches
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Double)]
+    val agg = mem.toDS().toDF("id", "temp").groupBy("id")
+      .agg(org.apache.spark.sql.functions.max("temp").as("maxTemp"))
+    val q = Sinks.queryable(agg, "dash_temps").start()
+    def poll(): Map[String, Double] =
+      spark.sql("SELECT * FROM dash_temps").as[(String, Double)].collect().toMap
+    mem.addData(("sensor_1", 10.0))
+    q.processAllAvailable()
+    assert(poll() == Map("sensor_1" -> 10.0))
+    mem.addData(("sensor_1", 25.0), ("sensor_2", 5.0))
+    q.processAllAvailable()
+    assert(poll() == Map("sensor_1" -> 25.0, "sensor_2" -> 5.0))
+    q.stop()
+  }
+
+  test("K2 socket sink writes each row as a line to a TCP socket") {
+    import java.net.ServerSocket
+    import java.util.concurrent.ConcurrentLinkedQueue
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val received = new ConcurrentLinkedQueue[String]()
+    val server = new ServerSocket(0) // ephemeral port
+    @volatile var closing = false
+    val acceptor = new Thread(() => {
+      // one connection per (epoch, partition): accept until the test closes
+      try while (!closing) {
+        val s = server.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(s.getInputStream))
+        var line = in.readLine()
+        while (line != null) { received.add(line); line = in.readLine() }
+        s.close()
+      } catch { case _: java.net.SocketException => () }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val mem = MemoryStream[(String, Double)]
+    val q = Sinks.socket(mem.toDS().toDF("id", "temp"), "localhost",
+      server.getLocalPort).start()
+    mem.addData(("sensor_1", 10.0), ("sensor_2", 20.0))
+    q.processAllAvailable()
+    q.stop()
+    // writer flushes on close; give the acceptor a moment to drain
+    val deadline = System.currentTimeMillis() + 10000
+    while (received.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    closing = true
+    server.close()
+    assert(received.toArray(Array.empty[String]).toSet ==
+      Set("sensor_1,10.0", "sensor_2,20.0"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `vector_dot(a, b)` — native Catalyst dot product over
+  * `ArrayType(DoubleType)` with whole-stage codegen.
+  *
+  * Why a custom Expression (SURVEY §4 "custom Expression beats a Scala
+  * UDF"): Spark's higher-order functions (`aggregate(zip_with(...))`) are
+  * evaluated INTERPRETED, one lambda call per element with boxing — for a
+  * 64-dim embedding that is 128 virtual calls per row. This expression
+  * compiles to a tight primitive `double` loop inside the generated code,
+  * no allocation, no boxing.
+  *
+  * Semantics match the interpreted form and DuckDB's `list_dot_product`
+  * bit-for-bit: left-to-right sequential sum of pairwise products over the
+  * common prefix length.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be ArrayType(DoubleType) — `AbstractDataType` is
+  // private[sql], so the usual ExpectsInputTypes declaration can't be
+  // written outside Spark; call sites (SimilarityQueries) cast explicitly
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val vectorDotInfo = new ExpressionInfo(
+    classOf[VectorDot].getName, null, "vector_dot",
+    "vector_dot(a, b) - dot product of two DOUBLE arrays (codegen'd)", "")
+
+  /** Idempotently register the engine's SQL functions on a session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` for
+  * cluster deployments: injects the function into every session without a
+  * register() call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, null, "vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+}

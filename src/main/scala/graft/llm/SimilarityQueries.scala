@@ -31,14 +31,19 @@ object SimilarityQueries {
     * batch arriving from upstream */
   private val querySel = "vec_id % 50 = 0"
 
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Codegen'd custom Expression (graft.functions.VectorDot): Catalyst's
+    * higher-order `aggregate(zip_with(...))` form computes the identical
+    * left-to-right sum but runs interpreted (two lambda calls per element,
+    * boxed) — the native loop is the 100 TB shape. */
+  private def sparkDot(a: String, b: String): String = s"vector_dot($a, $b)"
 
   /** (vec_id, v DOUBLE[], nrm) */
-  private def vectors(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+  private def vectors(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+  }
 
   private def topkOut(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -112,6 +117,7 @@ object SimilarityQueries {
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))

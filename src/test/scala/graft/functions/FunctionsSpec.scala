@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.llm.LlmHash
+
+class FunctionsSpec extends SparkSpec {
+
+  test("vector_dot (codegen Expression) matches the interpreted HOF form bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)((Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .withColumn("native", expr("vector_dot(a, b)"))
+      .withColumn("hof", expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+    val mismatches = df.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0, "sequential sum must be identical to the lambda fold")
+  }
+
+  test("vector_dot handles nulls and ragged lengths") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 99.0))), // common prefix: 1*3+2*4
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+      .withColumn("d", expr("vector_dot(a, b)"))
+    val got = df.select("d").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(11.0), None))
+  }
+
+  test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val grams = Seq.fill(500)(rnd.nextLong().abs % LlmHash.P)
+    // expected: plain-Scala fold over the whole multiset
+    val expected = (0 until 16).map { s =>
+      grams.map(h => (LlmHash.A(s) * h + LlmHash.B(s)) % LlmHash.P).min
+    }
+    // many partitions force partial buffers + merge on the way to the result
+    val minhash = udaf(new MinHashAggregator(16))
+    val got = grams.toDF("h").repartition(13)
+      .agg(minhash(col("h")).as("sig"))
+      .as[Array[Long]].head()
+    assert(got.toSeq == expected)
+  }
+}

@@ -66,18 +66,26 @@ object GraftFunctions {
     "vector_dot(a, b) - dot product of two DOUBLE arrays (codegen'd)", "")
 
   /** Idempotently register the engine's SQL functions on a session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_long60", exprs => Md5Long(exprs.head), "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` for
   * cluster deployments: injects the function into every session without a
   * register() call. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, null, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long60"),
+      (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+  }
 }

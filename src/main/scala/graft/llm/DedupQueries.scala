@@ -52,10 +52,12 @@ object DedupQueries {
 
   /** (doc_id, hm): char-5-gram shingle hashes, multiset (min()/sum() below
     * are the consumers; per-doc dedup happens where sets are needed). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private def shingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("pos", explode(expr(s"sequence(1, greatest(length(text) - ${shingleLen - 1}, 1))")))
       .select(col("doc_id"), expr(sparkHm(s"substring(text, pos, $shingleLen)")).as("hm"))
+  }
 
   /** One row per doc: m0..m15 minhash components in a single aggregation
     * (partial agg collapses to one row per (partition, doc) map-side, so

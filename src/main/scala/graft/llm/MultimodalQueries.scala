@@ -43,6 +43,7 @@ object MultimodalQueries {
          |  md5(concat(checksum, ':', CAST(fi AS VARCHAR))) AS frame_sig
          |FROM m, unnest(generate_series(0, n_frames - 1, $frameStep)) AS t(fi)
          |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
       val b = Tables.documents(s, d)
         // payload: the real binary column an ingest pipeline would carry
         .withColumn("payload", expr("encode(text, 'UTF-8')"))

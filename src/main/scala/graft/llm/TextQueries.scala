@@ -130,6 +130,7 @@ object TextQueries {
       // measured 2x slower), then a per-doc window min over full windows
       // only. The window sort and the following distinct both reuse the
       // single hash partitioning on doc_id — one exchange total.
+      graft.functions.GraftFunctions.register(s)
       val g = Tables.documents(s, d)
         .withColumn("ng", expr(s"greatest(length(text) - ${gramLen - 1}, 1)"))
         .withColumn("pos", explode(expr("sequence(1, ng)")))

@@ -30,6 +30,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(11.0), None))
   }
 
+  test("md5_long60 equals the composed conv(substring(md5)) form on arbitrary strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val strs = Seq("", "a", "spark", "こんにちは") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    val df = strs.toDF("s")
+      .withColumn("fast", expr("md5_long60(s)"))
+      .withColumn("ref", expr("cast(conv(substring(md5(s),1,15),16,10) as bigint)"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.batch.Q
@@ -121,6 +121,73 @@ object DedupQueries {
       |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
       |)""".stripMargin
 
+  /** Full oracle CTE chain ending in `jac(d1, d2, jaccard, is_dup)` —
+    * shared by dd_jaccard and dd_clusters. */
+  private val jacCtes: String = {
+    val matches = (0 until nSeeds)
+      .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$gsCte, $mhCte, $bandsCte, $pairsCte,
+       |cand AS (
+       |  SELECT d1, d2 FROM (
+       |    SELECT p.d1, p.d2, ($matches) / $nSeeds.0 AS est
+       |    FROM pairs p JOIN mh x ON x.doc_id = p.d1 JOIN mh y ON y.doc_id = p.d2
+       |  ) WHERE est >= $estThreshold
+       |),
+       |shd AS (SELECT doc_id, unnest(hset) AS hm FROM gs),
+       |sizes AS (SELECT doc_id, len(hset) AS n FROM gs),
+       |inter AS (
+       |  SELECT p.d1, p.d2, count(*) AS ic
+       |  FROM cand p
+       |  JOIN shd a ON a.doc_id = p.d1
+       |  JOIN shd b ON b.doc_id = p.d2 AND b.hm = a.hm
+       |  GROUP BY p.d1, p.d2
+       |),
+       |jac AS (
+       |  SELECT i.d1, i.d2,
+       |    round(i.ic * 1.0 / (sa.n + sb.n - i.ic), 4) AS jaccard,
+       |    CAST(CASE WHEN i.ic * 1.0 / (sa.n + sb.n - i.ic) >= $dupThreshold THEN 1 ELSE 0 END AS INT) AS is_dup
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.d1
+       |  JOIN sizes sb ON sb.doc_id = i.d2
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[jacCtes]]: (d1, d2, jaccard, is_dup), unordered.
+    *
+    * ONE exchange for all per-doc set work: the gram table is repartitioned
+    * by doc_id and persisted; the per-doc distinct, the sizes and the
+    * signatures all satisfy their clustering requirement from that one
+    * partitioning (a naive global distinct on (doc_id, hm) would re-shuffle
+    * the whole gram multiset to dedup what are only within-doc duplicates). */
+  private def jaccardDF(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+      .repartition(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mh = minhashSigs(sh)
+    val matchCnt = (0 until nSeeds)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = broadcast(lshPairs(mh))
+      .join(mh.as("x"), col("d1") === col("x.doc_id"))
+      .join(mh.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"), (matchCnt / lit(nSeeds.toDouble)).as("est"))
+      .filter(col("est") >= estThreshold.toDouble)
+      .select("d1", "d2")
+    val shd = sh.distinct()
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shd.as("a"), col("d1") === col("a.doc_id"))
+      .join(shd.as("b"), col("d2") === col("b.doc_id") && col("b.hm") === col("a.hm"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")), 4).as("jaccard"),
+        (col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")) >= dupThreshold.toDouble)
+          .cast("int").as("is_dup"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val all: Seq[Q] = Seq(
@@ -169,66 +236,52 @@ object DedupQueries {
     // LSH candidates → minhash-estimate prefilter (est >= 0.5, cuts the
     // verify set ~6x on this corpus) → exact shingle-set intersection via
     // hash join. Never all-pairs; the probe is |survivors| x |shingles/doc|.
-    Q("dd_jaccard", {
-      val matches = (0 until nSeeds)
-        .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $gsCte, $mhCte, $bandsCte, $pairsCte,
-         |cand AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT p.d1, p.d2, ($matches) / $nSeeds.0 AS est
-         |    FROM pairs p JOIN mh x ON x.doc_id = p.d1 JOIN mh y ON y.doc_id = p.d2
-         |  ) WHERE est >= $estThreshold
-         |),
-         |shd AS (SELECT doc_id, unnest(hset) AS hm FROM gs),
-         |sizes AS (SELECT doc_id, len(hset) AS n FROM gs),
-         |inter AS (
-         |  SELECT p.d1, p.d2, count(*) AS ic
-         |  FROM cand p
-         |  JOIN shd a ON a.doc_id = p.d1
-         |  JOIN shd b ON b.doc_id = p.d2 AND b.hm = a.hm
-         |  GROUP BY p.d1, p.d2
+    Q("dd_jaccard",
+      s"""WITH $jacCtes
+         |SELECT d1, d2, jaccard, is_dup FROM jac ORDER BY d1, d2""".stripMargin) {
+      (s, d) => jaccardDF(s, d).orderBy("d1", "d2")
+    },
+
+    // Dedup clustering: the step that turns verified duplicate PAIRS into
+    // keeper assignments — connected components over the is_dup graph via
+    // min-label propagation. The loop is driver-CONTROL only (O(component
+    // diameter) iterations, each a distributed join+agg with the lineage
+    // truncated by localCheckpoint); data never leaves the cluster. The
+    // oracle computes the same components with a recursive CTE.
+    Q("dd_clusters",
+      s"""WITH RECURSIVE $jacCtes,
+         |edges AS (SELECT d1, d2 FROM jac WHERE is_dup = 1),
+         |sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
+         |reach(dd, r) AS (
+         |  SELECT d1, d1 FROM sym
+         |  UNION
+         |  SELECT s.d2, reach.r FROM reach JOIN sym s ON s.d1 = reach.dd
          |)
-         |SELECT i.d1, i.d2,
-         |  round(i.ic * 1.0 / (sa.n + sb.n - i.ic), 4) AS jaccard,
-         |  CAST(CASE WHEN i.ic * 1.0 / (sa.n + sb.n - i.ic) >= $dupThreshold THEN 1 ELSE 0 END AS INT) AS is_dup
-         |FROM inter i
-         |JOIN sizes sa ON sa.doc_id = i.d1
-         |JOIN sizes sb ON sb.doc_id = i.d2
-         |ORDER BY d1, d2""".stripMargin
-    }) { (s, d) =>
-      // ONE exchange for all per-doc set work: repartition the gram table by
-      // doc_id and persist it; the per-doc distinct, the sizes and the
-      // signatures then all satisfy their clustering requirement from this
-      // partitioning (no further exchange — a naive global distinct on
-      // (doc_id, hm) re-shuffles the whole gram multiset to dedup what are
-      // only ever within-doc duplicates)
-      val sh = shingles(Tables.documents(s, d))
-        .repartition(col("doc_id"))
+         |SELECT dd AS doc_id, min(r) AS cluster_id,
+         |  CAST(CASE WHEN dd = min(r) THEN 1 ELSE 0 END AS INT) AS is_keeper
+         |FROM reach GROUP BY dd ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val edges = jaccardDF(s, d).filter(col("is_dup") === 1).select("d1", "d2")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val mh = minhashSigs(sh)
-      val matchCnt = (0 until nSeeds)
-        .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      val cand = broadcast(lshPairs(mh))
-        .join(mh.as("x"), col("d1") === col("x.doc_id"))
-        .join(mh.as("y"), col("d2") === col("y.doc_id"))
-        .select(col("d1"), col("d2"), (matchCnt / lit(nSeeds.toDouble)).as("est"))
-        .filter(col("est") >= estThreshold.toDouble)
-        .select("d1", "d2")
-      val shd = sh.distinct()
-      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(shd.as("a"), col("d1") === col("a.doc_id"))
-        .join(shd.as("b"), col("d2") === col("b.doc_id") && col("b.hm") === col("a.hm"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-      inter
-        .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc_id"))
-        .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc_id"))
-        .select(col("d1"), col("d2"),
-          round(col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")), 4).as("jaccard"),
-          (col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")) >= dupThreshold.toDouble)
-            .cast("int").as("is_dup"))
-        .orderBy("d1", "d2")
+      val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = sym.select(col("d1").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nmin = sym.join(labels, col("d2") === col("node"))
+          .groupBy("d1").agg(min("lbl").as("nl"))
+        val next = labels.join(nmin, col("node") === col("d1"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
+          .localCheckpoint()
+        changed = next.join(labels, "node").filter(col("nlbl") =!= col("lbl")).count()
+        labels = next.select(col("node"), col("nlbl").as("lbl"))
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+        .orderBy("doc_id")
     },
 
     // SimHash: 32 bit-weights as row-local array aggregates (no shuffle),

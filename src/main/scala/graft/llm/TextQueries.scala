@@ -110,6 +110,57 @@ object TextQueries {
         .orderBy("doc_id", "chunk_pos")
     },
 
+    // Quality filtering: the C4/Gopher-style keep/drop gate assembled from
+    // the tx_stats features, with the first failing rule as the drop
+    // reason. Rules compare RAW (unrounded) ratios — integer-count
+    // divisions are bit-identical across engines; rounding is applied only
+    // to the reported columns.
+    Q("tx_quality_filter", {
+      val rulesSql =
+        """CASE WHEN n_tokens < 10 THEN 'too_short'
+          |     WHEN n_tokens > 5000 THEN 'too_long'
+          |     WHEN uniq_r < 0.3 THEN 'low_diversity'
+          |     WHEN stop_r > 0.5 THEN 'stopword_heavy'
+          |     WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'weird_tokens'
+          |     ELSE 'ok' END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq_r,
+         |    len(list_filter(toks, x -> list_contains([$stopEn], x))) * 1.0 / greatest(len(toks), 1) AS stop_r,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) AS avg_len
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, round(uniq_r, 4) AS uniq_ratio,
+         |  round(stop_r, 4) AS stop_ratio, round(avg_len, 4) AS avg_token_len,
+         |  CAST(CASE WHEN ($rulesSql) = 'ok' THEN 1 ELSE 0 END AS INT) AS keep,
+         |  ($rulesSql) AS reason
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val rules =
+        """CASE WHEN n_tokens < 10 THEN 'too_short'
+          |     WHEN n_tokens > 5000 THEN 'too_long'
+          |     WHEN uniq_r < 0.3 THEN 'low_diversity'
+          |     WHEN stop_r > 0.5 THEN 'stopword_heavy'
+          |     WHEN avg_len < 2.0D OR avg_len > 12.0D THEN 'weird_tokens'
+          |     ELSE 'ok' END""".stripMargin
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .select(col("doc_id"),
+          expr("cast(size(toks) as bigint)").as("n_tokens"),
+          expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)").as("uniq_r"),
+          expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)").as("stop_r"),
+          expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)").as("avg_len"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("uniq_r"), 4).as("uniq_ratio"),
+          round(col("stop_r"), 4).as("stop_ratio"),
+          round(col("avg_len"), 4).as("avg_token_len"),
+          expr(s"CAST(CASE WHEN ($rules) = 'ok' THEN 1 ELSE 0 END AS INT)").as("keep"),
+          expr(rules).as("reason"))
+        .orderBy("doc_id")
+    },
+
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the
     // per-doc distinct are all array expressions on the doc's own row — no
     // explode, no per-doc window function, no shuffle (a (doc, pos) explode

@@ -77,14 +77,29 @@ object TextQueries {
          |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
-        .select(col("doc_id"), col("lang").as("declared_lang"),
-          expr(s"cast(size(filter(toks, x -> array_contains(array($stopEn), x))) as bigint)").as("s_en"),
-          expr(s"cast(size(filter(toks, x -> array_contains(array($stopDe), x))) as bigint)").as("s_de"),
-          expr(s"cast(size(filter(toks, x -> array_contains(array($stopEs), x))) as bigint)").as("s_es"),
-          expr(s"cast(size(filter(toks, x -> array_contains(array($stopFr), x))) as bigint)").as("s_fr"))
+      // Spark body: one explode + conditional-sum aggregation (whole-stage
+      // codegen'd `IN` over literal sets) — the list_filter lambda form
+      // runs interpreted, one call per (token, language). Aggregating on
+      // doc_id also map-side-combines before the (only) shuffle. The
+      // grouped scores join back to `documents` so token-free docs keep a
+      // zero score row, matching the oracle.
+      val docs = Tables.documents(s, d)
+      val scores = docs
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("t"))
+        .groupBy("doc_id")
+        .agg(
+          expr(s"sum(CASE WHEN t IN ($stopEn) THEN 1 ELSE 0 END)").as("s_en"),
+          expr(s"sum(CASE WHEN t IN ($stopDe) THEN 1 ELSE 0 END)").as("s_de"),
+          expr(s"sum(CASE WHEN t IN ($stopEs) THEN 1 ELSE 0 END)").as("s_es"),
+          expr(s"sum(CASE WHEN t IN ($stopFr) THEN 1 ELSE 0 END)").as("s_fr"))
+      docs.select(col("doc_id"), col("lang").as("declared_lang"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("declared_lang"),
+          coalesce(col("s_en"), lit(0L)).as("s_en"),
+          coalesce(col("s_de"), lit(0L)).as("s_de"),
+          coalesce(col("s_es"), lit(0L)).as("s_es"),
+          coalesce(col("s_fr"), lit(0L)).as("s_fr"))
         .withColumn("predicted_lang",
           expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                  |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'

@@ -143,6 +143,41 @@ object SimilarityQueries {
       topkOut(scored)
     },
 
+    // Embedding-cosine near-dup (the dedup family's vector method): pairs
+    // in the SAME sign-LSH bucket with cosine >= 0.4. Bucketed — the join
+    // key is the 8-bit bucket, never all-pairs; recall is the LSH
+    // probability (the oracle runs the identical algorithm).
+    Q("dd_embed_cosine", {
+      val bucketDuck = (0 until nPlanes)
+        .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |    $bucketDuck AS bucket
+         |  FROM e
+         |)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY v1, v2""".stripMargin
+    }) { (s, d) =>
+      val bucketSpark = (0 until nPlanes)
+        .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val n = vectors(s, d).withColumn("bucket", expr(bucketSpark))
+      n.as("a")
+        .join(n.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          expr(s"${sparkDot("a.v", "b.v")}") / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("v1", "v2")
+    },
+
     Q("sim_ann_lsh", {
       val bucketDuck = (0 until nPlanes)
         .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")

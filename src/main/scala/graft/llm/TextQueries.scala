@@ -28,6 +28,9 @@ import LlmHash._
 object TextQueries {
 
   private val tokRegex = "[a-z0-9]+"
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+    * symbol. Disjoint branches → identical matches in Java and RE2. */
+  private val pieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
   private val stopEn = "'the','a','of','to','and','in','is','on','for','it'"
   private val stopDe = "'der','die','das','und','ist','nicht','mit','ein','ich','zu'"
   private val stopEs = "'el','la','que','y','en','un','es','se','no','por'"
@@ -40,19 +43,30 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Token counting covers three tokenizers: the word regex (n_tokens),
+    // plain whitespace split (n_tokens_ws), and a BPE-ish piece regex that
+    // segments letter runs / digit runs / single punctuation (n_pieces) —
+    // the pre-tokenizer shape of byte-pair encoders. The alternation's
+    // branches are disjoint character classes, so Java (leftmost-first)
+    // and RE2 (leftmost-longest) agree.
     Q("tx_stats",
-      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents)
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+         |  CAST(len(regexp_extract_all(lower(text), '$pieceRegex')) AS BIGINT) AS n_pieces,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
          |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len,
          |  round(len(list_filter(toks, x -> list_contains([$stopEn], x))) * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
          |  round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4) AS uniq_ratio
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .select(col("doc_id"), col("text"),
+          expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
         .select(col("doc_id"),
           expr("cast(size(toks) as bigint)").as("n_tokens"),
+          expr("cast(size(split(text, ' ', -1)) as bigint)").as("n_tokens_ws"),
+          expr(s"cast(size(regexp_extract_all(lower(text), '$pieceRegex', 0)) as bigint)").as("n_pieces"),
           expr("cast(size(array_distinct(toks)) as bigint)").as("n_uniq"),
           expr("round(cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1), 4)").as("avg_token_len"),
           // NB: `1.0` in a Spark SQL string is a DECIMAL literal (unlike

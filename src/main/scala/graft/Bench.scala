@@ -30,7 +30,11 @@ object Bench {
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (dedup pipelines) must not leak
+      // cached RDDs into later measurements
+      spark.catalog.clearCache()
+      sec
     }
 
     // warmup: one relational, one windowed, one LLM-pipeline query — covers

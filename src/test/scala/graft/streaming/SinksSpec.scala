@@ -61,6 +61,16 @@ class SinksSpec extends SparkSpec {
     q.stop()
   }
 
+  test("K1 console sink starts and drains a batch (print() analog)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Double)]
+    val q = Sinks.console(mem.toDS()).start()
+    mem.addData(("sensor_1", 1.0))
+    q.processAllAvailable() // output goes to stdout; green = sink accepts rows
+    q.stop()
+  }
+
   test("K2 socket sink writes each row as a line to a TCP socket") {
     import java.net.ServerSocket
     import java.util.concurrent.ConcurrentLinkedQueue

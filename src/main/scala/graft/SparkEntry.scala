@@ -16,7 +16,8 @@ object SparkEntry {
     TransformQueries.all ++ AggQueries.all ++ JoinQueries.all ++
       StatefulTwinQueries.all ++
       graft.llm.DedupQueries.all ++ graft.llm.SimilarityQueries.all ++
-      graft.llm.TextQueries.all ++ graft.llm.MultimodalQueries.all
+      graft.llm.TextQueries.all ++ graft.llm.MultimodalQueries.all ++
+      graft.llm.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -188,6 +188,48 @@ object DedupQueries {
           .cast("int").as("is_dup"))
   }
 
+  /** Oracle CTEs extending [[jacCtes]] with connected components:
+    * `comp(doc_id, cluster_id)` over the is_dup graph. Prefix with
+    * `WITH RECURSIVE`. Shared with the corpus-prep pipeline. */
+  private[llm] val clusterCtes: String =
+    s"""$jacCtes,
+       |cedges AS (SELECT d1, d2 FROM jac WHERE is_dup = 1),
+       |csym AS (SELECT d1, d2 FROM cedges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM cedges),
+       |reach(dd, r) AS (
+       |  SELECT d1, d1 FROM csym
+       |  UNION
+       |  SELECT s.d2, reach.r FROM reach JOIN csym s ON s.d1 = reach.dd
+       |),
+       |comp AS (SELECT dd AS doc_id, min(r) AS cluster_id FROM reach GROUP BY dd)""".stripMargin
+
+  /** Spark twin of [[clusterCtes]]: (doc_id, cluster_id) for every doc in a
+    * duplicate cluster — connected components via min-label propagation.
+    * The loop is driver-CONTROL only (O(component diameter) iterations,
+    * each a distributed join+agg, lineage truncated by localCheckpoint);
+    * data never leaves the executors. */
+  private[llm] def clustersDF(s: SparkSession, d: String): DataFrame = {
+    val edges = jaccardDF(s, d).filter(col("is_dup") === 1).select("d1", "d2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("d1").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nmin = sym.join(labels, col("d2") === col("node"))
+        .groupBy("d1").agg(min("lbl").as("nl"))
+      val next = labels.join(nmin, col("node") === col("d1"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
+        .localCheckpoint()
+      changed = next.join(labels, "node").filter(col("nlbl") =!= col("lbl")).count()
+      labels = next.select(col("node"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val all: Seq[Q] = Seq(
@@ -249,38 +291,13 @@ object DedupQueries {
     // truncated by localCheckpoint); data never leaves the cluster. The
     // oracle computes the same components with a recursive CTE.
     Q("dd_clusters",
-      s"""WITH RECURSIVE $jacCtes,
-         |edges AS (SELECT d1, d2 FROM jac WHERE is_dup = 1),
-         |sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
-         |reach(dd, r) AS (
-         |  SELECT d1, d1 FROM sym
-         |  UNION
-         |  SELECT s.d2, reach.r FROM reach JOIN sym s ON s.d1 = reach.dd
-         |)
-         |SELECT dd AS doc_id, min(r) AS cluster_id,
-         |  CAST(CASE WHEN dd = min(r) THEN 1 ELSE 0 END AS INT) AS is_keeper
-         |FROM reach GROUP BY dd ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val edges = jaccardDF(s, d).filter(col("is_dup") === 1).select("d1", "d2")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = sym.select(col("d1").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-        .localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val nmin = sym.join(labels, col("d2") === col("node"))
-          .groupBy("d1").agg(min("lbl").as("nl"))
-        val next = labels.join(nmin, col("node") === col("d1"), "left")
-          .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
-          .localCheckpoint()
-        changed = next.join(labels, "node").filter(col("nlbl") =!= col("lbl")).count()
-        labels = next.select(col("node"), col("nlbl").as("lbl"))
-        iter += 1
-      }
-      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, cluster_id,
+         |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clustersDF(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_keeper"))
         .orderBy("doc_id")
     },
 

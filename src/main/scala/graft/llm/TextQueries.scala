@@ -36,10 +36,52 @@ object TextQueries {
   private val stopEs = "'el','la','que','y','en','un','es','se','no','por'"
   private val stopFr = "'le','les','et','un','que','pour','dans','ce','il','au'"
 
-  private val chunkLen = 500
-  private val chunkStep = 400
+  private[llm] val chunkLen = 500
+  private[llm] val chunkStep = 400
   private val gramLen = 8
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
+
+  /** Keep/drop rule chain shared by tx_quality_filter and the corpus-prep
+    * pipeline. Engine-neutral except the double literals (D suffix on the
+    * Spark side). */
+  private def rulesCase(d: String): String =
+    s"""CASE WHEN n_tokens < 10 THEN 'too_short'
+       |     WHEN n_tokens > 5000 THEN 'too_long'
+       |     WHEN uniq_r < 0.3 THEN 'low_diversity'
+       |     WHEN stop_r > 0.5 THEN 'stopword_heavy'
+       |     WHEN avg_len < 2.0$d OR avg_len > 12.0$d THEN 'weird_tokens'
+       |     ELSE 'ok' END""".stripMargin
+  private[llm] val rulesSqlDuck = rulesCase("")
+  private[llm] val rulesSqlSpark = rulesCase("D")
+
+  /** Oracle CTEs ending in `qual(doc_id, keep)` — the quality gate. */
+  private[llm] val qualityCtes: String =
+    s"""qt AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+       |qf AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS uniq_r,
+       |    len(list_filter(toks, x -> list_contains([$stopEn], x))) * 1.0 / greatest(len(toks), 1) AS stop_r,
+       |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / greatest(len(toks), 1) AS avg_len
+       |  FROM qt
+       |),
+       |qual AS (
+       |  SELECT doc_id, CAST(CASE WHEN ($rulesSqlDuck) = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+       |  FROM qf
+       |)""".stripMargin
+
+  /** Spark twin of [[qualityCtes]]: (doc_id, keep). */
+  private[llm] def qualityKeepDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+      .select(col("doc_id"),
+        expr("cast(size(toks) as bigint)").as("n_tokens"),
+        expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)").as("uniq_r"),
+        expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)").as("stop_r"),
+        expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)").as("avg_len"))
+      .select(col("doc_id"),
+        expr(s"CAST(CASE WHEN ($rulesSqlSpark) = 'ok' THEN 1 ELSE 0 END AS INT)").as("keep"))
 
   val all: Seq[Q] = Seq(
 
@@ -145,13 +187,7 @@ object TextQueries {
     // divisions are bit-identical across engines; rounding is applied only
     // to the reported columns.
     Q("tx_quality_filter", {
-      val rulesSql =
-        """CASE WHEN n_tokens < 10 THEN 'too_short'
-          |     WHEN n_tokens > 5000 THEN 'too_long'
-          |     WHEN uniq_r < 0.3 THEN 'low_diversity'
-          |     WHEN stop_r > 0.5 THEN 'stopword_heavy'
-          |     WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'weird_tokens'
-          |     ELSE 'ok' END""".stripMargin
+      val rulesSql = rulesSqlDuck
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
          |f AS (
          |  SELECT doc_id,
@@ -167,13 +203,7 @@ object TextQueries {
          |  ($rulesSql) AS reason
          |FROM f ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val rules =
-        """CASE WHEN n_tokens < 10 THEN 'too_short'
-          |     WHEN n_tokens > 5000 THEN 'too_long'
-          |     WHEN uniq_r < 0.3 THEN 'low_diversity'
-          |     WHEN stop_r > 0.5 THEN 'stopword_heavy'
-          |     WHEN avg_len < 2.0D OR avg_len > 12.0D THEN 'weird_tokens'
-          |     ELSE 'ok' END""".stripMargin
+      val rules = rulesSqlSpark
       Tables.documents(s, d)
         .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
         .select(col("doc_id"),

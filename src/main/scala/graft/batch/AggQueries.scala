@@ -168,6 +168,37 @@ object AggQueries {
           .orderBy("window_start_ms", "user_id")
     },
 
+    // Session windows (EventTimeSessionWindows analog, SURVEY §2.5
+    // preamble): Spark's session_window works in batch too; the oracle is
+    // the classic gaps-and-islands formulation. Session end = last event +
+    // gap, matching session_window's semantics.
+    Q("w_session_counts",
+      s"""WITH o AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |),
+         |g AS (
+         |  SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM o
+         |)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL '30 minutes' AS session_end,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM g GROUP BY user_id, grp
+         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("cnt"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Sliding window (Flink timeWindow(size, slide) family — not exercised by
     // the reference but same API family, SURVEY §2.5 preamble)
     Q("w_sliding_avg",

@@ -116,6 +116,24 @@ class EventTimePipelinesSpec extends SparkSpec {
       ("sensor_2", 2000L, 20.0), ("sensor_1", 2000L, 0.0)))
   }
 
+  test("sliding windows assign each reading to size/slide overlapping windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = EventTimePipelines.slidingAvg(readings(mem), "10 seconds", "5 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("slide_out").outputMode("append").start()
+    mem.addData(SensorReading("sensor_1", 7000L, 10.0)) // windows [0,10s) and [5,15s)
+    q.processAllAvailable()
+    mem.addData(SensorReading("sensor_1", 60000L, 1.0)) // close both
+    q.processAllAvailable()
+    mem.addData(SensorReading("sensor_1", 120000L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("slide_out").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains(("sensor_1", 10000L, 10.0)), s"missing [0,10s): $rows")
+    assert(rows.contains(("sensor_1", 15000L, 10.0)), s"missing [5,15s): $rows")
+  }
+
   test("session windows group readings separated by < gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

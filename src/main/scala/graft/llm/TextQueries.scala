@@ -220,6 +220,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Vocabulary building (the BPE-training precursor): corpus-wide token
+    // frequencies, top 50 — one explode + one count shuffle (map-side
+    // combined), ranking windowed over the (tiny) aggregate. At 100 TB the
+    // aggregate is |vocab|-sized regardless of corpus size.
+    Q("tx_vocab",
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token
+         |  FROM documents
+         |),
+         |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token)
+         |SELECT token, freq FROM freq
+         |QUALIFY row_number() OVER (ORDER BY freq DESC, token) <= 50
+         |ORDER BY freq DESC, token""".stripMargin) { (s, d) =>
+      val freq = Tables.documents(s, d)
+        .select(explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      // ranking window over the aggregated vocab (constant partition key:
+      // intentionally one task over |vocab| rows, not a full-data window)
+      val w = Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("token"))
+      freq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+        .select("token", "freq")
+        .orderBy(col("freq").desc, col("token"))
+    },
+
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the
     // per-doc distinct are all array expressions on the doc's own row — no
     // explode, no per-doc window function, no shuffle (a (doc, pos) explode

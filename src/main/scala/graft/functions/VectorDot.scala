@@ -71,6 +71,8 @@ object GraftFunctions {
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long60", exprs => Md5Long(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash_8", exprs => RollingHash8(exprs.head), "built-in")
   }
 }
 

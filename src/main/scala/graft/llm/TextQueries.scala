@@ -244,6 +244,48 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
     },
 
+    // Rolling-hash fingerprinting: the same winnowing flow as
+    // tx_fingerprint but over Rabin-Karp window hashes — ONE O(n) pass per
+    // doc via the codegen'd rolling_hash_8 Expression (each window reuses
+    // the previous hash) instead of re-hashing k chars per position. The
+    // oracle computes the congruent direct polynomial sum; both land on
+    // the same canonical value mod P.
+    Q("tx_rolling_fp", {
+      val P = graft.functions.RollingHash8.P
+      val B = graft.functions.RollingHash8.B
+      val bp = Iterator.iterate(1L)(v => v * B % P).take(8).toIndexedSeq // B^0..B^7 mod P
+      val terms = (0 until 8)
+        .map(j => s"(CAST(ord(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${bp(7 - j)}) % $P")
+        .mkString(" + ")
+      s"""WITH rh AS (
+         |  SELECT doc_id, i AS pos, ($terms) % $P AS h, length(text) - 7 AS ng
+         |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
+         |  WHERE length(text) >= 8
+         |),
+         |w AS (
+         |  SELECT doc_id, pos, ng,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${winLen - 1} FOLLOWING) AS fp
+         |  FROM rh
+         |)
+         |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= greatest(ng - ${winLen - 1}, 1)
+         |ORDER BY doc_id, fp""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val g = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .withColumn("ng", expr("length(text) - 7"))
+        .select(col("doc_id"), col("ng"),
+          posexplode(expr("rolling_hash_8(text)")).as(Seq("p0", "h")))
+        .withColumn("pos", col("p0") + 1)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, winLen - 1)
+      g.withColumn("fp", min("h").over(w))
+        .filter(col("pos") <= greatest(col("ng") - (winLen - 1), lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    },
+
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the
     // per-doc distinct are all array expressions on the doc's own row — no
     // explode, no per-doc window function, no shuffle (a (doc, pos) explode

@@ -42,6 +42,18 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("rolling_hash_8 O(n) pass matches the direct polynomial form") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    val got = RollingHash8.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSeq
+    val expected = (0 to s.length - 8).map { i =>
+      s.substring(i, i + 8).foldLeft(0L)((h, c) => (h * RollingHash8.B + c) % RollingHash8.P)
+    }
+    assert(got == expected)
+    assert(RollingHash8.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("short")).numElements() == 0)
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

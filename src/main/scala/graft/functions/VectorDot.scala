@@ -72,7 +72,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long60", exprs => Md5Long(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash_8", exprs => RollingHash8(exprs.head), "built-in")
+      "rolling_hash", exprs =>
+        RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 

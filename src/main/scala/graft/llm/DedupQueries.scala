@@ -51,12 +51,24 @@ object DedupQueries {
   // suite: array-lambda simhash 6.4s vs explode+groupBy 2.2s at sf0.1.
 
   /** (doc_id, hm): char-5-gram shingle hashes, multiset (min()/sum() below
-    * are the consumers; per-doc dedup happens where sets are needed). */
+    * are the consumers; per-doc dedup happens where sets are needed).
+    * Gram hashes come from the O(n)-per-doc `rolling_hash` Expression
+    * (graft.functions.RollingHash) — one pass per document instead of an
+    * md5 per position; values land in [0, P) so the affine per-seed rehash
+    * is unchanged. Docs shorter than one gram are excluded (none exist in
+    * the corpus; the filter makes the operator's domain explicit). */
   private def shingles(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("pos", explode(expr(s"sequence(1, greatest(length(text) - ${shingleLen - 1}, 1))")))
-      .select(col("doc_id"), expr(sparkHm(s"substring(text, pos, $shingleLen)")).as("hm"))
+      .filter(length(col("text")) >= shingleLen)
+      .withColumn("h0", explode(expr(s"rolling_hash(text, $shingleLen)")))
+      // quadratic avalanche: the rolling hash is LINEAR in the char codes
+      // and the affine per-seed rehash preserves linearity — without this
+      // mix, minhash components correlate across same-vocabulary docs and
+      // LSH candidate precision drops ~3x (measured 267 vs 92 est>=0.5
+      // pairs at sf0.01). (h^2 + c) % P is nonlinear, cheap, and exactly
+      // reproducible in the oracle (h < P keeps h*h < 2^63).
+      .select(col("doc_id"), expr(s"(h0 * h0 + 987654321) % ${graft.functions.RollingHash.P}").as("hm"))
   }
 
   /** One row per doc: m0..m15 minhash components in a single aggregation
@@ -86,14 +98,24 @@ object DedupQueries {
 
   // ----------------------------------------------------- DuckDB oracle CTEs
 
-  private val duckGramArr =
-    s"list_transform(generate_series(1, greatest(length(text) - ${shingleLen - 1}, 1)), i -> ${duckHm(s"substring(text, CAST(i AS INT), $shingleLen)")})"
+  // Oracle gram hashes: the congruent DIRECT polynomial form of the
+  // Spark side's rolling hash (termwise (code·B^j) % P sums — same
+  // canonical representative mod P).
+  private val duckGramArr = {
+    import graft.functions.RollingHash.{bpow, P => RP}
+    val terms = (0 until shingleLen)
+      .map(j => s"(CAST(ord(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${bpow(shingleLen - 1 - j)}) % $RP")
+      .mkString(" + ")
+    // (...) % P is the rolling hash; the outer (h*h + c) % P is the same
+    // quadratic avalanche the Spark side applies (see shingles())
+    s"list_transform(list_transform(generate_series(1, length(text) - ${shingleLen - 1}), i -> (($terms) % $RP)), h0 -> (h0 * h0 + 987654321) % $RP)"
+  }
 
   private val gsCte =
     s"""gs AS (
        |  SELECT doc_id, $duckGramArr AS garr,
        |    list_distinct($duckGramArr) AS hset
-       |  FROM documents
+       |  FROM documents WHERE length(text) >= $shingleLen
        |)""".stripMargin
 
   private val mhCte = {

@@ -246,13 +246,13 @@ object TextQueries {
 
     // Rolling-hash fingerprinting: the same winnowing flow as
     // tx_fingerprint but over Rabin-Karp window hashes — ONE O(n) pass per
-    // doc via the codegen'd rolling_hash_8 Expression (each window reuses
+    // doc via the codegen'd rolling_hash Expression (each window reuses
     // the previous hash) instead of re-hashing k chars per position. The
     // oracle computes the congruent direct polynomial sum; both land on
     // the same canonical value mod P.
     Q("tx_rolling_fp", {
-      val P = graft.functions.RollingHash8.P
-      val B = graft.functions.RollingHash8.B
+      val P = graft.functions.RollingHash.P
+      val B = graft.functions.RollingHash.B
       val bp = Iterator.iterate(1L)(v => v * B % P).take(8).toIndexedSeq // B^0..B^7 mod P
       val terms = (0 until 8)
         .map(j => s"(CAST(ord(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${bp(7 - j)}) % $P")
@@ -275,7 +275,7 @@ object TextQueries {
         .filter(length(col("text")) >= 8)
         .withColumn("ng", expr("length(text) - 7"))
         .select(col("doc_id"), col("ng"),
-          posexplode(expr("rolling_hash_8(text)")).as(Seq("p0", "h")))
+          posexplode(expr("rolling_hash(text, 8)")).as(Seq("p0", "h")))
         .withColumn("pos", col("p0") + 1)
       val w = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, winLen - 1)

@@ -42,16 +42,16 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
-  test("rolling_hash_8 O(n) pass matches the direct polynomial form") {
+  test("rolling_hash O(n) pass matches the direct polynomial form") {
     val s = "the quick brown fox jumps over the lazy dog"
-    val got = RollingHash8.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toLongArray().toSeq
+    val got = RollingHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 8).toLongArray().toSeq
     val expected = (0 to s.length - 8).map { i =>
-      s.substring(i, i + 8).foldLeft(0L)((h, c) => (h * RollingHash8.B + c) % RollingHash8.P)
+      s.substring(i, i + 8).foldLeft(0L)((h, c) => (h * RollingHash.B + c) % RollingHash.P)
     }
     assert(got == expected)
-    assert(RollingHash8.compute(
-      org.apache.spark.unsafe.types.UTF8String.fromString("short")).numElements() == 0)
+    assert(RollingHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("short"), 8).numElements() == 0)
   }
 
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {

@@ -50,11 +50,38 @@ object RollingHash {
     v
   }
 
+  /** ASCII fast path reads the UTF8String bytes in place — no per-row String
+    * allocation in the hottest loop of the dedup/fingerprint queries (the
+    * corpus is ASCII, where byte == UTF-16 code unit == code point). Any
+    * multi-byte input falls back to the decoded-String path, which hashes
+    * UTF-16 code units — the documented BMP semantics. */
   def compute(s: UTF8String, k: Int): ArrayData = {
-    val str = s.toString
+    val nb = s.numBytes
+    if (nb < k) return new GenericArrayData(Array.emptyLongArray)
+    var ascii = true
+    var j = 0
+    while (ascii && j < nb) { if (s.getByte(j) < 0) ascii = false; j += 1 }
+    if (!ascii) return computeChars(s.toString, k)
+    val bk1 = bpow(k - 1) // weight of the outgoing character
+    val out = new Array[Long](nb - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + s.getByte(i)) % P; i += 1 }
+    out(0) = h
+    i = k
+    while (i < nb) {
+      val t = (h - s.getByte(i - k) * bk1 % P + P) % P
+      h = (t * B + s.getByte(i)) % P
+      out(i - k + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def computeChars(str: String, k: Int): ArrayData = {
     val n = str.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
-    val bk1 = bpow(k - 1) // weight of the outgoing character
+    val bk1 = bpow(k - 1)
     val out = new Array[Long](n - k + 1)
     var h = 0L
     var i = 0

@@ -90,5 +90,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long60"),
       (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+    // same literal-window-arg builder as GraftFunctions.register — the two
+    // registration paths must stay equivalent or a cluster deploy relying on
+    // spark.sql.extensions loses the dedup/fingerprint queries
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, null, "rolling_hash"),
+      (exprs: Seq[Expression]) =>
+        RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

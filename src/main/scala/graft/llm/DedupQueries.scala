@@ -25,9 +25,16 @@ import LlmHash._
   *     operation (distinct, sizes, signatures) reuses that clustering —
   *     never a global (doc_id, gram) distinct;
   *   - cross-document matching is a self-join on the LSH band bucket
-  *     `(band, signature)` / simhash chunk — never an all-pairs O(n²) join;
+  *     `(band, signature)` / simhash chunk — never an all-pairs O(n²) join —
+  *     and band buckets above [[maxBucket]] docs are dropped before the
+  *     self-join (a stopword-like bucket approaches O(corpus) and the join
+  *     would go quadratic in it);
   *   - exact-Jaccard verification runs only on minhash-estimate-filtered
-  *     LSH candidates, with the (small) candidate set broadcast;
+  *     LSH candidates; the per-doc gram/size tables are left-semi-pruned to
+  *     candidate doc_ids FIRST, so every join input on the verify path is
+  *     candidate-sized by construction and AQE picks build sides at runtime
+  *     (no data-dependent `broadcast()` hints — a per-doc or per-pair table
+  *     force-broadcast on a dup-heavy corpus is a driver OOM at 100 TB);
   *   - the simhash Hamming filter is applied inside the band join, before
   *     dedup, because shared-vocabulary corpora skew band buckets (1.5M raw
   *     collisions at sf0.1 → the distinct input must be result-sized).
@@ -40,6 +47,15 @@ object DedupQueries {
   private val shingleLen = 5
   private val estThreshold = "0.5"
   private val dupThreshold = "0.8"
+
+  /** LSH band-bucket size cap: buckets with more docs than this are dropped
+    * before the self-join (standard production-LSH practice). Recall
+    * trade-off: a pair only in over-cap buckets is lost, but a bucket this
+    * populous is a low-information signature (shared boilerplate), and a
+    * true near-dup pair has `nBands` independent chances to collide in a
+    * small bucket. The cap bounds the self-join at O(cap²) per bucket
+    * regardless of corpus skew. Mirrored in the oracle CTE. */
+  private[llm] val maxBucket = 64
 
   // ------------------------------------------------------------ Spark side
   //
@@ -79,8 +95,9 @@ object DedupQueries {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH bucket join: 4 bands of 4 rows; pair iff any band signature matches. */
-  private def lshPairs(mh: DataFrame): DataFrame = {
+  /** LSH bucket join: 4 bands of 4 rows; pair iff any band signature matches
+    * (in a bucket of at most [[maxBucket]] docs — see the cap note above). */
+  private[llm] def lshPairs(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until nBands).map { b =>
       val sig = concat_ws(",", (0 until bandRows).map(i => col(s"m${bandRows * b + i}")): _*)
       struct(lit(b).as("b"), sig.as("sig"))
@@ -88,8 +105,15 @@ object DedupQueries {
     val bands = mh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
-    bands.as("x")
-      .join(bands.as("y"),
+    // cap mega-buckets before the self-join (see maxBucket). The count and
+    // the semi-join key on the same (b, sig) the self-join shuffles on, so
+    // the extra aggregation rides the exchange the join needs anyway.
+    val ok = bands.groupBy("b", "sig").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket)
+      .select("b", "sig")
+    val pruned = bands.join(ok, Seq("b", "sig"), "left_semi")
+    pruned.as("x")
+      .join(pruned.as("y"),
         col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -136,12 +160,16 @@ object DedupQueries {
        |)""".stripMargin
   }
 
+  // bcap mirrors the Spark side's band-bucket size cap (maxBucket)
   private val pairsCte =
-    """pairs AS (
-      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-      |  FROM bands x JOIN bands y
-      |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
-      |)""".stripMargin
+    s"""bcap AS (SELECT b, sig FROM bands GROUP BY b, sig HAVING count(*) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x
+       |  JOIN bcap c ON c.b = x.b AND c.sig = x.sig
+       |  JOIN bands y
+       |    ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |)""".stripMargin
 
   /** Full oracle CTE chain ending in `jac(d1, d2, jaccard, is_dup)` —
     * shared by dd_jaccard and dd_clusters. */
@@ -180,7 +208,15 @@ object DedupQueries {
     * by doc_id and persisted; the per-doc distinct, the sizes and the
     * signatures all satisfy their clustering requirement from that one
     * partitioning (a naive global distinct on (doc_id, hm) would re-shuffle
-    * the whole gram multiset to dedup what are only within-doc duplicates). */
+    * the whole gram multiset to dedup what are only within-doc duplicates).
+    *
+    * The verify stage is prune-first: the gram table is left-semi-joined to
+    * candidate doc_ids BEFORE the per-doc distinct and size count, so the
+    * distinct/sizes/intersection work is proportional to |candidates|, not
+    * |corpus|. No join carries a `broadcast()` hint — `sizes` is one row per
+    * candidate doc and `cand` one row per surviving pair, both data-dependent
+    * sizes that AQE measures at runtime and broadcasts only if they actually
+    * fit (a forced hint here is a driver OOM on a dup-heavy 100 TB corpus). */
   private def jaccardDF(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(Tables.documents(s, d))
       .repartition(col("doc_id"))
@@ -189,21 +225,27 @@ object DedupQueries {
     val matchCnt = (0 until nSeeds)
       .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val cand = broadcast(lshPairs(mh))
+    // cand feeds the doc_id prune AND the intersection join: persist so the
+    // band self-join runs once, not three times
+    val cand = lshPairs(mh)
       .join(mh.as("x"), col("d1") === col("x.doc_id"))
       .join(mh.as("y"), col("d2") === col("y.doc_id"))
       .select(col("d1"), col("d2"), (matchCnt / lit(nSeeds.toDouble)).as("est"))
       .filter(col("est") >= estThreshold.toDouble)
       .select("d1", "d2")
-    val shd = sh.distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id")))
+      .distinct()
+    val shd = sh.join(candIds, Seq("doc_id"), "left_semi").distinct()
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    val inter = cand
       .join(shd.as("a"), col("d1") === col("a.doc_id"))
       .join(shd.as("b"), col("d2") === col("b.doc_id") && col("b.hm") === col("a.hm"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
     inter
-      .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
       .select(col("d1"), col("d2"),
         round(col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")), 4).as("jaccard"),
         (col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")) >= dupThreshold.toDouble)
@@ -288,7 +330,9 @@ object DedupQueries {
       val matches = (0 until nSeeds)
         .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
         .reduce(_ + _)
-      broadcast(pairs)
+      // pairs is raw band collisions — skew-inflatable on a dup-heavy
+      // corpus, so no broadcast hint: AQE picks the build side
+      pairs
         .join(mh.as("x"), col("d1") === col("x.doc_id"))
         .join(mh.as("y"), col("d2") === col("y.doc_id"))
         .select(col("d1"), col("d2"), round(matches / lit(nSeeds.toDouble), 4).as("est_jaccard"))

@@ -16,8 +16,10 @@ import graft.core.Tables
   *
   * Scale shape: the quality gate and exact-dedup keeper are one pass +
   * one content-hash shuffle over the corpus; the near-dup component table
-  * is orders smaller than the corpus (duplicates only) and joins broadcast;
-  * chunking is a row-local explode of the survivors.
+  * holds only docs in a duplicate cluster — usually far smaller than the
+  * corpus, but web-scale crawls run 30–50% near-dups, so the join is left
+  * UNhinted and AQE broadcasts it only when it measures small; chunking is
+  * a row-local explode of the survivors.
   */
 object PipelineQueries {
 
@@ -47,7 +49,7 @@ object PipelineQueries {
       docs
         .join(exk, md5(col("text")) === col("h") && col("doc_id") === col("keeper"))
         .join(qual, Seq("doc_id"), "left_semi")
-        .join(broadcast(comp), Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id"), col("text"))
         .withColumn("pos",

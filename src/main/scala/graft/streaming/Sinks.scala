@@ -71,11 +71,11 @@ object Sinks {
     * this is a Delta/Iceberg MERGE; the atomic-rename keyed overwrite here
     * has the same observable semantics. */
   def idempotentUpsert(df: DataFrame, keyCols: Seq[String], targetDir: String,
-      checkpoint: String): DataStreamWriter[Row] = {
+      checkpoint: String, orderCol: Option[String] = None): DataStreamWriter[Row] = {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertBatch(batch, keyCols, targetDir)
+        upsertBatch(batch, keyCols, targetDir, orderCol)
       }
   }
 
@@ -88,7 +88,8 @@ object Sinks {
     * first, so no committed keys are ever lost. A bak alongside an intact
     * target is a leftover from a crash after the second rename and is
     * discarded. */
-  def upsertBatch(batch: DataFrame, keyCols: Seq[String], targetDir: String): Unit = {
+  def upsertBatch(batch: DataFrame, keyCols: Seq[String], targetDir: String,
+      orderCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val target = Paths.get(targetDir)
     val bak = Paths.get(targetDir + ".bak")
@@ -98,13 +99,18 @@ object Sinks {
     else if (Files.exists(bak)) deleteRecursively(bak)
     val existing =
       if (Files.exists(target)) Some(spark.read.parquet(targetDir)) else None
-    // within the batch, last writer wins: keep only the latest row per key
-    // (batch order via the row's partition/offset index) before merging —
-    // two same-key rows in one micro-batch must not both land in the target
+    // Within the batch, one row per key must win before merging. With an
+    // orderCol (event time / sequence number from the data) the winner is
+    // the row with the greatest such value — the only ordering that means
+    // anything after a shuffle. Without one, monotonically_increasing_id
+    // breaks the tie: DETERMINISTIC for a replayed batch (same rows, same
+    // partitioning) — which is what idempotency needs — but arbitrary
+    // across partitions, since its high bits are the partition index.
     val arrival = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("__arr").desc)
     val latest = batch
-      .withColumn("__arr", monotonically_increasing_id())
+      .withColumn("__arr",
+        orderCol.map(col).getOrElse(monotonically_increasing_id()))
       .withColumn("__rn", row_number().over(arrival))
       .filter(col("__rn") === 1)
       .drop("__arr", "__rn")

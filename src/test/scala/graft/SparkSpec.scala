@@ -6,15 +6,12 @@ import org.scalatest.time.{Seconds, Span}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites; one JVM-wide SparkSession (sbt forks one
-  * test JVM), streaming-capable, UTC. */
+  * test JVM), streaming-capable, UTC. Built by the one session factory
+  * (GraftSession), so every streaming spec runs on the RocksDB state store
+  * the factory configures — the scale claim is executed code, not a comment. */
 object TestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    graft.core.GraftSession.builder(4, "graft-test").getOrCreate()
 }
 
 abstract class SparkSpec extends AnyFunSuite with TimeLimitedTests {

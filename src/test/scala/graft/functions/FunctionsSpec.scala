@@ -54,6 +54,19 @@ class FunctionsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("short"), 8).numElements() == 0)
   }
 
+  test("rolling_hash byte fast-path and non-ASCII fallback agree with the char form") {
+    // the ASCII path reads UTF8String bytes in place; any multi-byte char
+    // must route to the decoded UTF-16 path — same polynomial either way
+    for (s <- Seq("plain ascii text, quite boring", "héllo wörld ünïcode mixé", "日本語テキストのサンプルです")) {
+      val got = RollingHash.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 5).toLongArray().toSeq
+      val expected = (0 to s.length - 5).map { i =>
+        s.substring(i, i + 5).foldLeft(0L)((h, c) => (h * RollingHash.B + c) % RollingHash.P)
+      }
+      assert(got == expected, s"mismatch for '$s'")
+    }
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

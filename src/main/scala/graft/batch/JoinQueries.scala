@@ -132,6 +132,34 @@ object JoinQueries {
         .orderBy("c_custkey")
     },
 
+    // Interval join — batch twin of the streaming stream-stream interval
+    // join (graft.streaming.StreamJoins.correlatedReadings): pair each event
+    // with the same user's events up to 2 minutes earlier. Same shape the
+    // state store uses at scale: EQUALITY key (user_id) partitions the
+    // join, the time-range predicate filters within the partition — never a
+    // cross product. Self-pairs excluded; both sides of a pair emitted once.
+    Q("j_interval",
+      s"""SELECT l.event_id AS l_event, r.event_id AS r_event, l.user_id,
+         |  l.value AS l_value, r.value AS r_value
+         |FROM events l JOIN events r
+         |  ON l.user_id = r.user_id
+         | AND r.ts >= l.ts - INTERVAL '2 minutes' AND r.ts <= l.ts
+         | AND l.event_id <> r.event_id
+         |ORDER BY l_event, r_event""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val l = ev.select(col("event_id").as("l_event"), col("user_id"),
+        col("ts").as("lts"), col("value").as("l_value"))
+      val r = ev.select(col("event_id").as("r_event"), col("user_id").as("r_user"),
+        col("ts").as("rts"), col("value").as("r_value"))
+      l.join(r,
+        col("user_id") === col("r_user") &&
+          col("rts") >= col("lts") - expr("INTERVAL 2 MINUTES") &&
+          col("rts") <= col("lts") &&
+          col("l_event") =!= col("r_event"))
+        .select("l_event", "r_event", "user_id", "l_value", "r_value")
+        .orderBy("l_event", "r_event")
+    },
+
     // Stream-static shape on events: enrich the event stream with a computed
     // dimension (per-user lifetime stats) — self-join twin of the reference's
     // broadcast-state config lookup (chapter7/BroadcastStateFunction.scala)

@@ -34,13 +34,25 @@ object Multimodal {
   }
 
   /** STUB: deterministic fake decode (payload hash → metadata + frame
-    * checksums). A real implementation would parse the container format. */
+    * checksums). A real implementation would parse the container format.
+    *
+    * The hash chain is the SAME md5 fold the mm_frames SQL twin uses
+    * (`md5(payload)` → `md5(hex)` → first 15 hex chars as BIGINT), so the
+    * typed decode path is oracle-reproducible bit for bit — the
+    * mm_decode_agg query hash-gates this exact function against DuckDB. */
   private def decodeOne(a: MediaAsset, frameStep: Int): Iterator[DecodedFrame] = {
-    val h = java.util.Arrays.hashCode(a.payload).toLong & 0xffffffffL
-    val width = 320 + (h % 8).toInt * 160
-    val height = 240 + (h % 6).toInt * 120
-    val nFrames = 1 + (h % 24).toInt
+    val checksum = md5Hex(a.payload)
+    val h = java.lang.Long.parseLong(
+      md5Hex(checksum.getBytes("UTF-8")).substring(0, 15), 16)
+    val width = (320 + (h % 8) * 160).toInt
+    val height = (240 + (h % 6) * 120).toInt
+    val nFrames = (1 + h % 24).toInt
+    val crcBase = h % LlmHash.P // keep crc*31 clear of Long overflow
     Iterator.range(0, nFrames, frameStep)
-      .map(i => DecodedFrame(a.doc_id, i, width, height, h * 31 + i))
+      .map(i => DecodedFrame(a.doc_id, i, width, height, crcBase * 31 + i))
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
 }

@@ -61,5 +61,41 @@ object MultimodalQueries {
           expr("md5(concat(checksum, ':', cast(frame_idx as string)))").as("frame_sig"))
         .orderBy("doc_id", "frame_idx")
     },
+
+    // Hash-gate for the TYPED decode path: run Multimodal.decodeStub itself
+    // (mapPartitions over Dataset[MediaAsset]) and aggregate its frames —
+    // the oracle recomputes the identical md5-derived metadata in SQL, so
+    // the Dataset plumbing (binary payload encoding, per-partition decode,
+    // typed schema) is verified bit-for-bit, not just spec-smoked. Shares
+    // the metadata CTE shape with mm_frames (same h chain) — the cross-check
+    // between the typed and the columnar form.
+    Q("mm_decode_agg",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(320 + (h % 8) * 160 AS BIGINT) AS width,
+         |    CAST(240 + (h % 6) * 120 AS BIGINT) AS height,
+         |    CAST(1 + h % 24 AS BIGINT) AS n_frames,
+         |    h % ${LlmHash.P} AS crc_base
+         |  FROM m
+         |)
+         |SELECT doc_id, width, height, CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(sum(crc_base * 31 + fi) AS BIGINT) AS crc_sum
+         |FROM f, unnest(generate_series(0, n_frames - 1, $frameStep)) AS t(fi)
+         |GROUP BY doc_id, width, height
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
+        .as[MediaAsset]
+      Multimodal.decodeStub(assets, frameStep)
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_sampled"), sum("pixels_crc").as("crc_sum"))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_sampled"),
+          col("crc_sum"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -33,6 +33,37 @@ object Sinks {
       : DataStreamWriter[T] =
     ds.writeStream.format("memory").queryName(name).outputMode(outputMode)
 
+  /** K6 cross-process flavor — queryable state as a parquet snapshot
+    * handoff: each micro-batch atomically swaps a self-describing parquet
+    * snapshot of the complete aggregate into `dir`. ANY process with a
+    * parquet reader (another Spark job, a Python/DuckDB dashboard,
+    * [[SnapshotClient]]) can poll it — the moral equivalent of the
+    * reference's out-of-process QueryableStateClient
+    * (`chapter7/QueryableState.scala:56-115`); Structured Streaming exposes
+    * no network state API, so the handoff IS the query surface. Production
+    * twin: a Delta/Iceberg table whose commit protocol replaces the rename
+    * swap. */
+  def queryableSnapshot(df: DataFrame, dir: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, _: Long) => swapInSnapshot(batch, dir))
+
+  /** Write `df` as the new content of `targetDir` with the crash-recoverable
+    * two-step rename swap (see [[upsertBatch]] for the protocol). */
+  def swapInSnapshot(df: DataFrame, targetDir: String): Unit = {
+    val target = Paths.get(targetDir)
+    val bak = Paths.get(targetDir + ".bak")
+    if (!Files.exists(target) && Files.exists(bak)) Files.move(bak, target)
+    else if (Files.exists(bak)) deleteRecursively(bak)
+    val tmp = targetDir + ".tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(Paths.get(tmp), target)
+    deleteRecursively(bak)
+  }
+
   /** K5 — exactly-once file sink (`TransactionalFileSink`,
     * `chapter8/TransactionalSinkExample.scala:137-197`): the built-in file
     * sink's commit log gives the same write-temp/commit-atomically protocol. */

@@ -47,6 +47,18 @@ object PipelineQueries {
   private def stageClusters(s: SparkSession, d: String): String =
     stagedTables.getOrElseUpdate(d, {
       val table = "graft_clusters_" + math.abs(d.hashCode).toString
+      // a previous JVM's warehouse files are NOT a valid stage (code or
+      // constants may have changed since) and, being unknown to this
+      // session's catalog, would fail managed-table creation with
+      // LOCATION_ALREADY_EXISTS — drop both catalog entry and location
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = java.nio.file.Paths.get(
+        java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       DedupQueries.clustersDF(s, d)
         .write.mode("overwrite")
         .bucketBy(16, "doc_id").sortBy("doc_id")

@@ -244,6 +244,46 @@ object TextQueries {
         .orderBy(col("freq").desc, col("token"))
     },
 
+    // TF-IDF top terms per document — the classic relevance/keyword
+    // extraction signal. Scale shape: one (doc_id, token) count shuffle
+    // with map-side combine; the doc-frequency table aggregates FROM tf
+    // (|docs×uniq-tokens| rows, never raw grams) and is |vocab|-sized, so
+    // AQE broadcasts it into the scoring join at runtime; the corpus size
+    // joins in as a 1-row aggregate; ranking is a per-doc window. Both
+    // engines rank on the ROUNDED score (ties broken by token) so a 1-ulp
+    // ln() difference can't reorder the emitted top-k.
+    Q("tx_tfidf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token
+         |  FROM documents
+         |),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         |    round(tf.tf * ln((1.0 + n.n_docs) / (1.0 + dfreq.df)), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+         |)
+         |SELECT doc_id, token, tf, df, tfidf FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) <= 5
+         |ORDER BY doc_id, tfidf DESC, token""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("token")).crossJoin(nDocs)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          expr("round(tf * ln((1.0D + n_docs) / (1.0D + df)), 4)").as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    },
+
     // Rolling-hash fingerprinting: the same winnowing flow as
     // tx_fingerprint but over Rabin-Karp window hashes — ONE O(n) pass per
     // doc via the codegen'd rolling_hash Expression (each window reuses

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+import graft.llm.LlmHash
+
+/** `minhash_sigs(garr)` — all 16 per-seed MinHash minima of a document's
+  * gram-hash array in ONE row-local pass.
+  *
+  * Input: the raw `rolling_hash` array (values in `[0, P)`). The loop
+  * applies the quadratic avalanche `(h² + C) % P` (see
+  * `graft.llm.DedupQueries.shingles` for why linear hashes collapse LSH
+  * precision) and then the 16 affine per-seed rehashes, tracking minima —
+  * 17 multiplications per gram, zero allocation per gram, no explode.
+  *
+  * Why this beats the explode + groupBy form it replaces: signature
+  * building becomes a PROJECTION — the gram multiset never exists as rows,
+  * so building signatures for the whole corpus costs NO shuffle at all
+  * (the old shape map-side-combined to |docs| rows, which is already
+  * small, but still materialized |grams| rows through the aggregate
+  * operator). MinHash minima over a multiset equal minima over the
+  * distinct set, so the DuckDB oracle (list_min over hset) is unchanged.
+  */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  final val P = LlmHash.P
+  final val AvalancheC = 987654321L
+  private val nSeeds = 16
+  private val A: Array[Long] = LlmHash.A.take(nSeeds).toArray
+  private val B: Array[Long] = LlmHash.B.take(nSeeds).toArray
+
+  def compute(garr: ArrayData): ArrayData = {
+    val n = garr.numElements()
+    val mins = Array.fill(nSeeds)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val g = garr.getLong(i)
+      val h = (g * g + AvalancheC) % P // g < P keeps g*g < 2^63
+      var s = 0
+      while (s < nSeeds) {
+        val v = (A(s) * h + B(s)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `simhash_sig(garr)` — 32-bit SimHash of a document's gram-hash array in
+  * one row-local pass: per bit, sum ±1 weighted by the bit of an affine
+  * rehash (seeds 16..47), then pack signs. Replaces a 32-aggregate groupBy
+  * over exploded grams with a projection — same zero-shuffle argument as
+  * [[MinHashSigs]]. Oracle congruence: the DuckDB twin sums over the raw
+  * gram MULTISET (garr), exactly what this loop sees.
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashSig.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  final val P = LlmHash.P
+  private val nBits = 32
+  private val A: Array[Long] = LlmHash.A.slice(16, 16 + nBits).toArray
+  private val B: Array[Long] = LlmHash.B.slice(16, 16 + nBits).toArray
+
+  def compute(garr: ArrayData): Long = {
+    val n = garr.numElements()
+    val w = new Array[Long](nBits)
+    var i = 0
+    while (i < n) {
+      val g = garr.getLong(i)
+      val h = (g * g + MinHashSigs.AvalancheC) % P
+      var b = 0
+      while (b < nBits) {
+        if ((A(b) * h + B(b)) % P % 2 == 1) w(b) += 1 else w(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (w(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}

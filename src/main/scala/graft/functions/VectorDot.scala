@@ -74,6 +74,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs =>
         RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
   }
 }
 
@@ -98,5 +102,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[RollingHash].getName, null, "rolling_hash"),
       (exprs: Seq[Expression]) =>
         RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, null, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, null, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
   }
 }

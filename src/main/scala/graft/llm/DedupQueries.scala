@@ -17,13 +17,17 @@ import LlmHash._
   *   - `dd_simhash`      32-bit SimHash + banded Hamming-distance pairs
   *
   * Scale design (the part that must survive 100 TB):
-  *   - signature building shuffles |docs| rows, not |grams| rows: minhash
-  *     mins and simhash bit-weight sums are map-side-combined aggregates,
-  *     so the gram explosion never crosses the wire;
-  *   - where true per-doc gram SETS are needed (exact Jaccard), ONE
-  *     repartition by doc_id is persisted and every downstream per-doc
-  *     operation (distinct, sizes, signatures) reuses that clustering —
-  *     never a global (doc_id, gram) distinct;
+  *   - signature building is a PROJECTION, not an aggregation: the
+  *     codegen'd `minhash_sigs` / `simhash_sig` Expressions fold the
+  *     `rolling_hash` gram array to a signature row-locally in one pass
+  *     (`graft/functions/SigExpressions.scala`), so the gram multiset is
+  *     never materialized as rows and signature building for the whole
+  *     corpus costs ZERO shuffle;
+  *   - where true per-doc gram SETS are needed (exact Jaccard), grams are
+  *     exploded only for CANDIDATE docs (semi-join prune before the
+  *     explode), then ONE repartition by doc_id serves the per-doc
+  *     distinct and sizes — never a global (doc_id, gram) distinct, and
+  *     never gram rows for docs no candidate pair touches;
   *   - cross-document matching is a self-join on the LSH band bucket
   *     `(band, signature)` / simhash chunk — never an all-pairs O(n²) join —
   *     and band buckets above [[maxBucket]] docs are dropped before the
@@ -87,12 +91,16 @@ object DedupQueries {
       .select(col("doc_id"), expr(s"(h0 * h0 + 987654321) % ${graft.functions.RollingHash.P}").as("hm"))
   }
 
-  /** One row per doc: m0..m15 minhash components in a single aggregation
-    * (partial agg collapses to one row per (partition, doc) map-side, so
-    * the shuffle carries |docs| rows, not |grams|). */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val mins = (0 until nSeeds).map(s => expr(s"min(${affine(s, "hm")})").as(s"m$s"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** One row per doc: m0..m15 minhash components — a row-local projection
+    * (`minhash_sigs` folds the rolling-hash array with avalanche + 16
+    * affine rehashes in one codegen'd loop; no explode, no shuffle). */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(length(col("text")) >= shingleLen)
+      .withColumn("sigs", expr(s"minhash_sigs(rolling_hash(text, $shingleLen))"))
+      .select(col("doc_id") +:
+        (0 until nSeeds).map(i => element_at(col("sigs"), i + 1).as(s"m$i")): _*)
   }
 
   /** LSH bucket join: 4 bands of 4 rows; pair iff any band signature matches
@@ -210,18 +218,19 @@ object DedupQueries {
     * partitioning (a naive global distinct on (doc_id, hm) would re-shuffle
     * the whole gram multiset to dedup what are only within-doc duplicates).
     *
-    * The verify stage is prune-first: the gram table is left-semi-joined to
-    * candidate doc_ids BEFORE the per-doc distinct and size count, so the
-    * distinct/sizes/intersection work is proportional to |candidates|, not
+    * The verify stage is prune-first: candidate doc_ids are semi-joined
+    * against the DOCUMENTS table BEFORE the gram explode, so gram rows only
+    * ever exist for docs some candidate pair touches — the per-doc distinct,
+    * size count, and intersection are all proportional to |candidates|, not
     * |corpus|. No join carries a `broadcast()` hint — `sizes` is one row per
     * candidate doc and `cand` one row per surviving pair, both data-dependent
     * sizes that AQE measures at runtime and broadcasts only if they actually
     * fit (a forced hint here is a driver OOM on a dup-heavy 100 TB corpus). */
   private def jaccardDF(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
-      .repartition(col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val mh = minhashSigs(sh)
+    val docs = Tables.documents(s, d)
+    // row-local signatures; persisted because the band join and both sides
+    // of the estimate join consume them (cheap: one 16-long array per doc)
+    val mh = minhashSigs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val matchCnt = (0 until nSeeds)
       .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -237,7 +246,12 @@ object DedupQueries {
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id")))
       .distinct()
-    val shd = sh.join(candIds, Seq("doc_id"), "left_semi").distinct()
+    // gram SETS only for candidate docs: prune before the explode, then one
+    // doc_id repartition serves the within-doc distinct and the size count
+    val shd = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
+      .repartition(col("doc_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shd.as("a"), col("d1") === col("a.doc_id"))
@@ -323,8 +337,10 @@ object DedupQueries {
          |ORDER BY d1, d2""".stripMargin
     }) { (s, d) =>
       // mh feeds the band join and both sides of the estimate join; one row
-      // per doc, so caching it costs nothing and saves re-hashing all grams
-      val mh = minhashSigs(shingles(Tables.documents(s, d)))
+      // per doc, so caching it costs nothing and saves re-hashing all grams.
+      // Signature building is the row-local minhash_sigs projection — this
+      // query moves NO gram rows at all, only |docs| signature rows.
+      val mh = minhashSigs(Tables.documents(s, d))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val pairs = lshPairs(mh)
       val matches = (0 until nSeeds)
@@ -395,12 +411,14 @@ object DedupQueries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
          |ORDER BY d1, d2""".stripMargin
     }) { (s, d) =>
-      val ws = (0 until 32).map(i =>
-        expr(s"sum(CASE WHEN ${affine(16 + i, "hm")} % 2 = 1 THEN 1 ELSE -1 END)").as(s"w$i"))
-      val w = shingles(Tables.documents(s, d)).groupBy("doc_id").agg(ws.head, ws.tail: _*)
-      val simExpr = (0 until 32)
-        .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      val sim = w.select(col("doc_id"), expr(s"CAST($simExpr AS BIGINT)").as("simhash"))
+      // row-local simhash_sig projection: all 32 bit-weight sums + sign
+      // packing fold over the rolling-hash array in one codegen'd loop —
+      // no gram explode, no 32-aggregate groupBy, zero shuffle to here
+      graft.functions.GraftFunctions.register(s)
+      val sim = Tables.documents(s, d)
+        .filter(length(col("text")) >= shingleLen)
+        .select(col("doc_id"),
+          expr(s"simhash_sig(rolling_hash(text, $shingleLen))").as("simhash"))
       val bandStructs = (0 until 4).map { b =>
         struct(lit(b).as("b"), expr(s"(simhash div ${1L << (8 * b)}) % 256").as("chunk"))
       }

@@ -67,6 +67,40 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sigs/simhash_sig row-local expressions match the explode+aggregate forms") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val P = LlmHash.P
+    val rnd = new scala.util.Random(5)
+    // small alphabet forces heavy gram collisions — the regime where a
+    // wrong min/sum fold would diverge
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(30 + rnd.nextInt(100))("abcde"(rnd.nextInt(5))).mkString))
+      .toDF("doc_id", "text")
+      .filter(length(col("text")) >= 5)
+    val sh = docs
+      .withColumn("h0", explode(expr("rolling_hash(text, 5)")))
+      .select(col("doc_id"), expr(s"(h0 * h0 + 987654321) % $P").as("hm"))
+    // minhash: 16 min-aggregates over exploded grams vs the one-pass fold
+    val aggMins = (0 until 16).map(s => expr(s"min(${LlmHash.affine(s, "hm")})").as(s"m$s"))
+    val viaAgg = sh.groupBy("doc_id").agg(aggMins.head, aggMins.tail: _*)
+    val viaExpr = docs
+      .withColumn("sigs", expr("minhash_sigs(rolling_hash(text, 5))"))
+      .select(col("doc_id") +:
+        (0 until 16).map(i => element_at(col("sigs"), i + 1).as(s"m$i")): _*)
+    assert(viaExpr.except(viaAgg).isEmpty && viaAgg.except(viaExpr).isEmpty)
+    // simhash: 32 sum-aggregates + sign packing vs the one-pass fold
+    val ws = (0 until 32).map(i =>
+      expr(s"sum(CASE WHEN ${LlmHash.affine(16 + i, "hm")} % 2 = 1 THEN 1 ELSE -1 END)").as(s"w$i"))
+    val simExpr = (0 until 32)
+      .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val simViaAgg = sh.groupBy("doc_id").agg(ws.head, ws.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($simExpr AS BIGINT)").as("simhash"))
+    val simViaExpr = docs
+      .select(col("doc_id"), expr("simhash_sig(rolling_hash(text, 5))").as("simhash"))
+    assert(simViaExpr.except(simViaAgg).isEmpty && simViaAgg.except(simViaExpr).isEmpty)
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -29,4 +29,33 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L, 5L, 6L),
       s"doc 3 must dedup against doc 1; doc 6 arrives after eviction: $ids")
   }
+
+  test("streaming near-dup dedup suppresses same-signature docs via row-local simhash") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy cats watch from a warm windowsill in the late afternoon sun"
+    // find a one-char edit that provably keeps the simhash (a single edit
+    // flips only ~5 gram instances; most leave every bit-weight's sign
+    // alone, but which do is data-dependent — verify in batch, then stream)
+    def sig(t: String): Long = Seq(t).toDF("text")
+      .selectExpr("simhash_sig(rolling_hash(text, 5)) AS s").as[Long].head()
+    val baseSig = sig(base)
+    val variant = ('a' to 'z').map(c => base.replace("windowsill", s"windowsil$c"))
+      .find(v => v != base && sig(v) == baseSig)
+      .getOrElse(fail("no same-signature one-char variant found"))
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.dedupNearStream(mem.toDS(), "10 seconds")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("snd_out").outputMode("append").start()
+    mem.addData(
+      DocEvent(1L, 1000L, base),
+      DocEvent(2L, 1500L, variant),
+      DocEvent(3L, 1600L, "completely different content about spark and flink engines"))
+    q.processAllAvailable()
+    val ids = spark.table("snd_out").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 3L), s"near-identical doc 2 must be suppressed: $ids")
+  }
 }

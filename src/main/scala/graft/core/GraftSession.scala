@@ -10,7 +10,10 @@ object GraftSession {
 
   def builder(cores: Int = 32, appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
-      .master(s"local[$cores]")
+      // spark-submit on a real cluster injects spark.master; only default
+      // to local[n] when nothing did (hardcoding .master() would silently
+      // turn a cluster deploy into a single-JVM run)
+      .master(sys.props.getOrElse("spark.master", s"local[$cores]"))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

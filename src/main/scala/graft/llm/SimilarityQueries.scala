@@ -54,28 +54,75 @@ object SimilarityQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Brute-force top-k DF (the sim_topk_cosine body — shared with the
+    * recall harness). */
+  private def bruteTopkDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val n = vectors(s, d)
+    val q = n.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+    topkOut(scored)
+  }
+
+  private def bucketSparkExpr: String = (0 until nPlanes)
+    .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Sign-LSH ANN top-k DF (the sim_ann_lsh body — shared with the recall
+    * harness). */
+  private def annTopkDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val n = vectors(s, d).withColumn("bucket", expr(bucketSparkExpr))
+    val q = n.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val scored = n.join(q,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+    topkOut(scored)
+  }
+
+  private val exactCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |  WHERE q.$querySel
+       |)""".stripMargin
+
+  // NB: must be initialized BEFORE `all` (object init order — a val
+  // declared below `all` is still null while the Q SQL strings build)
+  private val annCtes = {
+    val bucketDuck = (0 until nPlanes)
+      .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    $bucketDuck AS bucket
+       |  FROM e
+       |),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.$querySel
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("sim_topk_cosine",
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-         |  WHERE q.$querySel
-         |)
+      s"""WITH $exactCtes
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
-      val n = vectors(s, d)
-      val q = n.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
-      topkOut(scored)
+      bruteTopkDF(s, d)
     },
 
     // IVF (inverted-file) ANN — the second scale path: partition the corpus
@@ -179,38 +226,58 @@ object SimilarityQueries {
     },
 
     Q("sim_ann_lsh", {
-      val bucketDuck = (0 until nPlanes)
-        .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         |    $bucketDuck AS bucket
-         |  FROM e
-         |),
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-         |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.$querySel
-         |)
+      s"""WITH $annCtes
          |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin
     }) { (s, d) =>
-      val bucketSpark = (0 until nPlanes)
-        .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
-      val n = vectors(s, d).withColumn("bucket", expr(bucketSpark))
-      val q = n.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket").as("qbucket"))
-      val scored = n.join(q,
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
-      topkOut(scored)
+      annTopkDF(s, d)
+    },
+
+    // Recall@k harness — the evaluation query every ANN deployment needs:
+    // per query point, |ANN top-k ∩ exact top-k| / k. Joins the two (tiny,
+    // |queries|×k) result sets; all the heavy lifting happens in the two
+    // pipelines it measures. The oracle recomputes both with the identical
+    // algorithms, so the measured recall itself is hash-gated.
+    Q("sim_ann_recall", {
+      val exact2 =
+        s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
+           |s2 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+           |  FROM n2 q JOIN n2 c ON c.vec_id <> q.vec_id
+           |  WHERE q.$querySel
+           |)""".stripMargin
+      s"""WITH $annCtes,
+         |$exact2,
+         |ann_k AS (
+         |  SELECT query_id, neighbor_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |),
+         |exact_k AS (
+         |  SELECT query_id, neighbor_id FROM s2
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |)
+         |SELECT e.query_id,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+         |FROM exact_k e
+         |LEFT JOIN ann_k a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    }) { (s, d) =>
+      val exact = bruteTopkDF(s, d).select("query_id", "neighbor_id")
+      val ann = annTopkDF(s, d).select("query_id", "neighbor_id")
+        .withColumn("hit", lit(1))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hit"), col("k"),
+          expr("round(n_hit * 1.0D / k, 4)").as("recall"))
+        .orderBy("query_id")
     },
   )
 }

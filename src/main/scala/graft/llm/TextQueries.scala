@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.batch.Q
 import graft.core.Tables
 import LlmHash._
@@ -40,6 +41,7 @@ object TextQueries {
   private[llm] val chunkStep = 400
   private val gramLen = 8
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
+  private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
 
   /** Keep/drop rule chain shared by tx_quality_filter and the corpus-prep
     * pipeline. Engine-neutral except the double literals (D suffix on the
@@ -242,6 +244,55 @@ object TextQueries {
       freq.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
         .select("token", "freq")
         .orderBy(col("freq").desc, col("token"))
+    },
+
+    // Rare-bigram ratio — the CCNet-style LM-perplexity filter re-expressed
+    // integer-exact: a corpus-trained char-bigram model scores each doc by
+    // the fraction of its bigrams that are corpus-rare (gibberish and
+    // mojibake score high; natural text low). Deliberately NOT a ln()
+    // perplexity sum: summing ~1k ln() terms accumulates engine-specific
+    // 1-ulp error AND depends on summation order, which a hash-compared
+    // oracle can't tolerate — counts are exact integers, and the single
+    // final division is one deterministic FP op. Scale shape: bigram model
+    // is |alphabet²|-sized (AQE-broadcast into the scoring join); the
+    // per-doc count map-side-combines to |docs| rows before its shuffle.
+    Q("tx_rare_bigram",
+      s"""WITH bg AS (
+         |  SELECT doc_id, substring(lower(text), CAST(i AS INT), 2) AS bigram
+         |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+         |  WHERE length(text) >= 2
+         |),
+         |dc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY doc_id, bigram),
+         |model AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS cnt FROM dc GROUP BY bigram),
+         |scored AS (
+         |  SELECT dc.doc_id,
+         |    CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(CASE WHEN model.cnt < $rareBigramCnt THEN dc.c ELSE 0 END) AS BIGINT) AS n_rare
+         |  FROM dc JOIN model USING (bigram) GROUP BY dc.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, n_rare,
+         |  round(n_rare * 1.0 / n_bigrams, 4) AS rare_ratio
+         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // raw bigram rows never cross a join: the per-doc count collapses the
+      // explode map-side (|docs × distinct-bigrams-per-doc| rows out), the
+      // model aggregates FROM those counts, and the scoring join runs at
+      // the aggregated level with the alphabet²-sized model AQE-broadcast
+      val dc = Tables.documents(s, d)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, length(text) - 1)")).as("i"),
+          lower(col("text")).as("lt"))
+        .select(col("doc_id"), expr("substring(lt, i, 2)").as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val model = dc.groupBy("bigram").agg(sum("c").as("cnt"))
+      dc.join(model, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"),
+          sum(when(col("cnt") < rareBigramCnt, col("c")).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+          expr("round(n_rare * 1.0D / n_bigrams, 4)").as("rare_ratio"))
+        .orderBy("doc_id")
     },
 
     // TF-IDF top terms per document — the classic relevance/keyword

@@ -27,4 +27,18 @@ class DedupSpec extends SparkSpec {
     val mixed = mhDF(100, tag = 3).union(mhDF(5, tag = 4))
     assert(DedupQueries.lshPairs(mixed).count() == 10)
   }
+
+  test("dedup chain carries no broadcast hints on data-dependent tables") {
+    // regression pin for the round-2 scale defect: per-doc `sizes`, the
+    // cluster table, and pre-filter LSH `pairs` were force-broadcast —
+    // correct at sf0.1, an executor/driver OOM on a dup-heavy 100 TB
+    // corpus. The build sides must be AQE's runtime choice, i.e. the
+    // analyzed plans contain NO ResolvedHint at all.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("dd_jaccard", "dd_minhash_lsh", "llm_corpus_prep")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.analyzed
+      val hints = plan.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$q must leave build sides to AQE, found: $hints")
+    }
+  }
 }

@@ -171,12 +171,16 @@ object AggQueries {
     // Session windows (EventTimeSessionWindows analog, SURVEY §2.5
     // preamble): Spark's session_window works in batch too; the oracle is
     // the classic gaps-and-islands formulation. Session end = last event +
-    // gap, matching session_window's semantics.
+    // gap, matching session_window's semantics. The break is `>=` because a
+    // session window's end is EXCLUSIVE: an event arriving exactly `gap`
+    // after the previous one falls outside [prev, prev+gap) and starts a
+    // new session — `>` would keep it in the old one and diverge on
+    // exact-boundary timestamps.
     Q("w_session_counts",
       s"""WITH o AS (
          |  SELECT user_id, ts,
          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
          |         THEN 1 ELSE 0 END AS brk
          |  FROM events
          |),

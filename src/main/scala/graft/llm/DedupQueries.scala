@@ -383,6 +383,47 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Chunk-level exact dedup — the sub-document pass (C4's "repeated
+    // span" removal adapted to fixed chunks): a chunk survives only in the
+    // FIRST document/position where its content appears corpus-wide.
+    // Catches boilerplate shared across otherwise-distinct documents that
+    // document-level dedup (dd_exact) can never see. Scale shape: one
+    // chunk_hash exchange (the ranking window), then a |chunks|→|docs|
+    // rollup; chunk content moves as a 128-bit hash, never text.
+    Q("dd_chunk", {
+      import TextQueries.{chunkLen, chunkStep}
+      s"""WITH ch AS (
+         |  SELECT doc_id, CAST((pos - 1) // $chunkStep AS BIGINT) AS chunk_idx,
+         |    md5(substring(text, CAST(pos AS INT), $chunkLen)) AS chunk_hash
+         |  FROM documents, unnest(generate_series(1, greatest(length(text), 1), $chunkStep)) AS t(pos)
+         |),
+         |rk AS (
+         |  SELECT doc_id, chunk_idx,
+         |    row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_ratio
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import TextQueries.{chunkLen, chunkStep}
+      val ch = Tables.documents(s, d)
+        .withColumn("pos", explode(expr(s"sequence(1, greatest(length(text), 1), $chunkStep)")))
+        .select(col("doc_id"),
+          expr(s"cast((pos - 1) div $chunkStep as bigint)").as("chunk_idx"),
+          expr(s"md5(substring(text, pos, $chunkLen))").as("chunk_hash"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+      ch.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          expr("round(n_kept * 1.0D / n_chunks, 4)").as("keep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 32 bit-weights as row-local array aggregates (no shuffle),
     // banded candidate join on 8-bit chunks, Hamming via bit_count(xor).
     // Features are the char-5-gram hashes (same grams as minhash) — word

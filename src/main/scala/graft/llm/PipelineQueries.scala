@@ -84,8 +84,12 @@ object PipelineQueries {
        |FROM surv, unnest(generate_series(1, greatest(length(text), 1), ${TextQueries.chunkStep})) AS t(pos)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
-  /** The composed prep given a (doc_id, cluster_id) component table. */
-  private def prepDF(s: SparkSession, d: String, comp: DataFrame): DataFrame = {
+  /** The composed prep given a (doc_id, cluster_id) component table.
+    * `private[llm]` so the plan-shape regression spec can inspect the
+    * analyzed plan with a stub `comp` — building the real one runs the
+    * (eager, driver-controlled) clustering loop, which a plan-only test
+    * must not pay for. */
+  private[llm] def prepDF(s: SparkSession, d: String, comp: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val exk = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
     val qual = TextQueries.qualityKeepDF(s, d).filter(col("keep") === 1).select("doc_id")

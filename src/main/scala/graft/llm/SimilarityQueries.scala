@@ -235,6 +235,80 @@ object SimilarityQueries {
       annTopkDF(s, d)
     },
 
+    // k-means over the embedding space (Lloyd's algorithm, 2 iterations) —
+    // the clustering pass behind IVF cell assignment and SemDeDup-style
+    // semantic curation. Determinism across engines comes from QUANTIZING:
+    // dims are scaled to integers (round(x·10⁴)), so per-cell per-dim sums
+    // are EXACT (order-free — float partial-sum order can't leak into the
+    // gate), and each centroid dim is one double division + round, the same
+    // in both engines. Distances are integer sums of squares; ties break on
+    // cluster id. Scale shape: assignment is a cross join against a k×d
+    // centroid table (k constant → broadcast by construction); the update
+    // is a (cell, dim) map-side-combined sum — the corpus is touched twice
+    // per iteration and never shuffled whole.
+    Q("sim_kmeans", {
+      val k = 8
+      val scale = 10000
+      val dims = LlmHash.dims
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cid, dist FROM (
+           |    SELECT x.vec_id, c.cid,
+           |      CAST(list_sum(list_transform(generate_series(1, $dims),
+           |        i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT) AS dist
+           |    FROM xq x, $cents c
+           |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+           |)""".stripMargin
+      def updateCte(sums: String, cents: String, asg: String) =
+        s"""$sums AS (
+           |  SELECT a.cid, u.i, CAST(sum(x.xq[CAST(u.i AS INT)]) AS BIGINT) AS sv,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM $asg a JOIN xq x USING (vec_id), unnest(generate_series(1, $dims)) AS u(i)
+           |  GROUP BY a.cid, u.i
+           |),
+           |$cents AS (
+           |  SELECT cid, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY i) AS carr
+           |  FROM $sums GROUP BY cid
+           |)""".stripMargin
+      s"""WITH xq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $scale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < $k),
+         |${assignCte("a1", "c0")},
+         |${updateCte("s1", "c1", "a1")},
+         |${assignCte("a2", "c1")}
+         |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val k = 8
+      val scale = 10000
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $scale, 0) as bigint))").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c0 = xq.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("xq").as("carr"))
+      // integer squared L2, folded left-to-right (order-free: exact ints)
+      val distExpr = "aggregate(zip_with(xq, carr, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, v) -> acc + v)"
+      def assign(cents: org.apache.spark.sql.DataFrame) = xq
+        .crossJoin(broadcast(cents)) // k×d constant-size table — broadcast by construction
+        .withColumn("dist", expr(distExpr))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+      def update(asg: org.apache.spark.sql.DataFrame) = asg
+        .join(xq, "vec_id")
+        .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
+        .groupBy("cid", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+      val a2 = assign(update(assign(c0)))
+      a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
+        .orderBy("vec_id")
+    },
+
     // Recall@k harness — the evaluation query every ANN deployment needs:
     // per query point, |ANN top-k ∩ exact top-k| / k. Joins the two (tiny,
     // |queries|×k) result sets; all the heavy lifting happens in the two

@@ -42,6 +42,10 @@ object TextQueries {
   private val gramLen = 8
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
+  private val evalMod = 41 // doc_id % evalMod == 0 → held-out eval/benchmark doc
+  private val decontamGram = 8 // token n-gram length for decontamination
+  private val packBudget = 2048 // tokens per packed training sequence
+  private val packShards = 16 // parallel packing streams per language
 
   /** Keep/drop rule chain shared by tx_quality_filter and the corpus-prep
     * pipeline. Engine-neutral except the double literals (D suffix on the
@@ -375,6 +379,196 @@ object TextQueries {
         .select("doc_id", "fp")
         .distinct()
         .orderBy("doc_id", "fp")
+    },
+
+    // Benchmark decontamination — the gate every training corpus runs
+    // before a model ships: flag documents sharing any verbatim token
+    // n-gram with a held-out eval set (here a deterministic doc_id slice
+    // standing in for the benchmark suite). Scale shape: grams move as
+    // 60-bit hashes, never strings; the corpus side is ONE doc_id
+    // repartition serving the per-doc distinct and the total count (the
+    // dd_jaccard pattern); the eval side is distinct-gram-aggregated and
+    // BENCHMARK-sized — bounded by construction (eval suites don't grow
+    // with the corpus), so AQE broadcasts it into the semi join.
+    Q("tx_decontam", {
+      val gramDuck = duckH(s"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${decontamGram - 1} AS INT)), ' ')")
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT doc_id, $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod <> 0
+         |),
+         |eg AS (
+         |  SELECT DISTINCT $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod = 0
+         |),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+         |hits AS (
+         |  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+         |  FROM cg JOIN eg USING (gh) GROUP BY cg.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_contam, 0) AS n_contam,
+         |  round(coalesce(h.n_contam, 0) * 1.0 / greatest(coalesce(t.n_grams, 0), 1), 4) AS contam_ratio
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % $evalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+      // explode positions then hash in a codegen'd projection (array-lambda
+      // md5 runs interpreted — the DedupQueries-measured 3x); the per-doc
+      // distinct and the total count share one doc_id repartition
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= decontamGram)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${decontamGram - 1})")).as("i"))
+        .select(col("doc_id"),
+          expr(sparkH(s"array_join(slice(toks, i, $decontamGram), ' ')")).as("gh"))
+      val cg = grams(tk.filter(col("doc_id") % evalMod =!= 0))
+        .repartition(col("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // eval side: benchmark-sized by construction — distinct grams only
+      val eg = grams(tk.filter(col("doc_id") % evalMod === 0)).select("gh").distinct()
+      val tot = cg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = cg.join(eg, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % evalMod =!= 0)
+        .select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+          expr("round(coalesce(n_contam, 0L) * 1.0D / greatest(coalesce(n_grams, 0L), 1), 4)").as("contam_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Within-document repetition — the Gopher quality signals that catch
+    // degenerate/boilerplate text: the most frequent word-bigram's share of
+    // all bigram occurrences, and the fraction of 3-gram occurrences that
+    // are repeats. Integer-count exact (no FP accumulation). Scale shape:
+    // the per-(doc, gram) count collapses the explode MAP-SIDE, so the
+    // shuffle carries |docs × distinct-grams-per-doc| hashed rows, and the
+    // per-doc rollup rides a second, |docs|-sized exchange.
+    Q("tx_repetition", {
+      def gramCtes(n: Int, tag: String) = {
+        val gh = duckH(s"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${n - 1} AS INT)), ' ')")
+        s"""g$tag AS (
+           |  SELECT doc_id, $gh AS gh
+           |  FROM tk, unnest(generate_series(1, len(toks) - ${n - 1})) AS t(i)
+           |  WHERE len(toks) >= $n
+           |),
+           |c$tag AS (SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS c FROM g$tag GROUP BY doc_id, gh)""".stripMargin
+      }
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |${gramCtes(2, "2")},
+         |r2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, CAST(max(c) AS BIGINT) AS top2 FROM c2 GROUP BY doc_id),
+         |${gramCtes(3, "3")},
+         |r3 AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+         |  FROM c3 GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(r2.n2, 0) AS n_2grams, coalesce(r2.top2, 0) AS top_2gram_cnt,
+         |  round(coalesce(r2.top2, 0) * 1.0 / greatest(coalesce(r2.n2, 0), 1), 4) AS top_2gram_frac,
+         |  coalesce(r3.n3, 0) AS n_3grams, coalesce(r3.dup3, 0) AS dup_3gram_cnt,
+         |  round(coalesce(r3.dup3, 0) * 1.0 / greatest(coalesce(r3.n3, 0), 1), 4) AS dup_3gram_frac
+         |FROM documents d
+         |LEFT JOIN r2 ON r2.doc_id = d.doc_id
+         |LEFT JOIN r3 ON r3.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def rollup(n: Int) = tk
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"))
+        .select(col("doc_id"), expr(sparkH(s"array_join(slice(toks, i, $n), ' ')")).as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("c"))
+      val r2 = rollup(2).groupBy("doc_id")
+        .agg(sum("c").as("n2"), max("c").as("top2"))
+      val r3 = rollup(3).groupBy("doc_id")
+        .agg(sum("c").as("n3"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"))
+      Tables.documents(s, d).select("doc_id")
+        .join(r2, Seq("doc_id"), "left")
+        .join(r3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n2"), lit(0L)).as("n_2grams"),
+          coalesce(col("top2"), lit(0L)).as("top_2gram_cnt"),
+          expr("round(coalesce(top2, 0L) * 1.0D / greatest(coalesce(n2, 0L), 1), 4)").as("top_2gram_frac"),
+          coalesce(col("n3"), lit(0L)).as("n_3grams"),
+          coalesce(col("dup3"), lit(0L)).as("dup_3gram_cnt"),
+          expr("round(coalesce(dup3, 0L) * 1.0D / greatest(coalesce(n3, 0L), 1), 4)").as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling — mixture weighting: each language
+    // keeps a different fraction, decided by a content-independent hash of
+    // the doc_id so the sample is reproducible across runs/engines and
+    // survives repartitioning. Row-local (zero shuffle but the
+    // canonicalizing ORDER BY); at 100 TB this is a free rider on any scan.
+    Q("tx_sample", {
+      val u = s"${duckH(s"'smpl:' || CAST(doc_id AS VARCHAR)")} % 1000"
+      s"""SELECT doc_id, lang, CAST($u AS BIGINT) AS sample_key
+         |FROM documents
+         |WHERE $u < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 600 ELSE 400 END
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val u = s"${sparkH("concat('smpl:', cast(doc_id as string))")} % 1000"
+      Tables.documents(s, d)
+        .withColumn("sample_key", expr(u))
+        .filter(expr(s"sample_key < CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 600 ELSE 400 END"))
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing — the tokenizer-feeding step: assign documents to
+    // fixed-token-budget training sequences via a running token count.
+    // Scale shape: packing is per (lang, shard) — the shard key fans one
+    // language's stream across $packShards independent packers, so the
+    // running-sum window never sees a whole language in one partition
+    // (a single per-lang window is a parallelism-1 wall at 100 TB).
+    Q("tx_pack",
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, doc_id % $packShards AS shard,
+         |    CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+         |  FROM tk
+         |)
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST(start_off AS BIGINT) AS start_off,
+         |  CAST(start_off // $packBudget AS BIGINT) AS seq_bin
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") % packShards).as("shard"),
+          expr(s"cast(size(regexp_extract_all(lower(text), '$tokRegex', 0)) as bigint)").as("n_tokens"))
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tk.withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
+          col("n_tokens"), col("start_off").cast("long").as("start_off"),
+          expr(s"cast(start_off div $packBudget as bigint)").as("seq_bin"))
+        .orderBy("doc_id")
     },
 
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the

@@ -35,10 +35,18 @@ class DedupSpec extends SparkSpec {
     // corpus. The build sides must be AQE's runtime choice, i.e. the
     // analyzed plans contain NO ResolvedHint at all.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    for (q <- Seq("dd_jaccard", "dd_minhash_lsh", "llm_corpus_prep")) {
-      val plan = graft.SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.analyzed
-      val hints = plan.collect { case h: ResolvedHint => h }
-      assert(hints.isEmpty, s"$q must leave build sides to AQE, found: $hints")
+    import spark.implicits._
+    def assertNoHints(name: String, df: DataFrame): Unit = {
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$name must leave build sides to AQE, found: $hints")
     }
+    for (q <- Seq("dd_jaccard", "dd_minhash_lsh"))
+      assertNoHints(q, graft.SparkEntry.queries(q)(spark, sf("sf0.001")))
+    // the prep's cluster join (the third formerly-hinted site) — checked
+    // with a stub comp table so the plan-only test doesn't execute the
+    // eager clustering loop that building the real comp would run
+    val stubComp = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assertNoHints("llm_corpus_prep",
+      PipelineQueries.prepDF(spark, sf("sf0.001"), stubComp))
   }
 }

@@ -30,6 +30,8 @@ object SimilarityQueries {
   /** every 50th vector is a "query" — a deterministic stand-in for a query
     * batch arriving from upstream */
   private val querySel = "vec_id % 50 = 0"
+  /** SemDeDup cosine threshold (raw-double compare, engine-congruent). */
+  private val semTau = "0.35"
 
   /** Codegen'd custom Expression (graft.functions.VectorDot): Catalyst's
     * higher-order `aggregate(zip_with(...))` form computes the identical
@@ -82,6 +84,29 @@ object SimilarityQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
     topkOut(scored)
+  }
+
+  /** SemDeDup body over any (vec_id, embedding, label) frame — factored so
+    * specs can drive it with synthetic cells. Requires GraftFunctions
+    * registered on the session. */
+  private[llm] def semDedupDF(emb: DataFrame): DataFrame = {
+    val n = emb
+      .select(col("vec_id"), col("label").cast("long").as("cell"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+    val p = n.as("a")
+      .join(n.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"${sparkDot("a.v", "b.v")} / (a.nrm * b.nrm) >= $semTau"))
+      .select(col("a.vec_id").as("keeper"), col("b.vec_id").as("dropped"))
+    val k = p.groupBy(col("dropped").as("vec_id"))
+      .agg(min("keeper").as("keeper_id"))
+    n.select("vec_id", "cell")
+      .join(k, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("keeper_id").isNull, 1).otherwise(0).cast("int").as("keep"),
+        coalesce(col("keeper_id"), lit(-1L)).as("keeper_id"))
+      .orderBy("vec_id")
   }
 
   private val exactCtes =
@@ -307,6 +332,36 @@ object SimilarityQueries {
       val a2 = assign(update(assign(c0)))
       a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
         .orderBy("vec_id")
+    },
+
+    // SemDeDup (semantic dedup, Abbas et al. 2023): within each semantic
+    // cluster, drop every vector that has a lower-id neighbor above the
+    // cosine threshold — the embedding-space curation pass that removes
+    // "different words, same meaning" redundancy exact dedup can't see.
+    // The cell here is the `label` column (standing in for a k-means
+    // assignment, as after a `sim_kmeans` job — same stance as sim_ivf).
+    // Scale shape: the pair join is hash-partitioned on the cell id and
+    // NEVER all-pairs; published SemDeDup picks k ∝ corpus size so cells
+    // stay ~constant-sized (and a mega-cell can be subdivided by the
+    // sign-LSH bucket, the dd_embed_cosine key, at a recall cost).
+    // Threshold compares the raw double cosine — bit-identical across
+    // engines per the VectorDot/list_dot_product congruence.
+    Q("dd_semantic",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |p AS (
+         |  SELECT a.vec_id AS keeper, b.vec_id AS dropped
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $semTau
+         |),
+         |k AS (SELECT dropped AS vec_id, CAST(min(keeper) AS BIGINT) AS keeper_id FROM p GROUP BY dropped)
+         |SELECT n.vec_id AS vec_id, CAST(n.label AS BIGINT) AS cell,
+         |  CAST(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+         |  coalesce(k.keeper_id, -1) AS keeper_id
+         |FROM n LEFT JOIN k ON k.vec_id = n.vec_id
+         |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      semDedupDF(Tables.embeddings(s, d))
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

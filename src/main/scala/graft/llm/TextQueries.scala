@@ -47,6 +47,23 @@ object TextQueries {
   private val packBudget = 2048 // tokens per packed training sequence
   private val packShards = 16 // parallel packing streams per language
 
+  /** PII regexes: bracket classes only — no backslash escapes, no word
+    * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+    * Scrub order matters where patterns could nest: email first. */
+  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  private val piiPhone = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+  private val piiIp = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** Deterministic PII injection (test-data generation for tx_pii): the
+    * corpus has no real PII, so doc_id-derived email/phone/IP strings are
+    * appended to a doc_id-selected subset. `cst` renders the engine's
+    * string cast (VARCHAR vs STRING); everything else is engine-neutral. */
+  private def piiInjectSql(cst: String => String): String =
+    s"""text ||
+       |CASE WHEN doc_id % 3 = 0 THEN ' contact user' || ${cst("doc_id")} || '@mail-archive.example.com now' ELSE '' END ||
+       |CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(${cst("doc_id % 1000")}, 3, '0') || '-' || lpad(${cst("doc_id % 10000")}, 4, '0') || ' today' ELSE '' END ||
+       |CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || ${cst("doc_id % 256")} || '.' || ${cst("doc_id * 7 % 256")} || '.' || ${cst("doc_id * 13 % 256")} ELSE '' END""".stripMargin
+
   /** Keep/drop rule chain shared by tx_quality_filter and the corpus-prep
     * pipeline. Engine-neutral except the double literals (D suffix on the
     * Spark side). */
@@ -568,6 +585,91 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
           col("n_tokens"), col("start_off").cast("long").as("start_off"),
           expr(s"cast(start_off div $packBudget as bigint)").as("seq_bin"))
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing — the redaction pass every web corpus runs before
+    // training: regex-detect emails / phone numbers / IPv4 addresses,
+    // replace with typed placeholder tokens, count what was redacted.
+    // The synthetic corpus contains no PII (lowercase word salad), so the
+    // query INJECTS deterministic doc_id-derived PII first — the injection
+    // is test-data generation, mirrored exactly in the oracle; the
+    // OPERATOR (the regex chain) is the real product. Patterns use
+    // bracket classes only (no backslash escapes, no word boundaries) so
+    // Java regex and DuckDB's RE2 match identically. Row-local — zero
+    // shuffle beyond the canonicalizing ORDER BY; a free rider on any
+    // scan at 100 TB.
+    Q("tx_pii", {
+      val raw = piiInjectSql(e => s"CAST($e AS VARCHAR)")
+      s"""WITH raw AS (SELECT doc_id, $raw AS raw FROM documents),
+         |s AS (
+         |  SELECT doc_id, raw,
+         |    regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$piiEmail', '<EMAIL>', 'g'),
+         |      '$piiPhone', '<PHONE>', 'g'),
+         |      '$piiIp', '<IP>', 'g') AS clean
+         |  FROM raw
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$piiEmail')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(raw, '$piiPhone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(raw, '$piiIp')) AS BIGINT) AS n_ip,
+         |  CAST(length(raw) - length(clean) AS BIGINT) AS chars_redacted,
+         |  md5(clean) AS clean_hash
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val raw = piiInjectSql(e => s"CAST($e AS STRING)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(raw).as("raw"))
+        .withColumn("clean",
+          expr(s"""regexp_replace(regexp_replace(regexp_replace(raw,
+                  |  '$piiEmail', '<EMAIL>'),
+                  |  '$piiPhone', '<PHONE>'),
+                  |  '$piiIp', '<IP>')""".stripMargin))
+        .select(col("doc_id"),
+          expr(s"cast(size(regexp_extract_all(raw, '$piiEmail', 0)) as bigint)").as("n_email"),
+          expr(s"cast(size(regexp_extract_all(raw, '$piiPhone', 0)) as bigint)").as("n_phone"),
+          expr(s"cast(size(regexp_extract_all(raw, '$piiIp', 0)) as bigint)").as("n_ip"),
+          expr("cast(length(raw) - length(clean) as bigint)").as("chars_redacted"),
+          md5(col("clean")).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Character-entropy quality signal — low entropy flags degenerate
+    // repetition ("aaaa…"), high entropy flags mojibake/binary spill; the
+    // cheap first-pass gibberish filter. Cross-engine determinism: counts
+    // are exact integers; the per-doc histogram is SORTED by character and
+    // folded left-to-right in BOTH engines (Spark `aggregate` over
+    // sort_array, DuckDB list_sum over list(ORDER BY ch)), so the float
+    // sum sees the same addends in the same order; output rounded to 4dp.
+    // Scale shape: the char explode collapses map-side to
+    // |docs × alphabet| rows before its only shuffle.
+    Q("tx_entropy",
+      s"""WITH cs AS (
+         |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+         |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+         |  WHERE length(text) >= 1
+         |),
+         |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM cs GROUP BY doc_id, ch),
+         |h AS (
+         |  SELECT doc_id, list(c ORDER BY ch) AS hist, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_distinct
+         |  FROM cnt GROUP BY doc_id
+         |)
+         |SELECT doc_id, n AS n_chars, n_distinct,
+         |  round(list_sum(list_transform(hist, c -> -(c * 1.0 / n) * log2(c * 1.0 / n))), 4) AS entropy
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val cnt = Tables.documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), explode(expr("sequence(1, length(text))")).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      cnt.groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(ch, c))), p -> p.c)").as("hist"),
+          sum("c").as("n"), count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+          expr("round(aggregate(hist, 0.0D, (acc, c) -> acc - (c * 1.0D / n) * log2(c * 1.0D / n)), 4)").as("entropy"))
         .orderBy("doc_id")
     },
 

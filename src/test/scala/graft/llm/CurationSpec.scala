@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Specs for the round-3 curation operators: SemDeDup (dd_semantic),
+  * PII scrubbing (tx_pii), and char-entropy scoring (tx_entropy). */
+class CurationSpec extends SparkSpec {
+
+  test("dd_semantic: identical vectors in a cell collapse to the min id; cells isolate") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val w = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1))
+    // cell 0: three copies of v (10, 11, 12) + one orthogonal-ish w (13);
+    // cell 1: another copy of v (20) — must NOT pair across cells
+    val emb = Seq(
+      (10L, v, 0), (11L, v, 0), (12L, v, 0), (13L, w, 0), (20L, v, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityQueries.semDedupDF(emb)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((1, -1L)), "lowest id in the duplicate group is kept")
+    assert(out(11L) == ((0, 10L)) && out(12L) == ((0, 10L)),
+      "higher-id copies drop to the min-id keeper")
+    assert(out(13L)._1 == 1, "dissimilar vector in the same cell survives")
+    assert(out(20L)._1 == 1, "identical vector in ANOTHER cell is untouched")
+  }
+
+  test("tx_pii: injected PII is counted and scrubbed; untouched docs hash to md5(text)") {
+    val sfDir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("tx_pii")(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val joined = out.join(docs, "doc_id").cache()
+    // doc_id % 3 == 0 docs got exactly one injected email, and it's gone
+    val emailDocs = joined.filter(col("doc_id") % 3 === 0)
+    assert(emailDocs.count() > 0)
+    assert(emailDocs.filter(col("n_email") =!= 1).count() == 0)
+    // untouched docs: zero counts, zero redacted chars, clean == text
+    val untouched = joined.filter(
+      col("doc_id") % 3 =!= 0 && col("doc_id") % 5 =!= 0 && col("doc_id") % 7 =!= 0)
+    assert(untouched.count() > 0)
+    assert(untouched.filter(
+      col("n_email") =!= 0 || col("n_phone") =!= 0 || col("n_ip") =!= 0 ||
+      col("chars_redacted") =!= 0 || col("clean_hash") =!= col("text_hash")).count() == 0)
+    // scrubbed docs: the placeholder is shorter than any injected PII run
+    assert(joined.filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .filter(col("chars_redacted") <= 0).count() == 0)
+    joined.unpersist()
+  }
+
+  test("tx_entropy matches a Scala-side recompute on sample docs") {
+    val sfDir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)
+      .filter(col("doc_id") < 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val n = text.length.toDouble
+      val ent = text.groupBy(identity).values.map(_.length)
+        .map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+      val (nChars, got) = out(id)
+      assert(nChars == text.length)
+      assert(math.abs(got - ent) < 1e-3, s"doc $id: $got vs $ent")
+    }
+  }
+}

@@ -281,10 +281,17 @@ object DedupQueries {
        |comp AS (SELECT dd AS doc_id, min(r) AS cluster_id FROM reach GROUP BY dd)""".stripMargin
 
   /** Spark twin of [[clusterCtes]]: (doc_id, cluster_id) for every doc in a
-    * duplicate cluster — connected components via min-label propagation.
-    * The loop is driver-CONTROL only (O(component diameter) iterations,
-    * each a distributed join+agg, lineage truncated by localCheckpoint);
-    * data never leaves the executors. */
+    * duplicate cluster — connected components via min-label propagation
+    * WITH POINTER JUMPING: each round takes the min of (own label, min
+    * neighbor label, label-of-own-label). The jump term halves chain
+    * lengths every round, so convergence is O(log diameter) instead of
+    * O(diameter) — on a 20-link near-dup chain this is 5 rounds, not 20,
+    * and each round is a fixed number of distributed jobs (the loop is
+    * driver-CONTROL only; data never leaves the executors). The fixpoint
+    * is the per-component min: any edge with unequal labels feeds the
+    * smaller one to its neighbor next round. Lineage is truncated by
+    * localCheckpoint; the convergence count reads the checkpointed frame
+    * (no extra join). */
   private[llm] def clustersDF(s: SparkSession, d: String): DataFrame = {
     val edges = jaccardDF(s, d).filter(col("is_dup") === 1).select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -295,16 +302,25 @@ object DedupQueries {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 30) {
       val nmin = sym.join(labels, col("d2") === col("node"))
         .groupBy("d1").agg(min("lbl").as("nl"))
-      val next = labels.join(nmin, col("node") === col("d1"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
+      val jump = labels.select(col("lbl").as("jn"), col("node").as("jnode"))
+        .join(labels.select(col("node").as("jn"), col("lbl").as("jl")), "jn")
+        .select(col("jnode"), col("jl"))
+      val next = labels
+        .join(nmin, col("node") === col("d1"), "left")
+        .join(jump, col("node") === col("jnode"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl")),
+            coalesce(col("jl"), col("lbl"))).as("nlbl"))
         .localCheckpoint()
-      changed = next.join(labels, "node").filter(col("nlbl") =!= col("lbl")).count()
+      changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("node"), col("nlbl").as("lbl"))
       iter += 1
     }
+    // stderr (never stdout: Bench's contract is one JSON line on stdout)
+    System.err.println(s"[dd_clusters] converged in $iter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -32,6 +32,12 @@ object SimilarityQueries {
   private val querySel = "vec_id % 50 = 0"
   /** SemDeDup cosine threshold (raw-double compare, engine-congruent). */
   private val semTau = "0.35"
+  /** IVF-PQ geometry: M subspaces × subDim dims, k codes per subspace,
+    * quantization scale (the sim_kmeans stance — integers are exact). */
+  private val pqM = 8
+  private val pqSubDim = 8
+  private val pqK = 16
+  private val pqScale = 10000
 
   /** Codegen'd custom Expression (graft.functions.VectorDot): Catalyst's
     * higher-order `aggregate(zip_with(...))` form computes the identical
@@ -362,6 +368,153 @@ object SimilarityQueries {
          |ORDER BY n.vec_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       semDedupDF(Tables.embeddings(s, d))
+    },
+
+    // IVF-PQ — the FAISS-shape ANN for corpora whose raw vectors don't fit
+    // in memory: vectors are product-quantized into M=8 one-byte codes
+    // (each subspace trained by its own k=16 Lloyd pass), queries route to
+    // one coarse cell (IVF, the `label` column as in sim_ivf) and score
+    // candidates through an asymmetric-distance LUT — sum of 8 table
+    // lookups instead of a 64-dim dot product, against 8 bytes per vector
+    // instead of 256. Everything is QUANTIZED-INTEGER (the sim_kmeans
+    // stance): subvector distances, codebook training means (exact bigint
+    // sum / exact count, one double division + round), the ADC sum — so
+    // partial-agg order can't leak into the hash gate. Scale shape: the
+    // codebook (M×k×8 ints) and per-query LUT (|Q|×M×k) are constant- or
+    // query-batch-sized broadcasts; encoding is one broadcast join + a
+    // map-side-combinable per-(vec, subspace) argmin; ADC touches only the
+    // probed cell and shuffles |cell|×M LUT-joined rows to a per-pair sum.
+    Q("sim_ivfpq", {
+      def d8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      def d64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |sub AS (
+         |  SELECT vec_id, label, CAST(s AS INT) AS s,
+         |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
+         |  FROM xq, unnest(generate_series(0, ${pqM - 1})) AS t(s)
+         |),
+         |seed AS (SELECT s, vec_id AS cid, sv AS carr FROM sub WHERE vec_id < $pqK),
+         |a1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT sub.vec_id, sub.s, seed.cid, ${d8("sub.sv", "seed.carr")} AS dist
+         |    FROM sub JOIN seed ON seed.s = sub.s
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+         |),
+         |cbs AS (
+         |  SELECT a1.s, a1.cid, u.i,
+         |    CAST(round(CAST(sum(sub.sv[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+         |  FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
+         |    unnest(generate_series(1, $pqSubDim)) AS u(i)
+         |  GROUP BY a1.s, a1.cid, u.i
+         |),
+         |cb AS (SELECT s, cid, list(cm ORDER BY i) AS carr FROM cbs GROUP BY s, cid),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT sub.vec_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS dist
+         |    FROM sub JOIN cb ON cb.s = sub.s
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+         |),
+         |cc0 AS (
+         |  SELECT label, u.i,
+         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+         |  GROUP BY label, u.i
+         |),
+         |ccent AS (SELECT label, list(cm ORDER BY i) AS carr FROM cc0 GROUP BY label),
+         |route AS (
+         |  SELECT query_id, probe_label FROM (
+         |    SELECT q.vec_id AS query_id, c.label AS probe_label, ${d64("q.xq", "c.carr")} AS dist
+         |    FROM xq q, ccent c WHERE q.$querySel
+         |  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, probe_label) = 1
+         |),
+         |lut AS (
+         |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
+         |  FROM sub JOIN cb ON cb.s = sub.s
+         |  WHERE sub.$querySel
+         |),
+         |adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
+         |  FROM route r
+         |  JOIN xq v ON v.label = r.probe_label
+         |  JOIN codes c ON c.vec_id = v.vec_id
+         |  JOIN lut l ON l.query_id = r.query_id AND l.s = c.s AND l.cid = c.code
+         |  WHERE c.vec_id <> r.query_id
+         |  GROUP BY l.query_id, c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, adist FROM adc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      // integer squared L2 over equal-length bigint arrays, exact fold
+      val dist = "aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+      def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
+        .withColumn("dist", expr(dist))
+        .groupBy(keys.map(col): _*)
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(keys.map(col) :+ col("m.cid").as(outCid) :+ col("m.dist").as("dist"): _*)
+      // centroid from exact integer sums: one double division + round
+      def centroids(df: DataFrame, keys: Seq[String]) = df
+        .groupBy((keys :+ "i").map(col): _*)
+        .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+        .groupBy(keys.map(col): _*)
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sub = xq
+        .select(col("vec_id"), col("label"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+        .select(col("vec_id"), col("label"), col("s").cast("int").as("s"),
+          expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = sub.filter(col("vec_id") < pqK)
+        .select(col("s"), col("vec_id").as("cid"), col("sv").as("carr"))
+      val a1 = argmin(
+        sub.join(broadcast(seed), "s")
+          .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
+        Seq("vec_id", "s"), "cid")
+      val cb = centroids(
+        a1.join(sub, Seq("vec_id", "s"))
+          .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "v"))),
+        Seq("s", "cid"))
+      val codes = argmin(
+        sub.join(broadcast(cb), "s")
+          .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
+        Seq("vec_id", "s"), "code")
+        .select("vec_id", "s", "code")
+      val ccent = centroids(
+        xq.select(col("label"), posexplode(col("xq")).as(Seq("i", "v"))),
+        Seq("label"))
+      val route = xq.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("xq").as("av"))
+        .crossJoin(broadcast(ccent.select(col("label").as("cid"), col("carr").as("bv"))))
+        .transform(df => argmin(df, Seq("query_id"), "probe_label"))
+        .select("query_id", "probe_label")
+      val lut = sub.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("s"), col("sv").as("av"))
+        .join(broadcast(cb), "s")
+        .withColumnRenamed("carr", "bv")
+        .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
+      val adc = broadcast(route)
+        .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(codes, "vec_id")
+        .join(broadcast(lut.withColumnsRenamed(
+            Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
+          col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("d").as("adist"))
+      val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+        .select("query_id", "neighbor_id", "adist")
+        .orderBy("query_id", "neighbor_id")
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

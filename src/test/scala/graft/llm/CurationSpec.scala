@@ -49,6 +49,27 @@ class CurationSpec extends SparkSpec {
     joined.unpersist()
   }
 
+  test("sim_ivfpq: ADC top-k is well-formed and cell-confined") {
+    import spark.implicits._
+    val sfDir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("sim_ivfpq")(spark, sfDir).cache()
+    val nQueries = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    // every query returns up to k rows, distances are non-negative ints
+    assert(out.count() > 0 && out.count() <= nQueries * 5)
+    assert(out.filter(col("adist") < 0).count() == 0)
+    assert(out.groupBy("query_id").count().filter(col("count") > 5).count() == 0)
+    // a query never reports itself
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // IVF contract: all of a query's neighbors come from ONE cell
+    val cells = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(out.join(cells, "neighbor_id")
+      .groupBy("query_id").agg(countDistinct("label").as("nc"))
+      .filter(col("nc") > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("tx_entropy matches a Scala-side recompute on sample docs") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)

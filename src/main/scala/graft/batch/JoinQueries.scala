@@ -146,13 +146,24 @@ object JoinQueries {
          | AND r.ts >= l.ts - INTERVAL '2 minutes' AND r.ts <= l.ts
          | AND l.event_id <> r.event_id
          |ORDER BY l_event, r_event""".stripMargin) { (s, d) =>
+      // Time-bucket decomposition: the join key is (user, 2-minute bucket),
+      // not user alone — a bare user_id key makes every per-user group
+      // O(user-history²) inside the join, unbounded at 100 TB (one chatty
+      // device = one straggler task). The right side replicates into its
+      // own bucket and the next (lts ∈ [rts, rts+2min] ⇒ bucket(lts) is
+      // bucket(rts) or bucket(rts)+1), so each group holds ≤ two bucket
+      // widths of one user's events regardless of history length. 2× row
+      // replication buys bounded, skew-resistant groups.
       val ev = Tables.events(s, d)
+      val bucketUs = 2L * 60 * 1000 * 1000 // 2 min in µs = the interval
       val l = ev.select(col("event_id").as("l_event"), col("user_id"),
-        col("ts").as("lts"), col("value").as("l_value"))
+        col("ts").as("lts"), col("value").as("l_value"),
+        expr(s"unix_micros(ts) div $bucketUs").as("lb"))
       val r = ev.select(col("event_id").as("r_event"), col("user_id").as("r_user"),
-        col("ts").as("rts"), col("value").as("r_value"))
+        col("ts").as("rts"), col("value").as("r_value"),
+        explode(expr(s"array(unix_micros(ts) div $bucketUs, unix_micros(ts) div $bucketUs + 1)")).as("rb"))
       l.join(r,
-        col("user_id") === col("r_user") &&
+        col("user_id") === col("r_user") && col("lb") === col("rb") &&
           col("rts") >= col("lts") - expr("INTERVAL 2 MINUTES") &&
           col("rts") <= col("lts") &&
           col("l_event") =!= col("r_event"))

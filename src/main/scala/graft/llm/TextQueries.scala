@@ -46,6 +46,8 @@ object TextQueries {
   private val decontamGram = 8 // token n-gram length for decontamination
   private val packBudget = 2048 // tokens per packed training sequence
   private val packShards = 16 // parallel packing streams per language
+  private val srcCap = 15 // max docs kept per source (domain balancing)
+  private val srcSalts = 8 // level-1 fan-out for the skew-safe top-k
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -63,6 +65,36 @@ object TextQueries {
        |CASE WHEN doc_id % 3 = 0 THEN ' contact user' || ${cst("doc_id")} || '@mail-archive.example.com now' ELSE '' END ||
        |CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(${cst("doc_id % 1000")}, 3, '0') || '-' || lpad(${cst("doc_id % 10000")}, 4, '0') || ' today' ELSE '' END ||
        |CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || ${cst("doc_id % 256")} || '.' || ${cst("doc_id * 7 % 256")} || '.' || ${cst("doc_id * 13 % 256")} ELSE '' END""".stripMargin
+
+  /** tx_source_cap body over any (doc_id, source) frame — factored so the
+    * skew spec can prove two-level == direct-window on a synthetic
+    * mega-source. Requires GraftFunctions registered. */
+  private[llm] def sourceCapDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = sparkH("concat('cap:', cast(doc_id as string))")
+    val base = docs
+      .select(col("doc_id"), col("source"), expr(h).as("h"),
+        (col("doc_id") % srcSalts).as("salt"))
+    val w1 = Window.partitionBy("source", "salt").orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= srcCap)
+      .withColumn("cap_rank", row_number().over(w2).cast("long"))
+      .filter(col("cap_rank") <= srcCap)
+      .select("doc_id", "source", "cap_rank")
+  }
+
+  /** Direct single-window form of [[sourceCapDF]] — the spec's equivalence
+    * reference (exactly the oracle's shape; parallelism-1 per source). */
+  private[llm] def sourceCapDirectDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = sparkH("concat('cap:', cast(doc_id as string))")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), expr(h).as("h"))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= srcCap)
+      .select("doc_id", "source", "cap_rank")
+  }
 
   /** Keep/drop rule chain shared by tx_quality_filter and the corpus-prep
     * pipeline. Engine-neutral except the double literals (D suffix on the
@@ -671,6 +703,28 @@ object TextQueries {
         .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
           expr("round(aggregate(hist, 0.0D, (acc, c) -> acc - (c * 1.0D / n) * log2(c * 1.0D / n)), 4)").as("entropy"))
         .orderBy("doc_id")
+    },
+
+    // Per-source document cap — C4-style domain balancing: keep at most
+    // `srcCap` docs per source, chosen by a content-independent doc hash so
+    // the sample is reproducible across runs/engines/partitionings. Scale
+    // shape: a naive per-source ranking window funnels a mega-domain into
+    // ONE task; this runs two-level top-k instead — rank within
+    // (source, salt) first (bounds any task at ~|source|/nSalts), then rank
+    // the ≤ nSalts×cap survivors per source. Identical result: any row in
+    // a source's global top-cap is necessarily in its salt's top-cap, so
+    // level 1 never discards a final keeper (the oracle runs the direct
+    // single-window form).
+    Q("tx_source_cap", {
+      val h = duckH("'cap:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS BIGINT) AS cap_rank
+         |FROM documents
+         |QUALIFY cap_rank <= $srcCap
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the

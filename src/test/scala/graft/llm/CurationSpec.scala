@@ -70,6 +70,21 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("tx_source_cap: two-level top-k equals the direct window on a mega-source") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // one 1000-doc mega-source (the skew case the two-level form exists
+    // for) + one small source; both forms must select the same docs
+    val docs = ((0L until 1000L).map(i => (i, "mega")) ++
+      (2000L until 2003L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val fast = TextQueries.sourceCapDF(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val direct = TextQueries.sourceCapDirectDF(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fast == direct)
+    assert(fast.count(_._2 == "mega") == 15 && fast.count(_._2 == "tiny") == 3)
+  }
+
   test("tx_entropy matches a Scala-side recompute on sample docs") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)

@@ -78,6 +78,16 @@ object GraftFunctions {
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    // Spark ships BloomFilterMightContain for its own runtime filters but
+    // does not expose it in SQL; the builder makes the bloom PREFILTER
+    // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
+    // a foldable BINARY (a serialized util.sketch.BloomFilter), arg 1 the
+    // LONG probe value — putLong/mightContainLong symmetry with
+    // DataFrameStatFunctions.bloomFilter.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -110,5 +120,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, null, "simhash_sig"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -43,11 +43,17 @@ object TextQueries {
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val evalMod = 41 // doc_id % evalMod == 0 → held-out eval/benchmark doc
-  private val decontamGram = 8 // token n-gram length for decontamination
+  // Token n-gram length for decontamination. Production suites use 8-13;
+  // on this synthetic word-salad corpus verbatim 8-gram collisions simply
+  // don't occur (measured: zero at sf0.01), which would make the overlap
+  // columns vacuously zero — 4 yields real positives so the oracle gates
+  // actual hit counting, not just the zero path.
+  private val decontamGram = 4
   private val packBudget = 2048 // tokens per packed training sequence
   private val packShards = 16 // parallel packing streams per language
   private val srcCap = 15 // max docs kept per source (domain balancing)
   private val srcSalts = 8 // level-1 fan-out for the skew-safe top-k
+  private val bloomExpected = 100000L // bloom capacity: benchmark-suite-sized
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -497,6 +503,65 @@ object TextQueries {
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           coalesce(col("n_contam"), lit(0L)).as("n_contam"),
           expr("round(coalesce(n_contam, 0L) * 1.0D / greatest(coalesce(n_grams, 0L), 1), 4)").as("contam_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered decontamination — the 100 TB shape of tx_decontam's
+    // membership test: the benchmark gram set compresses into a ~1.4 MB
+    // bloom filter (vs broadcasting/shuffling the gram table itself), the
+    // corpus scan probes it IN PLACE (bloom_might_contain rides the scan
+    // projection — zero shuffle for the 99% of grams that miss), and only
+    // bloom survivors reach the exact semi-join that removes false
+    // positives. False negatives are impossible, so the final result is
+    // EXACT — the oracle runs the plain exact semi-join. The bloom build is
+    // one driver-side aggregate BOUNDED by the benchmark suite (eval sets
+    // don't grow with the corpus) — the same contract as any broadcast dim.
+    Q("tx_decontam_bloom", {
+      val gramDuck = duckH(s"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${decontamGram - 1} AS INT)), ' ')")
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |cg AS (
+         |  SELECT DISTINCT doc_id, $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod <> 0
+         |),
+         |eg AS (
+         |  SELECT DISTINCT $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod = 0
+         |)
+         |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_contam
+         |FROM cg JOIN eg USING (gh)
+         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= decontamGram)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${decontamGram - 1})")).as("i"))
+        .select(col("doc_id"),
+          expr(sparkH(s"array_join(slice(toks, i, $decontamGram), ' ')")).as("gh"))
+      val eg = grams(tk.filter(col("doc_id") % evalMod === 0)).select("gh").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // benchmark-sized build: fixed 1% fpp bloom over the eval grams
+      val bloom = eg.stat.bloomFilter("gh", bloomExpected, 0.01)
+      val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+      // probe function closing over the serialized bloom as a BINARY
+      // literal — foldable, so BloomFilterMightContain accepts it and the
+      // probe rides the corpus scan's projection (no join, no shuffle)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_probe",
+        exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bytes, org.apache.spark.sql.types.BinaryType),
+          exprs.head),
+        "built-in")
+      grams(tk.filter(col("doc_id") % evalMod =!= 0))
+        .filter(expr("graft_bloom_probe(gh)")) // cheap prefilter, ~99% of grams exit here
+        .join(eg, Seq("gh"), "left_semi") // exact verify: false positives die
+        .distinct() // per-doc DISTINCT gram count, on the tiny survivor set
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
         .orderBy("doc_id")
     },
 

@@ -85,6 +85,24 @@ class CurationSpec extends SparkSpec {
     assert(fast.count(_._2 == "mega") == 15 && fast.count(_._2 == "tiny") == 3)
   }
 
+  test("tx_decontam_bloom: the bloom probe is IN the plan and the result is exact") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val sfDir = sf("sf0.001")
+    val df = graft.SparkEntry.queries("tx_decontam_bloom")(spark, sfDir)
+    // plan pin: the prefilter must ride the scan as a BloomFilterMightContain
+    // expression — if it silently falls out, the query degrades to the
+    // unfiltered semi-join and the 100 TB story is gone
+    val probes = df.queryExecution.analyzed.flatMap(_.expressions).flatMap(
+      _.collect { case b: BloomFilterMightContain => b })
+    assert(probes.nonEmpty, "bloom probe missing from the analyzed plan")
+    // exactness: bloom is prefilter-only — result equals the plain semi-join
+    val exact = graft.SparkEntry.queries("tx_decontam")(spark, sfDir)
+      .filter(col("n_contam") > 0).select("doc_id", "n_contam")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact)
+  }
+
   test("tx_entropy matches a Scala-side recompute on sample docs") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)

@@ -62,6 +62,14 @@ object TextQueries {
   private val piiPhone = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
   private val piiIp = "10[.][0-9]+[.][0-9]+[.][0-9]+"
 
+  /** The PII scrub chain over a column named `raw` — shared by tx_pii and
+    * the streaming form (a pure projection lifts to streams unchanged). */
+  private[llm] val scrubSparkSql: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(raw,
+       |  '$piiEmail', '<EMAIL>'),
+       |  '$piiPhone', '<PHONE>'),
+       |  '$piiIp', '<IP>')""".stripMargin
+
   /** Deterministic PII injection (test-data generation for tx_pii): the
     * corpus has no real PII, so doc_id-derived email/phone/IP strings are
     * appended to a doc_id-selected subset. `cst` renders the engine's
@@ -718,11 +726,7 @@ object TextQueries {
       val raw = piiInjectSql(e => s"CAST($e AS STRING)")
       Tables.documents(s, d)
         .select(col("doc_id"), expr(raw).as("raw"))
-        .withColumn("clean",
-          expr(s"""regexp_replace(regexp_replace(regexp_replace(raw,
-                  |  '$piiEmail', '<EMAIL>'),
-                  |  '$piiPhone', '<PHONE>'),
-                  |  '$piiIp', '<IP>')""".stripMargin))
+        .withColumn("clean", expr(scrubSparkSql))
         .select(col("doc_id"),
           expr(s"cast(size(regexp_extract_all(raw, '$piiEmail', 0)) as bigint)").as("n_email"),
           expr(s"cast(size(regexp_extract_all(raw, '$piiPhone', 0)) as bigint)").as("n_phone"),

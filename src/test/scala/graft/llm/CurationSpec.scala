@@ -103,6 +103,39 @@ class CurationSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("PII scrub is a pure projection: lifts to a stream unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val q = mem.toDS()
+      .select(col("doc_id"), col("text").as("raw"))
+      .withColumn("clean", expr(TextQueries.scrubSparkSql))
+      .writeStream.format("memory").queryName("pii_stream").outputMode("append").start()
+    mem.addData(
+      DocEvent(1L, 1000L, "mail me at jo.doe@corp.example.org please"),
+      DocEvent(2L, 1100L, "call 555-123-4567 or visit 10.1.2.3 today"),
+      DocEvent(3L, 1200L, "nothing sensitive here"))
+    q.processAllAvailable()
+    val out = spark.table("pii_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(out(1L) == "mail me at <EMAIL> please")
+    assert(out(2L) == "call <PHONE> or visit <IP> today")
+    assert(out(3L) == "nothing sensitive here")
+  }
+
+  test("HLL vocab sketch: approx_count_distinct within 5% of exact") {
+    // the sketch path for corpus cardinality dashboards — at 100 TB the
+    // exact distinct is a full shuffle of the token column, the HLL sketch
+    // is a constant-size mergeable aggregate; this pins its error envelope
+    val toks = graft.core.Tables.documents(spark, sf("sf0.01"))
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+    val exact = toks.distinct().count().toDouble
+    val approx = toks.agg(approx_count_distinct("token", 0.02)).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("tx_entropy matches a Scala-side recompute on sample docs") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)

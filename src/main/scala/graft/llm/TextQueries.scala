@@ -54,6 +54,7 @@ object TextQueries {
   private val srcCap = 15 // max docs kept per source (domain balancing)
   private val srcSalts = 8 // level-1 fan-out for the skew-safe top-k
   private val bloomExpected = 100000L // bloom capacity: benchmark-suite-sized
+  private val bpeIters = 3 // BPE merge rounds (inherently serial)
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -61,6 +62,38 @@ object TextQueries {
   private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
   private val piiPhone = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
   private val piiIp = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** tx_bpe body over any (doc_id, text) frame — factored so the spec can
+    * drive it with a corpus of known pair frequencies. */
+  private[llm] def bpeMergesDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var state = docs
+      .select(col("doc_id"),
+        expr(s"array_join(regexp_extract_all(lower(text), '$tokRegex', 0), '  ')").as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = (1 to bpeIters).map { rank =>
+      val pairs = state
+        .select(split(col("s"), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), j -> concat(element_at(t, j), '  ', element_at(t, j + 1)))")).as("pair"))
+      val m = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1)
+        .select(lit(rank).as("merge_rank"), col("pair"),
+          expr("replace(pair, '  ', '~')").as("merged"), col("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      state = state
+        .crossJoin(m.select(col("pair").as("mpair"), col("merged").as("mmerged")))
+        .select(col("doc_id"),
+          expr("trim(replace(concat(' ', s, ' '), concat(' ', mpair, ' '), concat(' ', mmerged, ' ')))").as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      m
+    }
+    merges.reduce(_ union _)
+      .select(col("merge_rank"), expr("replace(pair, '  ', ' ')").as("pair"),
+        col("merged"), col("freq"))
+      .orderBy("merge_rank")
+  }
 
   /** The PII scrub chain over a column named `raw` — shared by tx_pii and
     * the streaming form (a pure projection lifts to streams unchanged). */
@@ -794,6 +827,51 @@ object TextQueries {
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // BPE merge training — the actual tokenizer-training step (tx_vocab is
+    // its precursor): iteratively find the most frequent adjacent token
+    // pair and merge it corpus-wide, emitting the learned merge table.
+    // Exact greedy left-to-right merge semantics ride a plain `replace`:
+    // tokens are joined by TWO spaces, so each ' a  b ' match consumes
+    // half of each boundary separator — consecutive disjoint pairs still
+    // match, overlapping ones (shared middle token) correctly don't, and
+    // both engines' non-overlapping replace produce identical strings.
+    // Scale shape: each round is one explode + map-side-combined pair
+    // count, a 1-row argmax broadcast-cross-joined into a row-local
+    // rewrite; rounds are inherently serial (BPE is), each state persisted
+    // so round N+1 reads round N instead of replaying the chain. At 100 TB
+    // BPE trains on a sampled subcorpus (tx_sample upstream) — the shape
+    // here is per-round linear regardless.
+    Q("tx_bpe", {
+      def iterCtes(i: Int) =
+        s"""p$i AS (
+           |  SELECT t[CAST(j AS INT)] || '  ' || t[CAST(j+1 AS INT)] AS pair
+           |  FROM (SELECT string_split(s, '  ') AS t FROM s$i),
+           |    unnest(generate_series(1, len(t) - 1)) AS u(j)
+           |  WHERE len(t) >= 2
+           |),
+           |m$i AS (
+           |  SELECT $i AS merge_rank, pair, replace(pair, '  ', '~') AS merged,
+           |    CAST(count(*) AS BIGINT) AS freq
+           |  FROM p$i GROUP BY pair
+           |  QUALIFY row_number() OVER (ORDER BY freq DESC, pair) = 1
+           |),
+           |s${i + 1} AS (
+           |  SELECT doc_id,
+           |    trim(replace(' ' || s || ' ', ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ')) AS s
+           |  FROM s$i, m$i
+           |)""".stripMargin
+      s"""WITH s1 AS (
+         |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '$tokRegex'), '  ') AS s
+         |  FROM documents
+         |),
+         |${(1 to bpeIters).map(iterCtes).mkString(",\n")}
+         |SELECT merge_rank, replace(pair, '  ', ' ') AS pair, merged, freq
+         |FROM (${(1 to bpeIters).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin
+    }) { (s, d) =>
+      bpeMergesDF(Tables.documents(s, d))
     },
 
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the

@@ -136,6 +136,24 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
   }
 
+  test("tx_bpe learns the expected merges; overlapping pairs merge greedily") {
+    import spark.implicits._
+    // 'x y' appears 4 times — doc 1's 'x y x y' chain merges BOTH
+    // occurrences greedily left-to-right. Round 2 ties 'q r' and the new
+    // 'x~y z' at 2 → lexicographic tie-break picks 'q r'; round 3 learns
+    // the recursive 'x~y z'.
+    val docs = Seq(
+      (1L, "x y x y z"),
+      (2L, "x y z q r"),
+      (3L, "x y q r")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bpeMergesDF(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1, "x y", "x~y", 4L)), s"got ${out(0)}")
+    assert(out(1) == ((2, "q r", "q~r", 2L)), s"got ${out(1)}")
+    assert(out(2) == ((3, "x~y z", "x~y~z", 2L)), s"got ${out(2)}")
+  }
+
   test("tx_entropy matches a Scala-side recompute on sample docs") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_entropy")(spark, sfDir)

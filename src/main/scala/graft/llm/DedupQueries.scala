@@ -93,8 +93,10 @@ object DedupQueries {
 
   /** One row per doc: m0..m15 minhash components — a row-local projection
     * (`minhash_sigs` folds the rolling-hash array with avalanche + 16
-    * affine rehashes in one codegen'd loop; no explode, no shuffle). */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
+    * affine rehashes in one codegen'd loop; no explode, no shuffle).
+    * `private[llm]` so the planted-pair recall spec can drive the real
+    * signature + LSH chain with synthetic near-dups. */
+  private[llm] def minhashSigs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .filter(length(col("text")) >= shingleLen)

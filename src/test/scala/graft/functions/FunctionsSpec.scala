@@ -6,6 +6,27 @@ import graft.llm.LlmHash
 
 class FunctionsSpec extends SparkSpec {
 
+  test("GraftExtensions resolves every engine function without register() (cluster parity)") {
+    // the spark.sql.extensions deploy path must expose the same surface as
+    // GraftFunctions.register — a fresh session over the SAME SparkContext
+    // with only the extensions applied proves it end-to-end
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master(orig.sparkContext.master)
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      assert(s2.sql("SELECT vector_dot(array(1.0D,2.0D), array(3.0D,4.0D))").head.getDouble(0) == 11.0)
+      assert(s2.sql("SELECT md5_long60('abc')").head.getLong(0) > 0L)
+      assert(s2.sql("SELECT size(rolling_hash('abcdefghij', 8))").head.getInt(0) == 3)
+      assert(s2.sql("SELECT size(minhash_sigs(rolling_hash('abcdefghij', 5)))").head.getInt(0) == 16)
+      assert(!s2.sql("SELECT simhash_sig(rolling_hash('abcdefghij', 5))").head.isNullAt(0))
+      assert(s2.sql("SELECT bloom_might_contain(CAST(NULL AS BINARY), 42L)").head.isNullAt(0))
+    } finally {
+      SparkSession.setActiveSession(orig); SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("vector_dot (codegen Expression) matches the interpreted HOF form bit-for-bit") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -49,4 +49,41 @@ class DedupSpec extends SparkSpec {
     assertNoHints("llm_corpus_prep",
       PipelineQueries.prepDF(spark, sf("sf0.001"), stubComp))
   }
+
+  test("planted near-dup pairs survive the capped LSH chain (recall harness)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 20 planted near-dup pairs (one-word edit on a 25-word doc ⇒ shingle
+    // Jaccard ≈ 0.9) among 60 independent decoys. Texts come from per-doc
+    // PRNGs (fixed seeds), so the whole chain is DETERMINISTIC: the
+    // asserted recall bound is a pinned value, not a flaky estimate. The
+    // theoretical per-pair hit rate at J≈0.9 with 4×4 banding is
+    // 1-(1-J⁴)⁴ ≈ 0.98, so ≥0.8 over 20 pairs has a wide margin while
+    // still failing loudly if banding, the cap, or the signature fold
+    // regress.
+    val vocab = {
+      val r = new scala.util.Random(7)
+      (0 until 200).map(_ => (0 until 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+    }
+    def doc(seed: Int): Seq[String] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(25)(vocab(rng.nextInt(vocab.length)))
+    }
+    val planted = (0 until 20).flatMap { p =>
+      val base = doc(p)
+      Seq((p * 2L, base.mkString(" ")),
+        (p * 2L + 1L, base.updated(12, "zzzzz").mkString(" ")))
+    }
+    val decoys = (0 until 60).map(k => (1000L + k, doc(1000 + k).mkString(" ")))
+    val docs = (planted ++ decoys).toDF("doc_id", "text")
+    val pairs = DedupQueries.lshPairs(DedupQueries.minhashSigs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(p => (p * 2L, p * 2L + 1L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.8,
+      s"recall $recall; missing planted pairs: ${expected -- pairs}")
+    // precision sanity: independent decoys must not flood the candidates
+    val falseCands = pairs.filterNot(expected)
+    assert(falseCands.size <= 5, s"unexpected candidate pairs: $falseCands")
+  }
 }

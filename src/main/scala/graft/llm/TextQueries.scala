@@ -172,18 +172,25 @@ object TextQueries {
        |  FROM qf
        |)""".stripMargin
 
+  /** Spark twin of [[qualityCtes]] over ANY frame with (doc_id, text) —
+    * a pure projection, so it runs unchanged on a stream (see
+    * StreamingCorpusPrep). Keeps all input columns + `keep`. */
+  private[llm] def withQualityKeep(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)"))
+      .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
+      .withColumn("uniq_r", expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)"))
+      .withColumn("stop_r", expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)"))
+      .withColumn("avg_len", expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)"))
+      .withColumn("keep", expr(s"CAST(CASE WHEN ($rulesSqlSpark) = 'ok' THEN 1 ELSE 0 END AS INT)"))
+      .drop("toks", "n_tokens", "uniq_r", "stop_r", "avg_len")
+
   /** Spark twin of [[qualityCtes]]: (doc_id, keep). */
   private[llm] def qualityKeepDF(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
-      .select(col("doc_id"),
-        expr("cast(size(toks) as bigint)").as("n_tokens"),
-        expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)").as("uniq_r"),
-        expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)").as("stop_r"),
-        expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)").as("avg_len"))
-      .select(col("doc_id"),
-        expr(s"CAST(CASE WHEN ($rulesSqlSpark) = 'ok' THEN 1 ELSE 0 END AS INT)").as("keep"))
+    withQualityKeep(Tables.documents(s, d).select("doc_id", "text"))
+      .select("doc_id", "keep")
 
   val all: Seq[Q] = Seq(
 

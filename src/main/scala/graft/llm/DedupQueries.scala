@@ -106,15 +106,20 @@ object DedupQueries {
   }
 
   /** LSH bucket join: 4 bands of 4 rows; pair iff any band signature matches
-    * (in a bucket of at most [[maxBucket]] docs — see the cap note above). */
-  private[llm] def lshPairs(mh: DataFrame): DataFrame = {
+    * (in a bucket of at most [[maxBucket]] docs — see the cap note above).
+    * Each band row CARRIES the doc's full 16-component signature (128 bytes)
+    * so the estimate join downstream needs no lookup back into `mh` — the
+    * est filter costs zero extra shuffles (measured: the two mh re-joins
+    * were ~40% of dd_minhash_lsh's wall at sf0.1). */
+  private def bandPairsWithSigs(mh: DataFrame): DataFrame = {
+    val sigArr = array((0 until nSeeds).map(i => col(s"m$i")): _*)
     val bandStructs = (0 until nBands).map { b =>
       val sig = concat_ws(",", (0 until bandRows).map(i => col(s"m${bandRows * b + i}")): _*)
       struct(lit(b).as("b"), sig.as("sig"))
     }
     val bands = mh
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), sigArr.as("sg"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("sg"), col("bs.b").as("b"), col("bs.sig").as("sig"))
     // cap mega-buckets before the self-join (see maxBucket). The count and
     // the semi-join key on the same (b, sig) the self-join shuffles on, so
     // the extra aggregation rides the exchange the join needs anyway.
@@ -126,9 +131,23 @@ object DedupQueries {
       .join(pruned.as("y"),
         col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sg").as("sgx"), col("y.sg").as("sgy"))
       .distinct()
   }
+
+  /** Raw band-collision pairs (the cap spec's surface). */
+  private[llm] def lshPairs(mh: DataFrame): DataFrame =
+    bandPairsWithSigs(mh).select("d1", "d2")
+
+  /** Candidate pairs with estimated Jaccard (matching-component fraction),
+    * computed from the carried signatures — interpreted lambda, but only
+    * over candidate pairs, never the corpus. */
+  private def estPairs(mh: DataFrame): DataFrame =
+    bandPairsWithSigs(mh)
+      .withColumn("est",
+        expr(s"aggregate(zip_with(sgx, sgy, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / $nSeeds.0D"))
+      .select("d1", "d2", "est")
 
   // ----------------------------------------------------- DuckDB oracle CTEs
 
@@ -233,15 +252,9 @@ object DedupQueries {
     // row-local signatures; persisted because the band join and both sides
     // of the estimate join consume them (cheap: one 16-long array per doc)
     val mh = minhashSigs(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val matchCnt = (0 until nSeeds)
-      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     // cand feeds the doc_id prune AND the intersection join: persist so the
     // band self-join runs once, not three times
-    val cand = lshPairs(mh)
-      .join(mh.as("x"), col("d1") === col("x.doc_id"))
-      .join(mh.as("y"), col("d2") === col("y.doc_id"))
-      .select(col("d1"), col("d2"), (matchCnt / lit(nSeeds.toDouble)).as("est"))
+    val cand = estPairs(mh)
       .filter(col("est") >= estThreshold.toDouble)
       .select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -354,22 +367,11 @@ object DedupQueries {
          |) WHERE est_jaccard >= $estThreshold
          |ORDER BY d1, d2""".stripMargin
     }) { (s, d) =>
-      // mh feeds the band join and both sides of the estimate join; one row
-      // per doc, so caching it costs nothing and saves re-hashing all grams.
       // Signature building is the row-local minhash_sigs projection — this
-      // query moves NO gram rows at all, only |docs| signature rows.
-      val mh = minhashSigs(Tables.documents(s, d))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val pairs = lshPairs(mh)
-      val matches = (0 until nSeeds)
-        .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      // pairs is raw band collisions — skew-inflatable on a dup-heavy
-      // corpus, so no broadcast hint: AQE picks the build side
-      pairs
-        .join(mh.as("x"), col("d1") === col("x.doc_id"))
-        .join(mh.as("y"), col("d2") === col("y.doc_id"))
-        .select(col("d1"), col("d2"), round(matches / lit(nSeeds.toDouble), 4).as("est_jaccard"))
+      // query moves NO gram rows at all, only |docs| signature rows; band
+      // rows carry the signature, so the estimate needs no join back.
+      estPairs(minhashSigs(Tables.documents(s, d)))
+        .select(col("d1"), col("d2"), round(col("est"), 4).as("est_jaccard"))
         .filter(col("est_jaccard") >= estThreshold.toDouble)
         .orderBy("d1", "d2")
     },

@@ -2,7 +2,7 @@ package graft.batch
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import Q.{dec4, sqlDec4}
+import Q.{dec4, sqlDec4, exactSum, sqlExactSum, exactAvg, sqlExactAvg}
 
 /** Joins & enrichment (SURVEY.md §2.8) plus a TPC-H-style relational suite.
   *
@@ -35,7 +35,7 @@ object JoinQueries {
     // revenue by region (TPC-H Q5 shape). Dims broadcast; the single big
     // shuffle is the final (tiny) aggregate.
     Q("q5_revenue_by_region",
-      s"""SELECT r_name, ${sqlDec4("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+      s"""SELECT r_name, ${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -48,34 +48,41 @@ object JoinQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
-        .agg(dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        // exactSum, not dec4(sum(...)): revenue ~6e9 over 600k rows — the
+        // double's ulp at that magnitude is ~1e-6, so round-after-sum flips
+        // 4-dp boundaries with partial-agg order (observed at sf0.1)
+        .agg(exactSum("l_extendedprice * (1 - l_discount)").as("revenue"))
         .orderBy("r_name")
     },
 
     // TPC-H Q1 shape — pricing summary; the canonical partial-agg benchmark
     Q("q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${sqlDec4("sum(l_quantity)")} AS sum_qty,
-         |  ${sqlDec4("sum(l_extendedprice)")} AS sum_base_price,
-         |  ${sqlDec4("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
-         |  ${sqlDec4("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
-         |  ${sqlDec4("avg(l_quantity)")} AS avg_qty,
-         |  ${sqlDec4("avg(l_extendedprice)")} AS avg_price,
-         |  ${sqlDec4("avg(l_discount)")} AS avg_disc,
+         |  ${sqlExactSum("l_quantity")} AS sum_qty,
+         |  ${sqlExactSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sqlExactSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${sqlExactAvg("l_quantity")} AS avg_qty,
+         |  ${sqlExactAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlExactAvg("l_discount")} AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // 600k-row groups: all float aggregates go through the quantized
+      // exact-decimal path (see Q.exactSum) — round-after-sum is order-
+      // fragile at this group size
       val li = Tables.lineitem(s, d)
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dec4(sum("l_quantity")).as("sum_qty"),
-          dec4(sum("l_extendedprice")).as("sum_base_price"),
-          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-          dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax")))).as("sum_charge"),
-          dec4(avg("l_quantity")).as("avg_qty"),
-          dec4(avg("l_extendedprice")).as("avg_price"),
-          dec4(avg("l_discount")).as("avg_disc"),
+          exactSum("l_quantity").as("sum_qty"),
+          exactSum("l_extendedprice").as("sum_base_price"),
+          exactSum("l_extendedprice * (1 - l_discount)").as("sum_disc_price"),
+          exactSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").as("sum_charge"),
+          // unrounded: the exact-sum quotient is already bit-identical in
+          // both engines; a display round() could land on a decimal tie
+          exactAvg("l_quantity").as("avg_qty"),
+          exactAvg("l_extendedprice").as("avg_price"),
+          exactAvg("l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -118,7 +125,7 @@ object JoinQueries {
 
     // Grouped join + HAVING: top-spending customers (TPC-H Q3-ish shape)
     Q("q3_big_spenders",
-      s"""SELECT c_custkey, c_name, ${sqlDec4("sum(o_totalprice)")} AS total_spent,
+      s"""SELECT c_custkey, c_name, ${sqlExactSum("o_totalprice")} AS total_spent,
          |  count(*) AS n_orders
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_custkey, c_name
@@ -127,7 +134,7 @@ object JoinQueries {
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(dec4(sum("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .agg(exactSum("o_totalprice").as("total_spent"), count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 5)
         .orderBy("c_custkey")
     },
@@ -175,15 +182,22 @@ object JoinQueries {
     // dimension (per-user lifetime stats) — self-join twin of the reference's
     // broadcast-state config lookup (chapter7/BroadcastStateFunction.scala)
     Q("j_stream_static_twin",
-      s"""WITH dim AS (SELECT user_id, ${sqlDec4("avg(value)")} AS user_avg FROM events GROUP BY user_id)
+      s"""WITH dim AS (SELECT user_id, ${sqlExactAvg("value")} AS user_avg FROM events GROUP BY user_id)
          |SELECT e.event_id, e.user_id, e.value, dim.user_avg
          |FROM events e JOIN dim ON e.user_id = dim.user_id
-         |WHERE e.value > CAST(dim.user_avg AS DOUBLE) * 1.5
+         |WHERE e.value > dim.user_avg * 1.5
          |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      // exactAvg: the average feeds BOTH the emitted column and the filter
+      // predicate — a 1-ulp summation-order diff flips row membership, so
+      // the aggregate must be bit-identical across engines. Emitted
+      // UNROUNDED: the exact-sum quotient is already the same double in
+      // both engines, while a display round() can land on a true decimal
+      // tie (count = 2^a·5^b makes sum/count exactly x.xxxx5) where Spark
+      // HALF_UP and DuckDB's binary rounding disagree — observed at sf0.1.
       val ev = Tables.events(s, d)
-      val dim = ev.groupBy("user_id").agg(dec4(avg("value")).as("user_avg"))
+      val dim = ev.groupBy("user_id").agg(exactAvg("value").as("user_avg"))
       ev.join(broadcast(dim), Seq("user_id"))
-        .filter(col("value") > col("user_avg").cast("double") * 1.5)
+        .filter(col("value") > col("user_avg") * 1.5)
         .select("event_id", "user_id", "value", "user_avg")
         .orderBy("event_id")
     },

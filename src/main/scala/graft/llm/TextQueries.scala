@@ -836,6 +836,32 @@ object TextQueries {
       sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // Corpus mix report — the dataset-card rollup: per (lang, source) doc
+    // and token counts plus corpus share, the composition table every
+    // training-data release publishes. One map-side-combined aggregate over
+    // a row-local token count; the share join is against a 1-row total.
+    Q("tx_mix_report",
+      s"""WITH per AS (
+         |  SELECT lang, source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(lower(text), '$tokRegex'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang, source
+         |),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(n_tokens * 1.0 / tot.t, 4) AS token_share
+         |FROM per, tot ORDER BY lang, source""".stripMargin) { (s, d) =>
+      val per = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"size(regexp_extract_all(lower(text), '$tokRegex', 0))")).as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("t"))
+      per.crossJoin(tot)
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          expr("round(n_tokens * 1.0D / t, 4)").as("token_share"))
+        .orderBy("lang", "source")
+    },
+
     // BPE merge training — the actual tokenizer-training step (tx_vocab is
     // its precursor): iteratively find the most frequent adjacent token
     // pair and merge it corpus-wide, emitting the learned merge table.

@@ -42,32 +42,38 @@ object Q {
   /** SQL twin of [[dec4]] for the DuckDB side. */
   def sqlDec4(expr: String): String = s"round($expr, 4)"
 
-  /** Order-free float SUM: quantize each ADDEND to 6 dp (one deterministic
-    * fp op per row), sum EXACTLY as DECIMAL(38,6) (integer arithmetic;
-    * partial-agg order cannot matter), return DOUBLE.
+  /** Order-free float SUM: quantize each ADDEND to 6 dp as a SCALED BIGINT
+    * (two deterministic fp ops per row), sum in pure long arithmetic
+    * (partial-agg order cannot matter — and longs stay on Spark's fast
+    * inline hash-agg path; a DECIMAL(38,6) accumulator is var-length in
+    * UnsafeRow and measured 17x slower on q1), then one double division.
     *
     * Why 6 dp: the quantization must sit BELOW the data's intrinsic decimal
     * precision. Prices are 2-dp decimals, so 2/3-factor products are exact
     * at ≤6 dp — a 4-dp quantization puts ~1% of rows on an exact .xxxx50
     * TIE, where Spark (BigDecimal shortest-repr, HALF_UP) and DuckDB
     * (binary-double rounding) disagree (observed: q1 sum_charge). At 6 dp
-    * the addend double is within ~1e-13 of a 6-dp decimal — never within
-    * 5e-7 of a tie — and full-precision (non-decimal) data hits a 6-dp tie
-    * with probability ~ulp/5e-7 ≈ 0. Both engines therefore round every
-    * addend to the SAME decimal, and the decimal sum is exact. */
+    * the scaled addend is within ~1e-7 of an integer — never near a .5
+    * rounding tie — and full-precision (non-decimal) data hits one with
+    * probability ~0. Both engines therefore quantize every addend to the
+    * SAME long, and the long sum is exact.
+    *
+    * Overflow envelope: |sum of scaled addends| must stay < 2^63 ≈ 9.2e18 —
+    * i.e. Σ|value| < 9.2e12 per group. A 100 TB job summing beyond that
+    * splits the addend (div/mod 10^6) into two long sums. */
   def exactSum(e: String): Column =
-    expr(s"cast(sum(cast(round($e, 6) as decimal(38,6))) as double)")
+    expr(s"cast(sum(cast(round(($e) * 1000000, 0) as bigint)) as double) / 1000000")
 
   /** SQL twin of [[exactSum]]. */
   def sqlExactSum(e: String): String =
-    s"CAST(sum(CAST(round($e, 6) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"(CAST(sum(CAST(round(($e) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000)"
 
-  /** Order-free float AVG: [[exactSum]] / COUNT — one double division on an
-    * exact numerator. */
+  /** Order-free float AVG: [[exactSum]] / COUNT — deterministic double
+    * divisions on an exact numerator. */
   def exactAvg(e: String): Column =
-    expr(s"cast(sum(cast(round($e, 6) as decimal(38,6))) as double) / count(*)")
+    expr(s"cast(sum(cast(round(($e) * 1000000, 0) as bigint)) as double) / 1000000 / count(*)")
 
   /** SQL twin of [[exactAvg]]. */
   def sqlExactAvg(e: String): String =
-    s"(CAST(sum(CAST(round($e, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*))"
+    s"(CAST(sum(CAST(round(($e) * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / count(*))"
 }

@@ -55,6 +55,9 @@ object TextQueries {
   private val srcSalts = 8 // level-1 fan-out for the skew-safe top-k
   private val bloomExpected = 100000L // bloom capacity: benchmark-suite-sized
   private val bpeIters = 3 // BPE merge rounds (inherently serial)
+  /** Deny-list for tx_blocklist: corpus vocabulary standing in for a real
+    * bad-words list (the synthetic corpus contains nothing actually bad). */
+  private val blockList = "'slow','mojibake','gibberish'"
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -834,6 +837,78 @@ object TextQueries {
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // Blocklist filter — the C4-style "bad words" gate: flag documents
+    // containing blocklisted terms, with per-doc match counts and the
+    // first matched term as the drop reason. The list here is corpus
+    // vocabulary standing in for a real deny-list; membership is token-
+    // exact (array_contains over the tokenized doc), not substring, so
+    // "scan" never flags "scandal". Row-local — rides any corpus scan.
+    Q("tx_blocklist",
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains([$blockList], x))) AS BIGINT) AS n_blocked,
+         |  CAST(CASE WHEN len(list_filter(toks, x -> list_contains([$blockList], x))) > 0 THEN 0 ELSE 1 END AS INT) AS keep,
+         |  coalesce(list_filter(toks, x -> list_contains([$blockList], x))[1], '') AS first_match
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .withColumn("hits", expr(s"filter(toks, x -> array_contains(array($blockList), x))"))
+        .select(col("doc_id"),
+          expr("cast(size(hits) as bigint)").as("n_blocked"),
+          expr("cast(CASE WHEN size(hits) > 0 THEN 0 ELSE 1 END as int)").as("keep"),
+          // element_at would throw under ANSI on the empty array — guard
+          expr("CASE WHEN size(hits) > 0 THEN hits[0] ELSE '' END").as("first_match"))
+        .orderBy("doc_id")
+    },
+
+    // Token-distribution drift — the train/eval distribution-shift monitor:
+    // symmetric KL divergence between two corpus slices' token
+    // distributions (add-one smoothed over the union vocab). Determinism:
+    // counts are exact integers; the per-token contribution list is SORTED
+    // by token and folded left-to-right in both engines (the tx_entropy
+    // stance), so the float sum sees identical addends in identical order.
+    // Scale shape: one (slice, token) count shuffle with map-side combine;
+    // the fold runs over the |vocab|-sized aggregate.
+    Q("tx_drift", {
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 AS slice, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token
+         |  FROM documents
+         |),
+         |c AS (SELECT slice, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY slice, token),
+         |v AS (
+         |  SELECT token,
+         |    CAST(coalesce(sum(CASE WHEN slice = 0 THEN c END), 0) + 1 AS BIGINT) AS c0,
+         |    CAST(coalesce(sum(CASE WHEN slice = 1 THEN c END), 0) + 1 AS BIGINT) AS c1
+         |  FROM c GROUP BY token
+         |),
+         |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS t0, CAST(sum(c1) AS BIGINT) AS t1, CAST(count(*) AS BIGINT) AS n_vocab FROM v),
+         |l AS (
+         |  SELECT list((c0 * 1.0 / tot.t0) * ln((c0 * 1.0 / tot.t0) / (c1 * 1.0 / tot.t1)) ORDER BY token) AS kl01,
+         |    list((c1 * 1.0 / tot.t1) * ln((c1 * 1.0 / tot.t1) / (c0 * 1.0 / tot.t0)) ORDER BY token) AS kl10,
+         |    any_value(tot.n_vocab) AS n_vocab
+         |  FROM v, tot
+         |)
+         |SELECT n_vocab, round(list_sum(kl01), 4) AS kl_train_eval,
+         |  round(list_sum(kl10), 4) AS kl_eval_train
+         |FROM l""".stripMargin
+    }) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("slice"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
+        .groupBy("slice", "token").agg(count(lit(1)).as("c"))
+      val v = c.groupBy("token").agg(
+        (coalesce(sum(when(col("slice") === 0, col("c"))), lit(0L)) + 1).as("c0"),
+        (coalesce(sum(when(col("slice") === 1, col("c"))), lit(0L)) + 1).as("c1"))
+      val tot = v.agg(sum("c0").as("t0"), sum("c1").as("t1"), count(lit(1)).as("n_vocab"))
+      v.crossJoin(tot)
+        .groupBy("n_vocab", "t0", "t1")
+        .agg(
+          expr("sort_array(collect_list(struct(token, c0, c1)))").as("h"))
+        .select(col("n_vocab"),
+          expr("round(aggregate(h, 0.0D, (acc, p) -> acc + (p.c0 * 1.0D / t0) * ln((p.c0 * 1.0D / t0) / (p.c1 * 1.0D / t1))), 4)").as("kl_train_eval"),
+          expr("round(aggregate(h, 0.0D, (acc, p) -> acc + (p.c1 * 1.0D / t1) * ln((p.c1 * 1.0D / t1) / (p.c0 * 1.0D / t0))), 4)").as("kl_eval_train"))
     },
 
     // Corpus mix report — the dataset-card rollup: per (lang, source) doc

@@ -476,19 +476,7 @@ object DedupQueries {
       // packing fold over the rolling-hash array in one codegen'd loop —
       // no gram explode, no 32-aggregate groupBy, zero shuffle to here
       graft.functions.GraftFunctions.register(s)
-      val sim = Tables.documents(s, d)
-        .filter(length(col("text")) >= shingleLen)
-        .select(col("doc_id"),
-          expr(s"simhash_sig(rolling_hash(text, $shingleLen))").as("simhash"))
-      val bandStructs = (0 until 4).map { b =>
-        struct(lit(b).as("b"), expr(s"(simhash div ${1L << (8 * b)}) % 256").as("chunk"))
-      }
-      // carry simhash through the band join so Hamming is filtered BEFORE
-      // distinct — shared-vocab corpora make band buckets skew, and filtering
-      // inside the join stage keeps the distinct input at result size
-      val bandt = sim
-        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bc"))
-        .select(col("doc_id"), col("simhash"), col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+      val bandt = simhashBands(Tables.documents(s, d))
       bandt.as("x")
         .join(bandt.as("y"),
           col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
@@ -499,5 +487,87 @@ object DedupQueries {
         .distinct()
         .orderBy("d1", "d2")
     },
+
+    // Incremental (cross-corpus) dedup — the corpus-UPDATE operator: dedup
+    // a new crawl against the EXISTING training set (doc_id % 3 == 0 slice
+    // standing in for it), not against itself. An incoming doc is flagged
+    // exact_dup on content-hash membership and near_dup on a banded
+    // simhash Hamming ≤ 2 match into the existing side. Scale shape:
+    // asymmetric band join — incoming band rows meet only same-chunk
+    // existing rows (never all-pairs, never incoming×incoming); the
+    // content-hash check is a hash-partitioned semi join; both flags then
+    // left-join the incoming base (per-doc, result-sized).
+    Q("dd_incremental", {
+      val ws = (0 until 32)
+        .map(i => s"list_sum(list_transform(garr, h -> CASE WHEN ${affine(16 + i, "h")} % 2 = 1 THEN 1 ELSE -1 END)) AS w$i")
+        .mkString(", ")
+      val simExpr = (0 until 32)
+        .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $gsCte,
+         |w AS (SELECT doc_id, $ws FROM gs),
+         |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM w),
+         |bandt AS (
+         |  SELECT doc_id, simhash, b, (simhash // CAST(CASE b WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END AS BIGINT)) % 256 AS chunk
+         |  FROM sim, unnest([0,1,2,3]) AS u(b)
+         |),
+         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+         |nearids AS (
+         |  SELECT DISTINCT y.doc_id
+         |  FROM bandt y JOIN bandt x
+         |    ON x.b = y.b AND x.chunk = y.chunk
+         |   AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN exh.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+         |  CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
+         |  CAST(CASE WHEN exh.h IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM documents d
+         |LEFT JOIN exh ON exh.h = md5(d.text)
+         |LEFT JOIN nearids n ON n.doc_id = d.doc_id
+         |WHERE d.doc_id % 3 <> 0
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val bandt = simhashBands(docs)
+      val nearIds = bandt.filter(col("doc_id") % 3 =!= 0).as("y")
+        .join(bandt.filter(col("doc_id") % 3 === 0).as("x"),
+          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk"))
+        .filter(expr("bit_count(x.simhash ^ y.simhash) <= 2"))
+        .select(col("y.doc_id").as("doc_id")).distinct()
+        .withColumn("near", lit(1))
+      val exh = docs.filter(col("doc_id") % 3 === 0)
+        .select(md5(col("text")).as("h")).distinct()
+        .withColumn("ex", lit(1))
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(exh, Seq("h"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ex"), lit(0)).cast("int").as("exact_dup"),
+          coalesce(col("near"), lit(0)).cast("int").as("near_dup"),
+          (coalesce(col("ex"), lit(0)) === 0 && coalesce(col("near"), lit(0)) === 0)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** (doc_id, simhash, b, chunk): row-local simhash + 4×8-bit band chunks —
+    * shared by dd_simhash (self-join) and dd_incremental (asymmetric join). */
+  private def simhashBands(docs: DataFrame): DataFrame = {
+    val sim = docs
+      .filter(length(col("text")) >= shingleLen)
+      .select(col("doc_id"),
+        expr(s"simhash_sig(rolling_hash(text, $shingleLen))").as("simhash"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("b"), expr(s"(simhash div ${1L << (8 * b)}) % 256").as("chunk"))
+    }
+    // carry simhash through the band join so Hamming is filtered BEFORE
+    // distinct — shared-vocab corpora make band buckets skew, and filtering
+    // inside the join stage keeps the distinct input at result size
+    sim
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+  }
 }

@@ -70,26 +70,15 @@ object DedupQueries {
   // a whole-stage-codegen'd projection under an explode. Measured on this
   // suite: array-lambda simhash 6.4s vs explode+groupBy 2.2s at sf0.1.
 
-  /** (doc_id, hm): char-5-gram shingle hashes, multiset (min()/sum() below
-    * are the consumers; per-doc dedup happens where sets are needed).
-    * Gram hashes come from the O(n)-per-doc `rolling_hash` Expression
-    * (graft.functions.RollingHash) — one pass per document instead of an
-    * md5 per position; values land in [0, P) so the affine per-seed rehash
-    * is unchanged. Docs shorter than one gram are excluded (none exist in
-    * the corpus; the filter makes the operator's domain explicit). */
-  private def shingles(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .filter(length(col("text")) >= shingleLen)
-      .withColumn("h0", explode(expr(s"rolling_hash(text, $shingleLen)")))
-      // quadratic avalanche: the rolling hash is LINEAR in the char codes
-      // and the affine per-seed rehash preserves linearity — without this
-      // mix, minhash components correlate across same-vocabulary docs and
-      // LSH candidate precision drops ~3x (measured 267 vs 92 est>=0.5
-      // pairs at sf0.01). (h^2 + c) % P is nonlinear, cheap, and exactly
-      // reproducible in the oracle (h < P keeps h*h < 2^63).
-      .select(col("doc_id"), expr(s"(h0 * h0 + 987654321) % ${graft.functions.RollingHash.P}").as("hm"))
-  }
+  // Gram hashing note (the avalanche the signature Expressions and the
+  // verify projection both apply): the rolling hash is LINEAR in the char
+  // codes and the affine per-seed rehash preserves linearity — without a
+  // nonlinear mix, minhash components correlate across same-vocabulary
+  // docs and LSH candidate precision drops ~3x (measured 267 vs 92
+  // est>=0.5 pairs at sf0.01). (h² + c) % P is nonlinear, cheap, and
+  // exactly reproducible in the oracle (h < P keeps h·h < 2^63). Gram
+  // hashes come from the O(n)-per-doc `rolling_hash` Expression — one pass
+  // per document instead of an md5 per position.
 
   /** One row per doc: m0..m15 minhash components — a row-local projection
     * (`minhash_sigs` folds the rolling-hash array with avalanche + 16
@@ -233,26 +222,29 @@ object DedupQueries {
 
   /** Spark twin of [[jacCtes]]: (d1, d2, jaccard, is_dup), unordered.
     *
-    * ONE exchange for all per-doc set work: the gram table is repartitioned
-    * by doc_id and persisted; the per-doc distinct, the sizes and the
-    * signatures all satisfy their clustering requirement from that one
-    * partitioning (a naive global distinct on (doc_id, hm) would re-shuffle
-    * the whole gram multiset to dedup what are only within-doc duplicates).
+    * The verify stage is prune-first AND row-local: candidate doc_ids are
+    * semi-joined against the DOCUMENTS table, each candidate doc folds to
+    * its DISTINCT gram-set ARRAY in one projection (no gram explode, no
+    * (doc, gram) repartition — gram rows never exist), and the exact
+    * intersection is `array_intersect` computed INSIDE the pair row after
+    * two candidate-sized joins attach the arrays. Former shape: explode →
+    * repartition → distinct → (d2, hm) join → two size joins = 4+ shuffles
+    * of gram-grain rows; now: zero gram-grain shuffles, the intersection
+    * work is |pairs|, and the only exchanges are the pair-to-array joins.
+    * No join carries a `broadcast()` hint — the array side is one row per
+    * CANDIDATE doc, a data-dependent size AQE measures at runtime (a
+    * forced hint is a driver OOM on a dup-heavy 100 TB corpus).
     *
-    * The verify stage is prune-first: candidate doc_ids are semi-joined
-    * against the DOCUMENTS table BEFORE the gram explode, so gram rows only
-    * ever exist for docs some candidate pair touches — the per-doc distinct,
-    * size count, and intersection are all proportional to |candidates|, not
-    * |corpus|. No join carries a `broadcast()` hint — `sizes` is one row per
-    * candidate doc and `cand` one row per surviving pair, both data-dependent
-    * sizes that AQE measures at runtime and broadcasts only if they actually
-    * fit (a forced hint here is a driver OOM on a dup-heavy 100 TB corpus). */
+    * Envelope: a candidate doc's gram set rides one row (~8 bytes/char).
+    * Fine for any quality-gated corpus (the prep pipeline drops >5000-token
+    * docs); a corpus of unbounded mega-docs would switch back to the
+    * exploded (doc, gram) form, which this replaced — see git history. */
   private def jaccardDF(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // row-local signatures; persisted because the band join and both sides
     // of the estimate join consume them (cheap: one 16-long array per doc)
     val mh = minhashSigs(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    // cand feeds the doc_id prune AND the intersection join: persist so the
+    // cand feeds the doc_id prune AND the verify joins: persist so the
     // band self-join runs once, not three times
     val cand = estPairs(mh)
       .filter(col("est") >= estThreshold.toDouble)
@@ -261,24 +253,22 @@ object DedupQueries {
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id")))
       .distinct()
-    // gram SETS only for candidate docs: prune before the explode, then one
-    // doc_id repartition serves the within-doc distinct and the size count
-    val shd = shingles(docs.join(candIds, Seq("doc_id"), "left_semi"))
-      .repartition(col("doc_id"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shd.as("a"), col("d1") === col("a.doc_id"))
-      .join(shd.as("b"), col("d2") === col("b.doc_id") && col("b.hm") === col("a.hm"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("ic"))
-    inter
-      .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
+    graft.functions.GraftFunctions.register(s)
+    // DISTINCT gram-set array per candidate doc — one row-local projection
+    val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .filter(length(col("text")) >= shingleLen)
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(rolling_hash(text, $shingleLen), h0 -> (h0 * h0 + 987654321) % ${graft.functions.RollingHash.P}))").as("hset"))
+    val j = cand
+      .join(sets.select(col("doc_id").as("d1"), col("hset").as("ha")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("hset").as("hb")), "d2")
       .select(col("d1"), col("d2"),
-        round(col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")), 4).as("jaccard"),
-        (col("ic") * 1.0 / (col("sa.n") + col("sb.n") - col("ic")) >= dupThreshold.toDouble)
-          .cast("int").as("is_dup"))
+        expr("size(array_intersect(ha, hb))").as("ic"),
+        expr("size(ha)").as("na"), expr("size(hb)").as("nb"))
+    j.select(col("d1"), col("d2"),
+      round(col("ic") * 1.0 / (col("na") + col("nb") - col("ic")), 4).as("jaccard"),
+      (col("ic") * 1.0 / (col("na") + col("nb") - col("ic")) >= dupThreshold.toDouble)
+        .cast("int").as("is_dup"))
   }
 
   /** Oracle CTEs extending [[jacCtes]] with connected components:

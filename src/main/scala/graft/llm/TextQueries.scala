@@ -58,6 +58,7 @@ object TextQueries {
   /** Deny-list for tx_blocklist: corpus vocabulary standing in for a real
     * bad-words list (the synthetic corpus contains nothing actually bad). */
   private val blockList = "'slow','mojibake','gibberish'"
+  private val shufShards = 8 // training shards for tx_shuffle
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -837,6 +838,32 @@ object TextQueries {
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // Training-order shuffle — the last materialization step before
+    // tokenizer feeding: every doc gets a deterministic global shuffle
+    // position (content-independent hash key → shard, rank within shard),
+    // reproducible across runs/engines/partitionings. Scale shape: this IS
+    // the TeraSort shape — range-partition by key, sort within shards; the
+    // per-shard ranking window sorts |corpus|/nShards rows per task, and
+    // nShards scales with the corpus (a training run wants ~file-sized
+    // shards anyway).
+    Q("tx_shuffle", {
+      val k = duckH("'shuf:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH keyed AS (SELECT doc_id, $k AS k FROM documents)
+         |SELECT doc_id, CAST(k % $shufShards AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY k % $shufShards ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(sparkH("concat('shuf:', cast(doc_id as string))")).as("k"))
+        .withColumn("shard", (col("k") % shufShards).cast("long"))
+      val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
     },
 
     // Blocklist filter — the C4-style "bad words" gate: flag documents

@@ -59,6 +59,7 @@ object TextQueries {
     * bad-words list (the synthetic corpus contains nothing actually bad). */
   private val blockList = "'slow','mojibake','gibberish'"
   private val shufShards = 8 // training shards for tx_shuffle
+  private val triProfile = 40 // trigrams per language profile (textcat)
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -838,6 +839,80 @@ object TextQueries {
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       sourceCapDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // N-gram language ID (textcat, Cavnar–Trenkle style) — the second
+    // lang-id method beside the stopword scorer (tx_langid): per-language
+    // char-trigram profiles are TRAINED from the labeled corpus (top 40
+    // trigrams per declared lang by occurrence count), and each doc is
+    // scored by how many of its trigram occurrences hit each profile;
+    // deterministic argmax. Scale shape: profile building is one
+    // (lang, trigram) map-side-combined count + a ranking window over the
+    // |langs|×|profile| aggregate; scoring joins the doc trigram counts
+    // against the broadcast-sized profile table and rolls up per doc.
+    Q("tx_langid_ngram", {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val scoreCols = langs.map(l =>
+        s"CAST(coalesce(sum(CASE WHEN p.lang = '$l' THEN g.c END), 0) AS BIGINT) AS s_$l").mkString(",\n|  ")
+      val argmax = langs.dropRight(1).zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString(" ")
+      s"""WITH tg AS (
+         |  SELECT doc_id, lang, substring(lower(text), CAST(i AS INT), 3) AS tri
+         |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)
+         |  WHERE length(text) >= 3
+         |),
+         |g AS (SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY doc_id, tri),
+         |lp AS (
+         |  SELECT lang, tri FROM (
+         |    SELECT lang, tri, CAST(sum(c) AS BIGINT) AS lc,
+         |      row_number() OVER (PARTITION BY lang ORDER BY sum(c) DESC, tri) AS rn
+         |    FROM g JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+         |    GROUP BY lang, tri
+         |  ) WHERE rn <= $triProfile
+         |),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |  $scoreCols
+         |  FROM g JOIN lp p ON p.tri = g.tri
+         |  GROUP BY g.doc_id
+         |)
+         |SELECT d.doc_id, d.lang AS declared_lang,
+         |  ${langs.map(l => s"coalesce(s_$l, 0) AS s_$l").mkString(", ")},
+         |  CASE $argmax ELSE '${langs.last}' END AS predicted_lang
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val docs = Tables.documents(s, d)
+      val g = docs
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(expr("sequence(1, length(text) - 2)")).as("i"),
+          lower(col("text")).as("lt"))
+        .select(col("doc_id"), expr("substring(lt, i, 3)").as("tri"))
+        .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy("lang").orderBy(col("lc").desc, col("tri"))
+      val lp = g.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "tri").agg(sum("c").as("lc"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= triProfile)
+        .select("lang", "tri")
+      val aggCols = langs.map(l =>
+        coalesce(sum(when(col("plang") === l, col("c"))), lit(0L)).as(s"s_$l"))
+      val sc = g.join(lp.withColumnRenamed("lang", "plang"), "tri")
+        .groupBy("doc_id")
+        .agg(aggCols.head, aggCols.tail: _*)
+      val argmax = langs.dropRight(1).zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString(" ")
+      docs.select(col("doc_id"), col("lang").as("declared_lang"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id") +: col("declared_lang") +:
+          langs.map(l => coalesce(col(s"s_$l"), lit(0L)).as(s"s_$l")): _*)
+        .withColumn("predicted_lang", expr(s"CASE $argmax ELSE '${langs.last}' END"))
+        .orderBy("doc_id")
     },
 
     // Training-order shuffle — the last materialization step before

@@ -17,6 +17,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional positional args: run only the named queries (local iteration
+    // aid — the driver passes none and gets the full suite)
+    val only: Set[String] = args.toSet
     val spark = graft.core.GraftSession.builder(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,7 +40,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    val results = names.map { name =>
       val sec =
         try runOnce(name)
         catch {
@@ -53,7 +58,18 @@ object Bench {
     val bad = failed.result()
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = bad.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line can exceed the driver's tail capture (r3 lost the
+    // head of the per-query map); persist the identical JSON to the repo so
+    // per-query numbers survive regardless of how stdout is captured. Only
+    // full-suite runs overwrite it — a filtered local run must not clobber
+    // the round artifact.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }

@@ -122,7 +122,15 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sg").as("sgx"), col("y.sg").as("sgy"))
-      .distinct()
+      // Pair dedup on the NARROW key only: signatures are functionally
+      // determined by the doc ids, so `first` is deterministic — a
+      // .distinct() here would hash/compare two 16-long arrays (~256 B)
+      // per band-collision row (measured 6x the whole query's wall at
+      // sf0.1); grouping on (d1, d2) keeps the exchange key 16 bytes and
+      // map-side partial aggregation collapses same-bucket collisions
+      // before the shuffle.
+      .groupBy("d1", "d2")
+      .agg(first("sgx").as("sgx"), first("sgy").as("sgy"))
   }
 
   /** Raw band-collision pairs (the cap spec's surface). */

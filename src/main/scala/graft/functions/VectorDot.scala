@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** `vector_dot(a, b)` — native Catalyst dot product over
   * `ArrayType(DoubleType)` with whole-stage codegen.
@@ -60,6 +60,56 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vector_l2q(a, b)` — native Catalyst squared-L2 distance over
+  * `ArrayType(LongType)` (quantized-integer vectors) with whole-stage
+  * codegen.
+  *
+  * The quantized distance kernel behind sim_kmeans / sim_ivfpq argmin: the
+  * `aggregate(zip_with(...))` form runs interpreted (two boxed lambda calls
+  * per element — for an 8-subvector PQ pass over the corpus that is the
+  * dominant cost); this compiles to a primitive `long` loop. Sum over the
+  * common prefix length, exact (integer addition is order-free, so there is
+  * no float-congruence caveat — the DuckDB twin is `list_sum` of the
+  * squared diffs).
+  */
+case class VectorL2Q(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vector_l2q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = x.getLong(i) - y.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorL2Q =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   private val vectorDotInfo = new ExpressionInfo(
     classOf[VectorDot].getName, null, "vector_dot",
@@ -69,6 +119,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_l2q", exprs => VectorL2Q(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_long60", exprs => Md5Long(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -100,6 +152,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, null, "vector_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_l2q"),
+      new ExpressionInfo(classOf[VectorL2Q].getName, null, "vector_l2q"),
+      (exprs: Seq[Expression]) => VectorL2Q(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long].getName, null, "md5_long60"),

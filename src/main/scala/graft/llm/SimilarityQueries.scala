@@ -314,14 +314,16 @@ object SimilarityQueries {
     }) { (s, d) =>
       val k = 8
       val scale = 10000
+      graft.functions.GraftFunctions.register(s)
       val xq = Tables.embeddings(s, d)
         .select(col("vec_id"),
           expr(s"transform(embedding, v -> cast(round(cast(v as double) * $scale, 0) as bigint))").as("xq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c0 = xq.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("xq").as("carr"))
-      // integer squared L2, folded left-to-right (order-free: exact ints)
-      val distExpr = "aggregate(zip_with(xq, carr, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, v) -> acc + v)"
+      // integer squared L2 — codegen'd primitive loop (the interpreted
+      // zip_with/aggregate twin is property-tested equal in FunctionsSpec)
+      val distExpr = "vector_l2q(xq, carr)"
       def assign(cents: org.apache.spark.sql.DataFrame) = xq
         .crossJoin(broadcast(cents)) // k×d constant-size table — broadcast by construction
         .withColumn("dist", expr(distExpr))
@@ -452,8 +454,10 @@ object SimilarityQueries {
          |ORDER BY query_id, neighbor_id""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.DataFrame
-      // integer squared L2 over equal-length bigint arrays, exact fold
-      val dist = "aggregate(zip_with(av, bv, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+      graft.functions.GraftFunctions.register(s)
+      // integer squared L2 over equal-length bigint arrays — codegen'd
+      // primitive loop; exact, so partial order can't leak into the gate
+      val dist = "vector_l2q(av, bv)"
       def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
         .withColumn("dist", expr(dist))
         .groupBy(keys.map(col): _*)

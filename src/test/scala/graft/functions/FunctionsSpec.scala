@@ -17,6 +17,7 @@ class FunctionsSpec extends SparkSpec {
       .withExtensions(new GraftExtensions).getOrCreate()
     try {
       assert(s2.sql("SELECT vector_dot(array(1.0D,2.0D), array(3.0D,4.0D))").head.getDouble(0) == 11.0)
+      assert(s2.sql("SELECT vector_l2q(array(1L,5L), array(3L,2L))").head.getLong(0) == 13L)
       assert(s2.sql("SELECT md5_long60('abc')").head.getLong(0) > 0L)
       assert(s2.sql("SELECT size(rolling_hash('abcdefghij', 8))").head.getInt(0) == 3)
       assert(s2.sql("SELECT size(minhash_sigs(rolling_hash('abcdefghij', 5)))").head.getInt(0) == 16)
@@ -38,6 +39,28 @@ class FunctionsSpec extends SparkSpec {
       .withColumn("hof", expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
     val mismatches = df.filter(col("native") =!= col("hof")).count()
     assert(mismatches == 0, "sequential sum must be identical to the lambda fold")
+  }
+
+  test("vector_l2q (codegen Expression) matches the interpreted HOF form exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    // quantized-embedding regime: components in the ±10^4·|x| envelope the
+    // pqScale quantization produces
+    val rows = Seq.fill(100)((Seq.fill(64)(rnd.nextLong() % 20000L),
+      Seq.fill(64)(rnd.nextLong() % 20000L)))
+    val df = rows.toDF("a", "b")
+      .withColumn("native", expr("vector_l2q(a, b)"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, v) -> acc + v)"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // nulls and ragged lengths: common-prefix sum, null-propagating
+    val edge = Seq(
+      (Some(Seq(1L, 5L)), Some(Seq(3L, 2L, 99L))), // (1-3)^2 + (5-2)^2 = 13
+      (None, Some(Seq(1L)))).toDF("a", "b")
+      .withColumn("d", expr("vector_l2q(a, b)"))
+    val got = edge.select("d").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(13L), None))
   }
 
   test("vector_dot handles nulls and ragged lengths") {

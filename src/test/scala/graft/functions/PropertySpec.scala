@@ -104,4 +104,19 @@ class PropertySpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(exp)
     })
   }
+
+  test("vector_l2q is the exact common-prefix sum of squared differences") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val vec = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-20000L, 20000L)))
+    check(Prop.forAll(vec, vec) { (a: List[Long], b: List[Long]) =>
+      val got = VectorL2Q(
+        Literal.create(a.toArray, ArrayType(LongType)),
+        Literal.create(b.toArray, ArrayType(LongType))
+      ).eval(null).asInstanceOf[Long]
+      val exp = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      got == exp
+    })
+  }
 }

@@ -18,22 +18,27 @@ object JoinQueries {
   val all: Seq[Q] = Seq(
 
     // J1/J2 — enrichment lookup: fact (lineitem) joined to a small dimension
-    // (supplier). Broadcast hint: zero shuffle of the fact side — the Spark
-    // answer to the reference's async per-record lookups.
+    // (supplier) — the Spark answer to the reference's async per-record
+    // lookups. NO broadcast hint: supplier grows with scale factor, so the
+    // build-side choice belongs to AQE's measured runtime stats (it picks
+    // broadcast whenever the dim actually fits), not to a hard-coded hint
+    // that becomes a driver OOM at some SF.
     Q("j1_enrich_lookup",
       s"""SELECT l_orderkey, l_linenumber, l_quantity, s_name
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "s_name")
         .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Multi-way star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region —
-    // revenue by region (TPC-H Q5 shape). Dims broadcast; the single big
-    // shuffle is the final (tiny) aggregate.
+    // revenue by region (TPC-H Q5 shape). nation/region keep explicit
+    // broadcast hints (25/5 rows at EVERY scale factor — constant by the
+    // schema, not by measurement); customer grows linearly with SF, so its
+    // build side is AQE's runtime call.
     Q("q5_revenue_by_region",
       s"""SELECT r_name, ${sqlExactSum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem
@@ -44,7 +49,7 @@ object JoinQueries {
          |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
@@ -194,9 +199,13 @@ object JoinQueries {
       // both engines, while a display round() can land on a true decimal
       // tie (count = 2^a·5^b makes sum/count exactly x.xxxx5) where Spark
       // HALF_UP and DuckDB's binary rounding disagree — observed at sf0.1.
+      // dim is one row PER USER aggregated from the fact table itself — a
+      // data-dependent size that is unbounded at 100 TB, so no broadcast
+      // hint; AQE measures the aggregate's actual size and picks the build
+      // side (it still broadcasts at test SFs, by measurement not fiat)
       val ev = Tables.events(s, d)
       val dim = ev.groupBy("user_id").agg(exactAvg("value").as("user_avg"))
-      ev.join(broadcast(dim), Seq("user_id"))
+      ev.join(dim, Seq("user_id"))
         .filter(col("value") > col("user_avg") * 1.5)
         .select("event_id", "user_id", "value", "user_avg")
         .orderBy("event_id")

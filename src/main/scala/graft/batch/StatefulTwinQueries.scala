@@ -83,10 +83,12 @@ object StatefulTwinQueries {
          |FROM events e JOIN cfg ON e.user_id = cfg.user_id
          |WHERE e.value > CAST(cfg.threshold AS DOUBLE)
          |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      // cfg is per-user (data-dependent, unbounded at scale) — unhinted;
+      // AQE picks the build side from the aggregate's measured size
       val ev = Tables.events(s, d)
       val cfg = ev.groupBy("user_id")
         .agg(dec4(avg("value") + lit(2) * stddev_samp("value")).as("threshold"))
-      ev.join(broadcast(cfg), Seq("user_id"))
+      ev.join(cfg, Seq("user_id"))
         .filter(col("value") > col("threshold").cast("double"))
         .select("event_id", "user_id", "value", "threshold")
         .orderBy("event_id")

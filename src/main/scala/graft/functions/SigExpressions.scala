@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType}
 
 import graft.llm.LlmHash
 
@@ -83,6 +83,62 @@ case class SimHashSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
+}
+
+/** `hash_hist(garr)` — per-document (gram-hash → count) histogram of a
+  * `rolling_hash` array as `MAP<BIGINT, BIGINT>`, built row-locally in one
+  * pass (sort + run-length encode over a primitive long array — no boxing,
+  * no per-element hash-table probe).
+  *
+  * The gram-histogram stance (same argument as [[MinHashSigs]]): queries
+  * that need per-doc n-gram counts (language-ID profiles, rare-bigram
+  * scoring) previously exploded ONE ROW PER CHAR POSITION and rebuilt the
+  * histogram in a hash aggregate — |chars| rows materialized through the
+  * operator, a per-position substring allocation, and a hash-agg probe per
+  * gram. `explode(hash_hist(rolling_hash(lower(text), k)))` starts the
+  * query at |docs × distinct-grams-per-doc| rows instead. For k ≤ 3 over
+  * ASCII text the polynomial hash is INJECTIVE (max value ≈ 127·(257²+257+1)
+  * < P), so the hash IS the gram identity; the DuckDB oracle computes the
+  * congruent direct polynomial per position and aggregates — identical
+  * histograms, engine-exact.
+  */
+case class HashHist(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def prettyName: String = "hash_hist"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashHist.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashHist.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashHist =
+    copy(child = newChild)
+}
+
+object HashHist {
+  def compute(garr: ArrayData): MapData = {
+    val a = garr.toLongArray() // defensive copy — sort must not mutate input
+    java.util.Arrays.sort(a)
+    val n = a.length
+    var distinct = 0
+    var i = 0
+    while (i < n) { // count runs
+      if (i == 0 || a(i) != a(i - 1)) distinct += 1
+      i += 1
+    }
+    val keys = new Array[Long](distinct)
+    val counts = new Array[Long](distinct)
+    i = 0
+    var k = -1
+    while (i < n) {
+      if (i == 0 || a(i) != a(i - 1)) { k += 1; keys(k) = a(i) }
+      counts(k) += 1
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(counts))
+  }
 }
 
 object SimHashSig {

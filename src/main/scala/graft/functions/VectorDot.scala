@@ -130,6 +130,8 @@ object GraftFunctions {
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_hist", exprs => HashHist(exprs.head), "built-in")
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in SQL; the builder makes the bloom PREFILTER
     // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
@@ -176,6 +178,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, null, "simhash_sig"),
       (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hash_hist"),
+      new ExpressionInfo(classOf[HashHist].getName, null, "hash_hist"),
+      (exprs: Seq[Expression]) => HashHist(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -368,9 +368,17 @@ object TextQueries {
     // final division is one deterministic FP op. Scale shape: bigram model
     // is |alphabet²|-sized (AQE-broadcast into the scoring join); the
     // per-doc count map-side-combines to |docs| rows before its shuffle.
-    Q("tx_rare_bigram",
+    Q("tx_rare_bigram", {
+      // bigram IDENTITY is the rolling-hash polynomial value, not the
+      // 2-char string: over ASCII text h = c0·257 + c1 < P is INJECTIVE, so
+      // counts are identical and both engines agree bit-for-bit — while the
+      // Spark side gets to fold the whole histogram row-locally (hash_hist)
+      // instead of exploding a row per char position
+      import graft.functions.RollingHash.{B => RB, P => RP}
       s"""WITH bg AS (
-         |  SELECT doc_id, substring(lower(text), CAST(i AS INT), 2) AS bigram
+         |  SELECT doc_id,
+         |    ((CAST(ord(substring(lower(text), CAST(i AS INT), 1)) AS BIGINT) * $RB) % $RP
+         |     + CAST(ord(substring(lower(text), CAST(i + 1 AS INT), 1)) AS BIGINT)) % $RP AS bigram
          |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
          |  WHERE length(text) >= 2
          |),
@@ -384,18 +392,18 @@ object TextQueries {
          |)
          |SELECT doc_id, n_bigrams, n_rare,
          |  round(n_rare * 1.0 / n_bigrams, 4) AS rare_ratio
-         |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // raw bigram rows never cross a join: the per-doc count collapses the
-      // explode map-side (|docs × distinct-bigrams-per-doc| rows out), the
-      // model aggregates FROM those counts, and the scoring join runs at
-      // the aggregated level with the alphabet²-sized model AQE-broadcast
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      // the per-doc histogram folds ROW-LOCALLY (hash_hist over the O(n)
+      // rolling-hash pass) — char-grain rows never exist; the query starts
+      // at |docs × distinct-bigrams-per-doc| rows, the model aggregates
+      // FROM those counts, and the scoring join runs at the aggregated
+      // level with the alphabet²-sized model AQE-broadcast
+      graft.functions.GraftFunctions.register(s)
       val dc = Tables.documents(s, d)
         .filter(length(col("text")) >= 2)
         .select(col("doc_id"),
-          explode(expr("sequence(1, length(text) - 1)")).as("i"),
-          lower(col("text")).as("lt"))
-        .select(col("doc_id"), expr("substring(lt, i, 2)").as("bigram"))
-        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          explode(expr("hash_hist(rolling_hash(lower(text), 2))")).as(Seq("bigram", "c")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val model = dc.groupBy("bigram").agg(sum("c").as("cnt"))
       dc.join(model, Seq("bigram"))
@@ -858,8 +866,16 @@ object TextQueries {
         val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
         s"WHEN $rest THEN '$l'"
       }.mkString(" ")
+      // trigram identity = rolling-hash polynomial (injective over ASCII,
+      // see tx_rare_bigram) — lets the Spark side fold per-doc histograms
+      // row-locally; the profile tiebreak orders by the hash in BOTH
+      // engines, so boundary selection stays identical
+      import graft.functions.RollingHash.{B => RB, P => RP}
       s"""WITH tg AS (
-         |  SELECT doc_id, lang, substring(lower(text), CAST(i AS INT), 3) AS tri
+         |  SELECT doc_id,
+         |    ((CAST(ord(substring(lower(text), CAST(i AS INT), 1)) AS BIGINT) * ${RB * RB % RP}) % $RP
+         |     + (CAST(ord(substring(lower(text), CAST(i + 1 AS INT), 1)) AS BIGINT) * $RB) % $RP
+         |     + CAST(ord(substring(lower(text), CAST(i + 2 AS INT), 1)) AS BIGINT)) % $RP AS tri
          |  FROM documents, unnest(generate_series(1, length(text) - 2)) AS t(i)
          |  WHERE length(text) >= 3
          |),
@@ -877,21 +893,29 @@ object TextQueries {
          |  $scoreCols
          |  FROM g JOIN lp p ON p.tri = g.tri
          |  GROUP BY g.doc_id
+         |),
+         |base AS (
+         |  SELECT d.doc_id, d.lang AS declared_lang,
+         |    ${langs.map(l => s"coalesce(s_$l, 0) AS s_$l").mkString(", ")}
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |)
-         |SELECT d.doc_id, d.lang AS declared_lang,
-         |  ${langs.map(l => s"coalesce(s_$l, 0) AS s_$l").mkString(", ")},
+         |SELECT doc_id, declared_lang, ${langs.map(l => s"s_$l").mkString(", ")},
          |  CASE $argmax ELSE '${langs.last}' END AS predicted_lang
-         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |FROM base
+         |ORDER BY doc_id""".stripMargin
+      // ^ the argmax CASE runs over the coalesced sub-select (`base`), not
+      // the raw LEFT JOIN: in DuckDB a same-SELECT alias does NOT shadow
+      // the sc table column, so a doc with no profile hits fed NULLs into
+      // every comparison and fell through to the ELSE — while Spark
+      // coalesces BEFORE the CASE. Coalesce-then-argmax in both engines.
     }) { (s, d) =>
       val langs = Seq("de", "en", "es", "fr", "zh")
       val docs = Tables.documents(s, d)
+      graft.functions.GraftFunctions.register(s)
       val g = docs
         .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), explode(expr("sequence(1, length(text) - 2)")).as("i"),
-          lower(col("text")).as("lt"))
-        .select(col("doc_id"), expr("substring(lt, i, 3)").as("tri"))
-        .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"),
+          explode(expr("hash_hist(rolling_hash(lower(text), 3))")).as(Seq("tri", "c")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy("lang").orderBy(col("lc").desc, col("tri"))
       val lp = g.join(docs.select("doc_id", "lang"), "doc_id")

@@ -145,6 +145,25 @@ class FunctionsSpec extends SparkSpec {
     assert(simViaExpr.except(simViaAgg).isEmpty && simViaAgg.except(simViaExpr).isEmpty)
   }
 
+  test("hash_hist row-local histogram matches the explode+groupBy form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(17)
+    // heavy-repetition regime: small alphabet → many duplicate grams per doc
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(20 + rnd.nextInt(200))("abcd"(rnd.nextInt(4))).mkString))
+      .toDF("doc_id", "text")
+      .filter(length(col("text")) >= 3)
+    val viaHist = docs
+      .select(col("doc_id"), explode(expr("hash_hist(rolling_hash(text, 3))")).as(Seq("h", "c")))
+    val viaAgg = docs
+      .select(col("doc_id"), explode(expr("rolling_hash(text, 3)")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    assert(viaHist.except(viaAgg).isEmpty && viaAgg.except(viaHist).isEmpty)
+    // empty-array input folds to an empty map (explode drops the row)
+    assert(spark.sql("SELECT map_keys(hash_hist(array()))").head.getSeq[Long](0).isEmpty)
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

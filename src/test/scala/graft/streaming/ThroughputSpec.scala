@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** Measured streaming-rate parity (BASELINE.md "streaming parity": sustain
+  * ≥100 rec/s/partition through the reference topologies with 1 s windows).
+  *
+  * The reference generator emits 100 readings/s/partition
+  * (`util/SensorSource.scala:48-64`, 10 sensors × 100 ms sleep); earlier
+  * rounds argued the rate-source emulators meet that by construction. This
+  * spec MEASURES it: the W1 pipeline (sensor rate source → 5 s watermark →
+  * 1 s tumbling windows → memory sink, update mode) runs at 25× the
+  * reference rate and sustained throughput is computed from the engine's
+  * own progress stream over ≥10 s of steady state, then written to
+  * `STREAM_RATE.json` so the number is a committed artifact, not an
+  * assertion in a log.
+  *
+  * Methodology: the first progress entry absorbs codegen/state-store
+  * warmup and is excluded; sustained rate = Σ numInputRows of subsequent
+  * entries / their timestamp span. The assert floor is the BASELINE target
+  * (100 rec/s/partition); the measured value at 25× headroom documents the
+  * actual capacity margin on local[4].
+  */
+class ThroughputSpec extends SparkSpec {
+
+  test("W1 pipeline sustains >=100 rec/s/partition over >=10s (measured)") {
+    val numPartitions = 4
+    val perPartitionRate = 2500 // 25x the 100 rec/s/partition target
+    val readings = SensorSources.sensorStream(
+      spark, numPartitions = numPartitions,
+      readingsPerSecondPerPartition = perPartitionRate)
+    val ckpt = Files.createTempDirectory("rate_ckpt").toString
+    val q = EventTimePipelines.windowedAvg(readings, size = "1 second")
+      .writeStream.format("memory").queryName("rate_w1")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      // run until the post-warmup progress span covers >= 11s (deadline 90s)
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      def dataProgress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      def spanSec(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Double =
+        if (ps.size < 2) 0.0
+        else (Instant.parse(ps.last.timestamp).toEpochMilli -
+          Instant.parse(ps.head.timestamp).toEpochMilli) / 1000.0
+      while (spanSec(dataProgress.drop(1)) < 11.0 && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      val steady = dataProgress.drop(1) // entry 0 pays codegen/state warmup
+      val span = spanSec(steady)
+      assert(span >= 10.0, s"never reached 10s of steady-state progress (got $span s)")
+      // rows counted over [first.timestamp, last.timestamp): the last
+      // entry's rows arrived before its own timestamp, so include them and
+      // measure to the batch AFTER the window... simplest exact form: drop
+      // the first steady entry's timestamp as t0, count rows of entries
+      // AFTER it (each entry's rows arrived between its predecessor and it)
+      val totalRows = steady.drop(1).map(_.numInputRows).sum
+      val rate = totalRows / span
+      val perPartition = rate / numPartitions
+      val json =
+        s"""{"pipeline":"sensor rate source -> 5s watermark -> 1s tumbling windows -> memory sink (update)",
+           |"partitions":$numPartitions,"offered_rows_per_sec":${perPartitionRate * numPartitions},
+           |"measured_rows_per_sec":${"%.1f".format(rate)},
+           |"measured_rows_per_sec_per_partition":${"%.1f".format(perPartition)},
+           |"target_rows_per_sec_per_partition":100,
+           |"steady_state_sec":${"%.1f".format(span)},"total_rows":$totalRows}"""
+          .stripMargin.replaceAll("\n", "")
+      Files.write(Paths.get("STREAM_RATE.json"), (json + "\n").getBytes("UTF-8"))
+      info(s"sustained $rate rows/s over $span s ($perPartition rows/s/partition)")
+      assert(perPartition >= 100.0,
+        s"sustained $perPartition rec/s/partition < 100 target (total $totalRows rows in $span s)")
+    } finally {
+      q.stop()
+    }
+  }
+}

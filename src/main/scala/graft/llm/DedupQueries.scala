@@ -247,7 +247,16 @@ object DedupQueries {
     * Fine for any quality-gated corpus (the prep pipeline drops >5000-token
     * docs); a corpus of unbounded mega-docs would switch back to the
     * exploded (doc, gram) form, which this replaced — see git history. */
-  private def jaccardDF(s: SparkSession, d: String): DataFrame = {
+  private def jaccardDF(s: SparkSession, d: String): DataFrame =
+    jaccardWithCaches(s, d)._1
+
+  /** [[jaccardDF]] plus its persisted intermediates, so an EAGER caller
+    * (the clustering loop, whose result is lineage-truncated by
+    * localCheckpoint) can unpersist them once materialization is done —
+    * a long-lived session must not accumulate stage caches. Lazy callers
+    * (dd_jaccard) keep the caches alive for the duration of their query. */
+  private def jaccardWithCaches(
+      s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val docs = Tables.documents(s, d)
     // row-local signatures; persisted because the band join and both sides
     // of the estimate join consume them (cheap: one 16-long array per doc)
@@ -273,10 +282,11 @@ object DedupQueries {
       .select(col("d1"), col("d2"),
         expr("size(array_intersect(ha, hb))").as("ic"),
         expr("size(ha)").as("na"), expr("size(hb)").as("nb"))
-    j.select(col("d1"), col("d2"),
+    val out = j.select(col("d1"), col("d2"),
       round(col("ic") * 1.0 / (col("na") + col("nb") - col("ic")), 4).as("jaccard"),
       (col("ic") * 1.0 / (col("na") + col("nb") - col("ic")) >= dupThreshold.toDouble)
         .cast("int").as("is_dup"))
+    (out, Seq(mh, cand))
   }
 
   /** Oracle CTEs extending [[jacCtes]] with connected components:
@@ -306,7 +316,8 @@ object DedupQueries {
     * localCheckpoint; the convergence count reads the checkpointed frame
     * (no extra join). */
   private[llm] def clustersDF(s: SparkSession, d: String): DataFrame = {
-    val edges = jaccardDF(s, d).filter(col("is_dup") === 1).select("d1", "d2")
+    val (jac, jacCaches) = jaccardWithCaches(s, d)
+    val edges = jac.filter(col("is_dup") === 1).select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -334,6 +345,11 @@ object DedupQueries {
     }
     // stderr (never stdout: Bench's contract is one JSON line on stdout)
     System.err.println(s"[dd_clusters] converged in $iter rounds")
+    // the loop materialized everything and `labels` is localCheckpoint-
+    // truncated (no lineage back into the chain), so the stage caches can
+    // go NOW — a long-lived session (notebook, staged pipeline) must not
+    // accumulate per-corpus cached RDDs until clearCache()
+    (jacCaches :+ edges :+ sym).foreach(_.unpersist(blocking = false))
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -50,6 +50,27 @@ class DedupSpec extends SparkSpec {
       PipelineQueries.prepDF(spark, sf("sf0.001"), stubComp))
   }
 
+  test("clustersDF leaves no cached RDDs behind (long-lived session hygiene)") {
+    // the clustering loop persists signatures/candidates/edges/sym for its
+    // own eager materialization; its result is localCheckpoint-truncated,
+    // so every stage cache must be dropped by the time it returns — a
+    // staged pipeline or notebook session must not leak per-corpus caches
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    DedupQueries.clustersDF(spark, sf("sf0.001")).write
+      .format("noop").mode("overwrite").save()
+    // localCheckpoint RDDs are persistent by design; they are reclaimed by
+    // GC via the cleaner, not unpersist — exclude them from the leak check
+    // (isCheckpointed is true for a materialized local checkpoint; the
+    // loop's count() materialized every one)
+    val leaked = sc.getPersistentRDDs.filter { case (id, rdd) =>
+      !before.contains(id) && !rdd.isCheckpointed
+    }
+    assert(leaked.isEmpty,
+      s"stage caches survived clustersDF: ${leaked.values.map(_.toString)}")
+  }
+
   test("planted near-dup pairs survive the capped LSH chain (recall harness)") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -1,5 +1,6 @@
 package graft.batch
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import Q.{dec4, sqlDec4, exactSum, sqlExactSum, exactAvg, sqlExactAvg}
@@ -181,6 +182,71 @@ object JoinQueries {
           col("l_event") =!= col("r_event"))
         .select("l_event", "r_event", "user_id", "l_value", "r_value")
         .orderBy("l_event", "r_event")
+    },
+
+    // As-of join — the time-series enrichment operator (market-data "latest
+    // quote for each trade", training-data "latest profile snapshot for each
+    // event"): each probe event (even event_ids) joins the LATEST reference
+    // event (odd event_ids) of the same user with ref.ts <= probe.ts, or
+    // NULLs if none. Spark has no ASOF JOIN; the naive forms are a per-user
+    // sort window (one mega-user = one straggler task) or a t-range theta
+    // join (quadratic). This is the skew-safe decomposition:
+    //   1. probes join same-(user, 2-min bucket) refs only (bounded per
+    //      task by bucket width, the j_interval stance) → best in-bucket;
+    //   2. per-(user, bucket) ref summaries get a prefix-max window over
+    //      the BUCKET-SUMMARY table (result-sized — the e6 bucket-
+    //      decomposed prefix pattern) → best-before-bucket carry, built on
+    //      the (user, bucket) domain of BOTH sides so probe buckets with no
+    //      refs still see the carry;
+    //   3. best = greatest(in-bucket, carry), lexicographic on
+    //      (ts, event_id) — the deterministic latest.
+    // The oracle is the independent direct form: LEFT theta join + per-probe
+    // rank. Identical tie semantics: max (ts, event_id).
+    Q("j_asof",
+      s"""WITH a AS (SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 0),
+         |b AS (SELECT event_id, user_id, ts, value FROM events WHERE event_id % 2 = 1),
+         |j AS (
+         |  SELECT a.event_id, a.user_id, a.value,
+         |    b.event_id AS ref_event_id, b.value AS ref_value,
+         |    row_number() OVER (PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) AS rn
+         |  FROM a LEFT JOIN b ON b.user_id = a.user_id AND b.ts <= a.ts
+         |)
+         |SELECT event_id, user_id, value, ref_event_id, ref_value
+         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val bucketUs = 2L * 60 * 1000 * 1000 // 2-min buckets (the j_interval width)
+      val ev = Tables.events(s, d)
+        .withColumn("bucket", expr(s"unix_micros(ts) div $bucketUs"))
+      val a = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("bucket"))
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id").as("b_user"), col("bucket").as("b_bucket"),
+          struct(col("ts").as("b_ts"), col("event_id").as("b_event_id"),
+            col("value").as("b_value")).as("bs"))
+      // 1. best same-bucket ref at-or-before each probe (join bounded by
+      //    bucket width; max(struct) is the argmax-by-(ts, event_id))
+      val inb = a.join(b,
+          col("user_id") === col("b_user") && col("bucket") === col("b_bucket") &&
+            col("bs.b_ts") <= col("ts"))
+        .groupBy("event_id").agg(max("bs").as("inb"))
+      // 2. per-bucket ref summaries + prefix carry over the bucket-summary
+      //    table, on the union domain of probe and ref buckets
+      val bsum = b.groupBy("b_user", "b_bucket").agg(max("bs").as("mb"))
+      val dom = a.select(col("user_id").as("b_user"), col("bucket").as("b_bucket"))
+        .union(bsum.select("b_user", "b_bucket")).distinct()
+      val carryW = Window.partitionBy("b_user").orderBy("b_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dom.join(bsum, Seq("b_user", "b_bucket"), "left")
+        .withColumn("cb", max("mb").over(carryW))
+        .select(col("b_user"), col("b_bucket"), col("cb"))
+      // 3. combine: lexicographic max of the two candidates (null-skipping)
+      a.join(inb, Seq("event_id"), "left")
+        .join(carry,
+          col("user_id") === col("b_user") && col("bucket") === col("b_bucket"), "left")
+        .withColumn("best", greatest(col("inb"), col("cb")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("best.b_event_id").as("ref_event_id"),
+          col("best.b_value").as("ref_value"))
+        .orderBy("event_id")
     },
 
     // Stream-static shape on events: enrich the event stream with a computed

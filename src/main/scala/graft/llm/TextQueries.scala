@@ -798,9 +798,16 @@ object TextQueries {
     // sum sees the same addends in the same order; output rounded to 4dp.
     // Scale shape: the char explode collapses map-side to
     // |docs × alphabet| rows before its only shuffle.
+    // Char identity is the CODE POINT (ord / rolling_hash k=1 — identical
+    // over ASCII and deterministic in both engines), so the per-doc
+    // histogram folds ROW-LOCALLY via hash_hist with entries pre-sorted by
+    // code: the whole query is a projection (ZERO shuffles before the
+    // output sort; previously one per-char explode + two shuffles). The
+    // entropy fold still sees identical addends in identical (code) order
+    // in both engines, so the float sum stays bit-stable.
     Q("tx_entropy",
       s"""WITH cs AS (
-         |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+         |  SELECT doc_id, ord(substring(text, CAST(i AS INT), 1)) AS ch
          |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
          |  WHERE length(text) >= 1
          |),
@@ -813,17 +820,15 @@ object TextQueries {
          |SELECT doc_id, n AS n_chars, n_distinct,
          |  round(list_sum(list_transform(hist, c -> -(c * 1.0 / n) * log2(c * 1.0 / n))), 4) AS entropy
          |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val cnt = Tables.documents(s, d)
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
         .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), explode(expr("sequence(1, length(text))")).as("i"),
-          col("text"))
-        .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      cnt.groupBy("doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(ch, c))), p -> p.c)").as("hist"),
-          sum("c").as("n"), count(lit(1)).as("n_distinct"))
-        .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
-          expr("round(aggregate(hist, 0.0D, (acc, c) -> acc - (c * 1.0D / n) * log2(c * 1.0D / n)), 4)").as("entropy"))
+        .select(col("doc_id"),
+          expr("map_values(hash_hist(rolling_hash(text, 1)))").as("hist"),
+          length(col("text")).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("hist")).cast("long").as("n_distinct"),
+          expr("round(aggregate(hist, 0.0D, (acc, c) -> acc - (c * 1.0D / n_chars) * log2(c * 1.0D / n_chars)), 4)").as("entropy"))
         .orderBy("doc_id")
     },
 

@@ -40,10 +40,15 @@ object Md5Long {
     MessageDigest.getInstance("MD5"))
 
   /** First 60 bits of md5(bytes): ((bytes 0..6) << 4) | (byte7 >>> 4). */
-  def hash60(bytes: Array[Byte]): Long = {
+  def hash60(bytes: Array[Byte]): Long = hash60(bytes, 0, bytes.length)
+
+  /** Slice form — hashes bytes[off, off+len) without copying (the gram hot
+    * loop hashes every k-byte window of one shared buffer). */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

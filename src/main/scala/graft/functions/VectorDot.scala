@@ -132,6 +132,12 @@ object GraftFunctions {
       "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_hist", exprs => HashHist(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_grams", exprs =>
+        Md5Grams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow", exprs =>
+        Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in SQL; the builder makes the bloom PREFILTER
     // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
@@ -182,6 +188,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("hash_hist"),
       new ExpressionInfo(classOf[HashHist].getName, null, "hash_hist"),
       (exprs: Seq[Expression]) => HashHist(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5_grams"),
+      new ExpressionInfo(classOf[Md5Grams].getName, null, "md5_grams"),
+      (exprs: Seq[Expression]) =>
+        Md5Grams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, null, "winnow"),
+      (exprs: Seq[Expression]) =>
+        Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -481,19 +481,15 @@ object TextQueries {
          |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= greatest(ng - ${winLen - 1}, 1)
          |ORDER BY doc_id, fp""".stripMargin
     }) { (s, d) =>
+      // winnow folds the sliding-window minima + per-doc distinct on the
+      // row (monotonic deque, O(grams)); the query is a pure projection —
+      // the former explode + per-doc window + distinct shape moved every
+      // (doc, pos, hash) row through a sort to compute this
       graft.functions.GraftFunctions.register(s)
-      val g = Tables.documents(s, d)
+      Tables.documents(s, d)
         .filter(length(col("text")) >= 8)
-        .withColumn("ng", expr("length(text) - 7"))
-        .select(col("doc_id"), col("ng"),
-          posexplode(expr("rolling_hash(text, 8)")).as(Seq("p0", "h")))
-        .withColumn("pos", col("p0") + 1)
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, winLen - 1)
-      g.withColumn("fp", min("h").over(w))
-        .filter(col("pos") <= greatest(col("ng") - (winLen - 1), lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
+        .select(col("doc_id"),
+          explode(expr(s"winnow(rolling_hash(text, 8), $winLen)")).as("fp"))
         .orderBy("doc_id", "fp")
     },
 
@@ -1129,24 +1125,16 @@ object TextQueries {
          |    generate_series(1, greatest(len(g) - ${winLen - 1}, 1)),
          |    j -> list_min(list_slice(g, j, j + ${winLen - 1}))))) AS fp
          |FROM ga ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
-      // Spark body: explode + codegen'd md5 (array lambdas run interpreted —
-      // measured 2x slower), then a per-doc window min over full windows
-      // only. The window sort and the following distinct both reuse the
-      // single hash partitioning on doc_id — one exchange total.
+      // Spark body mirrors the oracle's row-local form with codegen'd
+      // Expressions in place of interpreted list lambdas: md5_grams hashes
+      // every 8-char window off ONE shared byte buffer per doc, winnow
+      // folds the window minima + distinct in an O(grams) deque pass —
+      // pure projection, zero shuffles before the output sort (the former
+      // shape exploded a row per char position through a per-doc window)
       graft.functions.GraftFunctions.register(s)
-      val g = Tables.documents(s, d)
-        .withColumn("ng", expr(s"greatest(length(text) - ${gramLen - 1}, 1)"))
-        .withColumn("pos", explode(expr("sequence(1, ng)")))
-        .select(col("doc_id"), col("ng"), col("pos"),
-          expr(sparkH(s"substring(text, pos, $gramLen)")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.currentRow, winLen - 1)
-      g.withColumn("fp", min("h").over(w))
-        // winnowing keeps full windows only (the oracle's list_slice form);
-        // short docs (< one window) keep their single truncated window
-        .filter(col("pos") <= greatest(col("ng") - (winLen - 1), lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(s"winnow(md5_grams(text, $gramLen), $winLen)")).as("fp"))
         .orderBy("doc_id", "fp")
     },
   )

@@ -164,6 +164,40 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT map_keys(hash_hist(array()))").head.getSeq[Long](0).isEmpty)
   }
 
+  test("md5_grams matches md5_long60(substring) per position, incl. short docs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val strs = Seq("", "abc", "exactly8", "ünïcode mixed ascii tail") ++
+      Seq.fill(100)(rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val df = strs.toDF("s")
+      .withColumn("fast", expr("md5_grams(s, 8)"))
+      .withColumn("ref", expr(
+        "transform(sequence(1, greatest(length(s) - 7, 1)), i -> md5_long60(substring(s, i, 8)))"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("winnow matches the explode + window-min + distinct form") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(29)
+    // duplicate-heavy values force real dedup; lengths straddle the window
+    val rows = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(60))(rnd.nextInt(20).toLong)))
+    val df = rows.toDF("id", "g")
+    val viaExpr = df.select(col("id"), explode(expr("winnow(g, 16)")).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, 15)
+    val viaWindow = df
+      .select(col("id"), size(col("g")).as("n"), posexplode(col("g")).as(Seq("pos", "h")))
+      .withColumn("fp", min("h").over(w))
+      .filter(col("pos") <= greatest(col("n") - 16, lit(0))) // 0-based pos
+      .select("id", "fp").distinct()
+    assert(viaExpr.except(viaWindow).isEmpty && viaWindow.except(viaExpr).isEmpty)
+    // empty input -> empty fingerprint set
+    assert(spark.sql("SELECT size(winnow(array(), 16))").head.getInt(0) == 0)
+  }
+
   test("MinHashAggregator computes per-seed minima with a correct distributed merge") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

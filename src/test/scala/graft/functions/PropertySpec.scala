@@ -119,4 +119,19 @@ class PropertySpec extends AnyFunSuite {
       got == exp
     })
   }
+
+  test("winnow is the sorted distinct set of full-window sliding minima") {
+    val arr = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 30L))) // heavy ties
+    val win = Gen.chooseNum(1, 20)
+    check(Prop.forAll(arr, win) { (g: List[Long], w: Int) =>
+      val got = Winnow.compute(
+        ArrayData.toArrayData(g.toArray), w).toLongArray().toSeq
+      val exp =
+        if (g.isEmpty) Seq.empty[Long]
+        else (0 until math.max(g.length - w + 1, 1))
+          .map(j => g.slice(j, j + w).min).distinct.sorted
+      got == exp
+    })
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.SensorReading
 
 /** Stream-stream joins — surface the reference does NOT have (its
@@ -42,4 +43,50 @@ object StreamJoins {
       joinType)
       .drop("rid")
   }
+
+  /** A probe reading enriched with the latest same-key reference reading
+    * at-or-before it (None until the first reference arrives). */
+  case class AsOfEnriched(id: String, ts: Long, temp: Double,
+      refTs: Option[Long], refTemp: Option[Double])
+
+  /** Streaming as-of join — the temporal-table-join topology (latest quote
+    * per trade, latest snapshot per event) and the streaming twin of the
+    * batch `j_asof` operator. Structured Streaming's stream-stream join
+    * has no "latest matching row" form (every range match is emitted), so
+    * this is the (c)-path custom operator: union-ADT + ONE
+    * flatMapGroupsWithState whose per-key state is the single latest
+    * reference (constant bytes per key — smaller than any buffering join).
+    *
+    * Within a micro-batch rows process in event-time order with references
+    * before probes at equal ts, so a probe sees exactly the references
+    * at-or-before it (the batch `<=` semantics). ACROSS batches the
+    * envelope is the streaming reality shared with Flink's
+    * processing-time temporal join: a reference arriving in a later batch
+    * cannot retro-enrich an earlier batch's probes. Probes are never
+    * buffered awaiting late references; they enrich against the newest
+    * state seen so far. */
+  def asofEnrich(probes: Dataset[SensorReading],
+      refs: Dataset[SensorReading]): Dataset[AsOfEnriched] = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val routed = probes.map(r => StatefulOps.Routed(r.id, 0, r.timestamp, r.temperature, 0L, 0.0))
+      .union(refs.map(r => StatefulOps.Routed(r.id, 1, r.timestamp, r.temperature, 0L, 0.0)))
+    routed.groupByKey(_.key)
+      .flatMapGroupsWithState[LastRef, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id, rows, state: GroupState[LastRef]) =>
+          var st = state.getOption.getOrElse(LastRef(None, None))
+          val out = Seq.newBuilder[AsOfEnriched]
+          // event-time order, refs (kind 1) before probes at equal ts —
+          // the batch operator's tie semantics
+          rows.toSeq.sortBy(r => (r.ts, -r.kind)).foreach { r =>
+            if (r.kind == 1) st = LastRef(Some(r.ts), Some(r.temp))
+            else out += AsOfEnriched(id, r.ts, r.temp, st.ts, st.temp)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class LastRef(ts: Option[Long], temp: Option[Double])
 }

@@ -27,4 +27,35 @@ class StreamJoinsSpec extends SparkSpec {
     assert(rows == Set(("sensor_1", 42.0, 10.0)),
       s"only same-key, in-interval rows may join: $rows")
   }
+
+  test("streaming as-of join enriches each probe with the latest earlier reference") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[SensorReading]
+    val refs = MemoryStream[SensorReading]
+    val out = StreamJoins.asofEnrich(probes.toDS(), refs.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+
+    // batch 1: refs at 1000/3000, probes straddling them
+    refs.addData(
+      SensorReading("sensor_1", 1000L, 10.0),
+      SensorReading("sensor_1", 3000L, 30.0),
+      SensorReading("sensor_2", 500L, 99.0))
+    probes.addData(
+      SensorReading("sensor_1", 500L, 1.0),   // before any ref -> None
+      SensorReading("sensor_1", 2000L, 2.0),  // after ref@1000 -> 10.0
+      SensorReading("sensor_1", 3000L, 3.0),  // tie: ref at SAME ts wins (<=)
+      SensorReading("sensor_1", 5000L, 4.0))  // after ref@3000 -> 30.0
+    q.processAllAvailable()
+    // batch 2: state carries the latest ref across batches
+    probes.addData(SensorReading("sensor_1", 9000L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("asof_out").as[StreamJoins.AsOfEnriched]
+      .collect().map(e => (e.ts, e.refTemp)).toSet
+    q.stop()
+    assert(rows == Set(
+      (500L, None), (2000L, Some(10.0)), (3000L, Some(30.0)),
+      (5000L, Some(30.0)), (9000L, Some(30.0))), s"got: $rows")
+  }
 }

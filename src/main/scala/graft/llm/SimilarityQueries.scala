@@ -49,7 +49,7 @@ object SimilarityQueries {
   private def vectors(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
   }
 
@@ -98,7 +98,7 @@ object SimilarityQueries {
   private[llm] def semDedupDF(emb: DataFrame): DataFrame = {
     val n = emb
       .select(col("vec_id"), col("label").cast("long").as("cell"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
     val p = n.as("a")
       .join(n.as("b"),
@@ -198,7 +198,7 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> cast(x as double))").as("v"))
+          col("embedding").cast("array<double>").as("v"))
       val n = e.withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
       val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       val cent = ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))

@@ -30,6 +30,10 @@ object SimilarityQueries {
   /** every 50th vector is a "query" — a deterministic stand-in for a query
     * batch arriving from upstream */
   private val querySel = "vec_id % 50 = 0"
+  /** Matryoshka prefix length for sim_twostage's coarse pass. */
+  private val preDim = 16
+  /** stage-1 candidates per query retained for exact re-rank (5× topK). */
+  private val twoStageC = 25
   /** SemDeDup cosine threshold (raw-double compare, engine-congruent). */
   private val semTau = "0.35"
   /** IVF-PQ geometry: M subspaces × subDim dims, k codes per subspace,
@@ -518,6 +522,68 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
       adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
         .select("query_id", "neighbor_id", "adist")
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // Two-stage retrieval (the Matryoshka / re-rank shape): a cheap coarse
+    // pass scores every candidate on only the FIRST preDim=16 of 64 dims
+    // (prefix-truncated embeddings carry most of the signal when trained
+    // Matryoshka-style — and 4x less arithmetic + memory traffic per
+    // candidate either way), keeps the top C=25 per query, then an exact
+    // full-dimension pass re-ranks only those C. Everything is QUANTIZED-
+    // INTEGER (the sim_kmeans stance) so both stages' rankings are exact —
+    // partial order can't leak into the hash gate. Scale shape: stage 1's
+    // window ranks NARROW (query, neighbor, dist) rows — the wide vectors
+    // are NOT carried through the sort (the dd_minhash_lsh lesson); the
+    // |Q|·C survivor table then joins BACK to the corpus for full vectors
+    // (prune-first, AQE broadcasts the tiny side); stage 2 touches |Q|·C
+    // vectors instead of |Q|·|corpus|. In production stage 1 is served by
+    // any of the ANN paths (sim_ann_lsh / sim_ivf / sim_ivfpq); the prefix
+    // scan here keeps the oracle exact.
+    Q("sim_twostage", {
+      def dN(n: Int)(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, $n), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |px AS (SELECT vec_id, xq, list_slice(xq, 1, $preDim) AS pre FROM xq),
+         |q AS (SELECT vec_id AS query_id, xq AS qx, pre AS qpre FROM px WHERE $querySel),
+         |s1 AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, ${dN(preDim)("c.pre", "q.qpre")} AS cdist
+         |  FROM px c, q WHERE c.vec_id <> q.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY cdist, neighbor_id) <= $twoStageC
+         |),
+         |s2 AS (
+         |  SELECT s1.query_id, s1.neighbor_id, s1.cdist, ${dN(LlmHash.dims)("c.xq", "q.qx")} AS fdist
+         |  FROM s1 JOIN px c ON c.vec_id = s1.neighbor_id JOIN q ON q.query_id = s1.query_id
+         |)
+         |SELECT query_id, neighbor_id, cdist, fdist FROM s2
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fdist, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+        .withColumn("pre", expr(s"slice(xq, 1, $preDim)"))
+      val q = xq.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("xq").as("qx"), col("pre").as("qpre"))
+      val w1 = Window.partitionBy("query_id").orderBy(col("cdist"), col("neighbor_id"))
+      val s1 = xq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(pre, qpre)").as("cdist"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= twoStageC)
+        .select("query_id", "neighbor_id", "cdist")
+      val w2 = Window.partitionBy("query_id").orderBy(col("fdist"), col("neighbor_id"))
+      s1.join(xq.select(col("vec_id").as("neighbor_id"), col("xq")), "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qx"))), "query_id")
+        .withColumn("fdist", expr("vector_l2q(xq, qx)"))
+        .withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") <= topK)
+        .select("query_id", "neighbor_id", "cdist", "fdist")
         .orderBy("query_id", "neighbor_id")
     },
 

@@ -60,6 +60,9 @@ object TextQueries {
   private val blockList = "'slow','mojibake','gibberish'"
   private val shufShards = 8 // training shards for tx_shuffle
   private val triProfile = 40 // trigrams per language profile (textcat)
+  private val bm25TopK = 10 // results per retrieval query
+  private val bm25QTok = 8 // query = first 8 tokens of each held-out eval doc
+  private val qfDim = 1024 // hashed feature dim for the quality classifier
 
   /** PII regexes: bracket classes only — no backslash escapes, no word
     * boundaries — so Java regex (Spark) and RE2 (DuckDB) agree exactly.
@@ -67,6 +70,45 @@ object TextQueries {
   private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
   private val piiPhone = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
   private val piiIp = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** tx_bm25 body over any (doc_id, text) frame — factored so the spec can
+    * drive it with planted term overlaps. Queries are the first [[bm25QTok]]
+    * tokens of each `doc_id % evalMod == 0` doc; k1=1.2, b=0.75 (written as
+    * 2.2 = k1+1 and 0.25 = 1-b); contributions quantize to 6-dp scaled longs
+    * so the per-doc sum and the rank key are exact integers. */
+  private[llm] def bm25DF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+    val tf = tk.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(
+      expr("cast(sum(dl) as double) / count(*)").as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val qt = tk.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(expr(s"slice(toks, 1, $bm25QTok)")).as("token"))
+      .distinct()
+    val contrib = "ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))" +
+      " * (tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * dl / avgdl))"
+    val sc = qt.join(tf, "token") // query-term side is benchmark-sized → AQE broadcast
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"cast(round(($contrib) * 1000000, 0) as bigint)")).as("sq"))
+    val w = Window.partitionBy("query_id").orderBy(col("sq").desc, col("doc_id"))
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= bm25TopK)
+      // UNROUNDED: sq is an exact scaled integer, so sq/1e6 rounds onto
+      // 4-dp ties whenever sq % 50 == 0 (the Q.exactSum pitfall — bit at
+      // sf0.1 only); the single division itself is engine-identical
+      .select(col("query_id"), col("doc_id"),
+        expr("cast(sq as double) / 1000000").as("bm25"))
+      .orderBy("query_id", "doc_id")
+  }
 
   /** tx_bpe body over any (doc_id, text) frame — factored so the spec can
     * drive it with a corpus of known pair frequencies. */
@@ -1136,6 +1178,107 @@ object TextQueries {
         .select(col("doc_id"),
           explode(expr(s"winnow(md5_grams(text, $gramLen), $winLen)")).as("fp"))
         .orderBy("doc_id", "fp")
+    },
+
+    // Okapi BM25 retrieval — the lexical-retrieval side of data curation
+    // (query-by-example dedup audits, RAG indexing, eval-set neighbor
+    // mining). Queries are the held-out eval docs' first 8 tokens (the
+    // tx_decontam eval slice standing in for an external query batch).
+    // Scale shape: the query-term table is benchmark-sized by construction,
+    // so joining it into tf FIRST prunes the corpus to docs sharing ≥1 query
+    // term before any scoring work (AQE broadcasts the tiny side — the
+    // tx_decontam stance); tf/dl are one map-side-combined (doc, token)
+    // shuffle each; df aggregates FROM tf (vocab-sized). Float determinism:
+    // each (query, doc, term) contribution is one identical chain of double
+    // ops in both engines (ln is the only transcendental), QUANTIZED to a
+    // 6-dp scaled BIGINT and summed in pure long arithmetic (the Q.exactSum
+    // stance) — so per-doc sums are order-free and the rank key is an exact
+    // integer, never a float boundary.
+    Q("tx_bm25", {
+      val contrib = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+        " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t
+         |),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, t AS token
+         |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, $bm25QTok)) AS t FROM tk WHERE doc_id % $evalMod = 0)
+         |),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id, CAST(sum(CAST(round(($contrib) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM qt JOIN tf USING (token)
+         |  JOIN dfreq USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, tf.doc_id
+         |)
+         |SELECT query_id, doc_id, CAST(sq AS DOUBLE) / 1000000 AS bm25
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) <= $bm25TopK
+         |ORDER BY query_id, doc_id""".stripMargin
+    }) { (s, d) =>
+      bm25DF(Tables.documents(s, d))
+    },
+
+    // Model-based quality scoring — the fastText/DCLM-style hashed linear
+    // classifier that decides keep/drop at corpus scale: tokens hash into
+    // qfDim=1024 feature buckets, a weight table (here deterministically
+    // derived fixed-point integers standing in for trained weights, the
+    // blockList stance) scores each doc by its mean feature weight. Scale
+    // shape: the model IS the weight table — swapping in real trained
+    // weights is a data swap, not a code change; it is constant-sized, so
+    // broadcast by construction; per-doc shuffle fan-out is capped at qfDim
+    // rows regardless of vocabulary (hashing trick), map-side-combined.
+    // Exactness: integer weights × integer counts → the score's numerator
+    // is an exact BIGINT; keep/drop gates on the integer, not the float.
+    Q("tx_quality_score", {
+      val wDuck = s"((${duckH(s"'qw:' || CAST(i AS VARCHAR)")} % 2001) - 1000)"
+      val idxDuck = s"(${duckH("'qf:' || token")} % $qfDim)"
+      s"""WITH wt AS (
+         |  SELECT CAST(i AS BIGINT) AS idx, $wDuck AS w
+         |  FROM unnest(generate_series(0, ${qfDim - 1})) AS g(i)
+         |),
+         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token FROM documents),
+         |tc AS (
+         |  SELECT doc_id, $idxDuck AS idx, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, idx
+         |),
+         |agg AS (
+         |  SELECT tc.doc_id, CAST(sum(tc.c * wt.w) AS BIGINT) AS raw, CAST(sum(tc.c) AS BIGINT) AS n_tokens
+         |  FROM tc JOIN wt USING (idx) GROUP BY tc.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.raw, 0) * 1.0 / (1000 * greatest(coalesce(a.n_tokens, 0), 1)) AS qscore,
+         |  CAST(CASE WHEN coalesce(a.raw, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val wts = s.range(qfDim).select(col("id").cast("long").as("idx"),
+        expr(s"((${sparkH("concat('qw:', cast(id as string))")} % 2001) - 1000)").as("w"))
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
+        .select(col("doc_id"), expr(s"(${sparkH("concat('qf:', token)")} % $qfDim)").as("idx"))
+        .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
+      val agg = tc.join(broadcast(wts), "idx") // constant qfDim-row model table
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("w")).as("raw"), sum("c").as("n_tokens"))
+      Tables.documents(s, d).select("doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          // UNROUNDED: integer/integer quotients land ON exact 4-dp ties
+          // (the Q.exactSum pitfall) — the single double division itself
+          // is bit-identical across engines, so no rounding is needed
+          expr("coalesce(raw, 0L) * 1.0D / (1000 * greatest(coalesce(n_tokens, 0L), 1))").as("qscore"),
+          expr("cast(CASE WHEN coalesce(raw, 0L) >= 0 THEN 1 ELSE 0 END as int)").as("keep"))
+        .orderBy("doc_id")
     },
   )
 }

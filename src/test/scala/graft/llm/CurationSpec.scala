@@ -171,4 +171,37 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(got - ent) < 1e-3, s"doc $id: $got vs $ent")
     }
   }
+
+  test("tx_bm25: a doc matching every query term outranks a single-term match") {
+    import spark.implicits._
+    // doc 0 is the eval/query doc (0 % 41 == 0); doc 1 repeats every query
+    // term, doc 3 shares one term, doc 2 shares none (must be absent)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "zig zag zip zap"),
+      (3L, "alpha zig zag pop")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bm25DF(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall(_._1 == 0L), "only doc 0 issues a query")
+    val byDoc = out.map(t => t._2 -> t._3).toMap
+    assert(byDoc.contains(1L) && byDoc.contains(3L), s"both overlapping docs retrieved: $byDoc")
+    assert(!byDoc.contains(2L), "zero-overlap doc must not appear")
+    assert(!byDoc.contains(0L), "the query doc itself is excluded")
+    assert(byDoc(1L) > byDoc(3L), s"full match outranks single term: $byDoc")
+  }
+
+  test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
+    val sfDir = sf("sf0.001")
+    val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()
+    val nQueries = graft.core.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(out.count() > 0 && out.count() <= nQueries * 5)
+    // fdist sums squares over all 64 dims, cdist over the first 16 —
+    // the full distance can never be smaller than its own prefix
+    assert(out.filter(col("fdist") < col("cdist")).count() == 0)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    out.unpersist()
+  }
 }

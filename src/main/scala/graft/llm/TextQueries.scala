@@ -78,28 +78,44 @@ object TextQueries {
     * so the per-doc sum and the rank key are exact integers. */
   private[llm] def bm25DF(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val tk = docs.select(col("doc_id"),
-      expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
-    val tf = tk.select(col("doc_id"), explode(col("toks")).as("token"))
+    // ONE tokenize pass over the corpus: doc length derives from the
+    // postings (dl = Σtf — token-less docs can't score under BM25 anyway,
+    // so they are absent from dl/avgdl by construction in BOTH engines);
+    // only the 1/evalMod eval slice is tokenized a second time for the
+    // ordered query prefix
+    val tf = docs.select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      // four consumers (postings join, dfreq, dl, corpus stats) — without
+      // this the tokenize+aggregate pipeline replays once per consumer
+      // (Catalyst has no common-subplan reuse across DataFrame branches)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(
       expr("cast(sum(dl) as double) / count(*)").as("avgdl"),
       count(lit(1)).as("n_docs"))
-    val qt = tk.filter(col("doc_id") % evalMod === 0)
+    val qt = docs.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("query_id"),
-        explode(expr(s"slice(toks, 1, $bm25QTok)")).as("token"))
+        explode(expr(s"slice(regexp_extract_all(lower(text), '$tokRegex', 0), 1, $bm25QTok)")).as("token"))
       .distinct()
     val contrib = "ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))" +
       " * (tf * 2.2D) / (tf + 1.2D * (0.25D + 0.75D * dl / avgdl))"
-    val sc = qt.join(tf, "token") // query-term side is benchmark-sized → AQE broadcast
+    // contribution depends only on the POSTING (doc, token) — score each
+    // posting ONCE before the query fan-out, so the ln() chain runs |tf|
+    // times instead of |tf|·queries-per-token times and the fanned-out
+    // rows carry one precomputed long (also amortizes across query
+    // batches at scale)
+    val wtf = tf
       .join(dfreq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .select(col("token"), col("doc_id"),
+        expr(s"cast(round(($contrib) * 1000000, 0) as bigint)").as("qc"))
+    val sc = qt.join(wtf, "token") // query-term side is benchmark-sized → AQE broadcast
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(expr(s"cast(round(($contrib) * 1000000, 0) as bigint)")).as("sq"))
+      .agg(sum("qc").as("sq"))
     val w = Window.partitionBy("query_id").orderBy(col("sq").desc, col("doc_id"))
     sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= bm25TopK)
       // UNROUNDED: sq is an exact scaled integer, so sq/1e6 rounds onto
@@ -1197,17 +1213,18 @@ object TextQueries {
     Q("tx_bm25", {
       val contrib = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
         " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
-         |tf AS (
+      s"""WITH tf AS (
          |  SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS t FROM documents)
+         |  GROUP BY doc_id, t
          |),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
          |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
          |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
          |qt AS (
          |  SELECT DISTINCT doc_id AS query_id, t AS token
-         |  FROM (SELECT doc_id, unnest(list_slice(toks, 1, $bm25QTok)) AS t FROM tk WHERE doc_id % $evalMod = 0)
+         |  FROM (SELECT doc_id, unnest(list_slice(regexp_extract_all(lower(text), '$tokRegex'), 1, $bm25QTok)) AS t
+         |        FROM documents WHERE doc_id % $evalMod = 0)
          |),
          |sc AS (
          |  SELECT qt.query_id, tf.doc_id, CAST(sum(CAST(round(($contrib) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sq

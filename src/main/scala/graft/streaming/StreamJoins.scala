@@ -25,7 +25,13 @@ object StreamJoins {
     * right-side readings at most `withinMs` earlier
     * (`right.ts ∈ [left.ts − withinMs, left.ts]`) — the "correlate a spike
     * with its recent history" topology. Output: (id, lts, ltemp, rts,
-    * rtemp). */
+    * rtemp).
+    *
+    * `joinType = "left_outer"` gives the missing-reference enrichment form:
+    * a probe with no in-interval match emits ONCE, null-padded, when both
+    * watermarks pass its range end (state eviction) — spec-pinned, since
+    * the deferred emission surprises users expecting batch outer-join
+    * timing. */
   def correlatedReadings(left: Dataset[SensorReading],
       right: Dataset[SensorReading], withinMs: Long = 10000L,
       joinType: String = "inner"): DataFrame = {

@@ -28,6 +28,39 @@ class StreamJoinsSpec extends SparkSpec {
       s"only same-key, in-interval rows may join: $rows")
   }
 
+  test("LEFT OUTER interval join null-pads unmatched probes after watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val left = MemoryStream[SensorReading]
+    val right = MemoryStream[SensorReading]
+    val out = StreamJoins.correlatedReadings(left.toDS(), right.toDS(),
+      withinMs = 10000L, joinType = "left_outer")
+    val q = out.select("id", "ltemp", "rtemp")
+      .writeStream.format("memory").queryName("sj_outer").outputMode("append").start()
+
+    right.addData(SensorReading("sensor_1", 1000L, 10.0))
+    left.addData(
+      SensorReading("sensor_1", 5000L, 42.0),  // matches ref@1000
+      SensorReading("sensor_2", 5000L, 77.0))  // no same-key ref: outer row
+    q.processAllAvailable()
+    // the unmatched row emits only once BOTH watermarks pass its range end
+    // (state eviction) — advance event time on both streams, then run the
+    // eviction batch
+    left.addData(SensorReading("sensor_9", 100000L, 0.0))
+    right.addData(SensorReading("sensor_9", 100000L, 0.0))
+    q.processAllAvailable()
+    left.addData(SensorReading("sensor_9", 200000L, 0.0))
+    right.addData(SensorReading("sensor_9", 200000L, 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sj_outer")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    q.stop()
+    assert(rows.contains(("sensor_1", 42.0, Some(10.0))), s"inner row present: $rows")
+    assert(rows.contains(("sensor_2", 77.0, None)),
+      s"unmatched probe null-pads after expiry: $rows")
+  }
+
   test("streaming as-of join enriches each probe with the latest earlier reference") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

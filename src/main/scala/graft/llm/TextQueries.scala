@@ -1196,6 +1196,58 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     },
 
+    // Corpus length-distribution report — the dataset-card quantile table
+    // (p50/p90/p99 doc length per language, plus exact mean). Quantiles are
+    // DISCRETE (the value at rank ceil(p·n), an actual element): rank
+    // selection is pure integer logic, so the gate never touches an
+    // interpolated float (percentile_cont's (1-f)·a+f·b runs in different
+    // op orders across engines and 0.9/0.99 fractions aren't binary-exact).
+    // Scale shape: one pass builds per-language counts; the rank window
+    // sorts within language partitions (per-group sort, the tx_pack
+    // sharding caveat applies to mega-groups); the 100 TB path is
+    // approx_percentile's constant-memory mergeable sketch, spec-pinned
+    // within rank tolerance of this exact operator (CurationSpec).
+    Q("tx_len_quantiles",
+      s"""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY lang),
+         |rk AS (
+         |  SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+         |  FROM documents
+         |),
+         |q AS (
+         |  SELECT rk.lang,
+         |    max(CASE WHEN rn = CAST(ceil(0.50 * n_docs) AS BIGINT) THEN n_chars END) AS p50,
+         |    max(CASE WHEN rn = CAST(ceil(0.90 * n_docs) AS BIGINT) THEN n_chars END) AS p90,
+         |    max(CASE WHEN rn = CAST(ceil(0.99 * n_docs) AS BIGINT) THEN n_chars END) AS p99
+         |  FROM rk JOIN n USING (lang) GROUP BY rk.lang
+         |)
+         |SELECT n.lang, n.n_docs, CAST(n.sum_chars AS DOUBLE) / n.n_docs AS mean_chars,
+         |  CAST(q.p50 AS BIGINT) AS p50, CAST(q.p90 AS BIGINT) AS p90, CAST(q.p99 AS BIGINT) AS p99
+         |FROM n JOIN q USING (lang)
+         |ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val rk = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .select("lang", "n_chars", "rn")
+      val q = rk.join(n.select("lang", "n_docs"), "lang")
+        .groupBy("lang")
+        .agg(
+          max(when(col("rn") === expr("cast(ceil(0.50D * n_docs) as bigint)"), col("n_chars"))).as("p50"),
+          max(when(col("rn") === expr("cast(ceil(0.90D * n_docs) as bigint)"), col("n_chars"))).as("p90"),
+          max(when(col("rn") === expr("cast(ceil(0.99D * n_docs) as bigint)"), col("n_chars"))).as("p99"))
+      n.join(q, "lang")
+        .select(col("lang"), col("n_docs"),
+          // UNROUNDED exact-integer quotient (the Q.exactSum stance)
+          expr("cast(sum_chars as double) / n_docs").as("mean_chars"),
+          col("p50").cast("long").as("p50"), col("p90").cast("long").as("p90"),
+          col("p99").cast("long").as("p99"))
+        .orderBy("lang")
+    },
+
     // Okapi BM25 retrieval — the lexical-retrieval side of data curation
     // (query-by-example dedup audits, RAG indexing, eval-set neighbor
     // mining). Queries are the held-out eval docs' first 8 tokens (the

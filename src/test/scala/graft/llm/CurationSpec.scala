@@ -192,6 +192,38 @@ class CurationSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(3L), s"full match outranks single term: $byDoc")
   }
 
+  test("tx_len_quantiles: approx_percentile scale path brackets the exact discrete quantiles") {
+    val sfDir = sf("sf0.001")
+    val exact = graft.SparkEntry.queries("tx_len_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // the 100 TB path: constant-memory mergeable sketch instead of the
+    // per-group sort — must land within the p40..p60 / p80..p95 exact
+    // rank envelope of the discrete operator it replaces
+    val env = graft.core.Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(
+        expr("approx_percentile(n_chars, array(0.5D, 0.9D), 1000)").as("ap"),
+        expr("percentile_disc(0.40D) WITHIN GROUP (ORDER BY n_chars)").as("lo50"),
+        expr("percentile_disc(0.60D) WITHIN GROUP (ORDER BY n_chars)").as("hi50"),
+        expr("percentile_disc(0.80D) WITHIN GROUP (ORDER BY n_chars)").as("lo90"),
+        expr("percentile_disc(0.95D) WITHIN GROUP (ORDER BY n_chars)").as("hi90"))
+      .collect()
+    assert(env.nonEmpty)
+    env.foreach { r =>
+      val lang = r.getString(0)
+      val ap = r.getSeq[Long](1).map(_.toDouble)
+      val (lo50, hi50, lo90, hi90) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(ap(0) >= lo50 && ap(0) <= hi50,
+        s"$lang approx p50 ${ap(0)} outside [$lo50, $hi50]")
+      assert(ap(1) >= lo90 && ap(1) <= hi90,
+        s"$lang approx p90 ${ap(1)} outside [$lo90, $hi90]")
+      // and the exact operator's own p50/p90 sit inside the same envelope
+      assert(exact(lang)._1 >= lo50 && exact(lang)._1 <= hi50)
+      assert(exact(lang)._2 >= lo90 && exact(lang)._2 <= hi90)
+    }
+  }
+
   test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()

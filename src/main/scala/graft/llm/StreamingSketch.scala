@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming corpus sketches — the ingest-side twins of the batch
+  * dashboard queries (`tx_vocab` exact top-k, the HLL cardinality
+  * envelope in CurationSpec).
+  *
+  * A raw `groupBy(token).count()` on an unbounded ingest stream keeps one
+  * state row PER DISTINCT TOKEN — vocabulary grows with the corpus, so
+  * that plan's state is unbounded. The Misra-Gries summary bounds state at
+  * k counters per shard BY CONSTRUCTION and still guarantees every token
+  * with frequency > n/k survives with estimate in [true − n/k, true] —
+  * exactly the "what's flooding my crawl right now" dashboard contract.
+  */
+object StreamingSketch {
+
+  /** One sketch entry: `est` is a LOWER bound on the token's true count in
+    * `shard`; `ver` is the per-shard state version (emissions from the
+    * latest micro-batch carry the shard's max ver). */
+  case class TokenHH(shard: Int, token: String, est: Long, ver: Long)
+
+  /** Misra-Gries state: at most k counters + a monotone version. */
+  case class MG(counts: Map[String, Long], ver: Long)
+
+  /** Streaming heavy hitters over the token stream of a document ingest.
+    *
+    * Tokens shard by a stable token hash (same token always lands in the
+    * same shard, so per-shard counts are globally meaningful), and one
+    * [[MG]] summary per shard runs the classic algorithm: increment a
+    * tracked counter, adopt the token if a slot is free, else decrement
+    * every counter by one and discard (evicting zeros). State is k entries
+    * per shard — CONSTANT in the stream length; `shards` scales throughput
+    * (each shard's updates are single-threaded per micro-batch), k buys
+    * accuracy (error ≤ n_shard/k).
+    *
+    * Emitted in Update mode: each batch re-emits the shard's current
+    * sketch with a bumped `ver`; consumers read the max-`ver` emission per
+    * shard (spec shows the pattern). */
+  def heavyHitters(docs: Dataset[DocEvent], k: Int = 8, shards: Int = 4): Dataset[TokenHH] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.toDF()
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      .select(col("token"), pmod(hash(col("token")), lit(shards)).cast("int").as("shard"))
+      .as[(String, Int)]
+    toks.groupByKey(_._2)
+      .flatMapGroupsWithState[MG, TokenHH](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val st = state.getOption.getOrElse(MG(Map.empty, 0L))
+          val m = scala.collection.mutable.HashMap[String, Long](st.counts.toSeq: _*)
+          rows.foreach { case (t, _) =>
+            m.get(t) match {
+              case Some(c) => m(t) = c + 1
+              case None if m.size < k => m(t) = 1L
+              case None =>
+                m.mapValuesInPlace((_, c) => c - 1)
+                m.filterInPlace((_, c) => c > 0)
+            }
+          }
+          val ver = st.ver + 1
+          state.update(MG(m.toMap, ver))
+          m.iterator.map { case (t, c) => TokenHH(shard, t, c, ver) }
+      }
+  }
+}

@@ -39,6 +39,43 @@ object StreamingSketch {
     * Emitted in Update mode: each batch re-emits the shard's current
     * sketch with a bumped `ver`; consumers read the max-`ver` emission per
     * shard (spec shows the pattern). */
+  /** One sample entry: docs with the k smallest `h` per shard survive. */
+  case class SampleRow(shard: Int, doc_id: Long, h: String, ver: Long)
+
+  /** Bottom-k state: the k smallest (h, doc_id) seen, plus a version. */
+  case class BK(rows: Seq[(String, Long)], ver: Long)
+
+  /** Streaming deterministic reservoir — the ingest twin of `tx_sample`:
+    * a bounded, REPRODUCIBLE sample of an unbounded stream. Instead of the
+    * classic randomized reservoir, each doc gets a content-independent
+    * hash rank (`md5('samp:' || doc_id)`, the tx_sample/tx_shuffle key
+    * stance) and each shard keeps the k hash-smallest docs — bottom-k
+    * sketches are exactly mergeable and the result is a pure FUNCTION OF
+    * THE SET of docs seen: arrival order, batching, and restarts cannot
+    * change it (the spec pins exact equality with the batch bottom-k).
+    * State is k rows per shard, constant in stream length; a global
+    * size-k sample is the bottom-k of the union of shard emissions. */
+  def sampleStream(docs: Dataset[DocEvent], k: Int = 8, shards: Int = 4): Dataset[SampleRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.toDF()
+      .select(col("doc_id"), md5(concat(lit("samp:"), col("doc_id"))).as("h"))
+      .select(col("doc_id"), col("h"),
+        pmod(hash(col("doc_id")), lit(shards)).cast("int").as("shard"))
+      .as[(Long, String, Int)]
+    keyed.groupByKey(_._3)
+      .flatMapGroupsWithState[BK, SampleRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val st = state.getOption.getOrElse(BK(Seq.empty, 0L))
+          val merged = (st.rows.iterator ++ rows.map(r => (r._2, r._1)))
+            .toSeq.distinct.sorted.take(k)
+          val ver = st.ver + 1
+          state.update(BK(merged, ver))
+          merged.iterator.map { case (h, id) => SampleRow(shard, id, h, ver) }
+      }
+  }
+
   def heavyHitters(docs: Dataset[DocEvent], k: Int = 8, shards: Int = 4): Dataset[TokenHH] = {
     val spark = docs.sparkSession
     import spark.implicits._

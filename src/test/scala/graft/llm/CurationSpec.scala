@@ -224,6 +224,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tx_bm25: seeded random corpora match an independent Scala reference") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      // 11 docs (ids 0..10, so only doc 0 queries) keeps every candidate
+      // inside the top-10 emission — the cross-check then cannot depend on
+      // a rank boundary, only on scores
+      val docs = (0L to 10L).map(i =>
+        i -> Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = TextQueries.bm25DF(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      // independent reference (plain Scala collections, same quantization)
+      val tok = "[a-z0-9]+".r
+      val tf = docs.map { case (id, t) =>
+        id -> tok.findAllIn(t.toLowerCase).toVector.groupBy(identity)
+          .map { case (w, g) => w -> g.size.toLong }
+      }.toMap.filter(_._2.nonEmpty)
+      val dl = tf.map { case (id, m) => id -> m.values.sum }
+      val dfq = tf.values.flatMap(_.keys).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val nDocs = dl.size.toLong
+      val avgdl = dl.values.sum.toDouble / nDocs
+      val queries = docs.filter(_._1 % 41 == 0).map { case (id, t) =>
+        id -> tok.findAllIn(t.toLowerCase).toVector.take(8).distinct
+      }
+      val want = (for {
+        (qid, qts) <- queries
+        (did, m) <- tf if did != qid
+        shared = qts.filter(m.contains) if shared.nonEmpty
+      } yield {
+        val sq = shared.map { w =>
+          val c = math.log(1.0 + (nDocs - dfq(w) + 0.5) / (dfq(w) + 0.5)) *
+            (m(w) * 2.2) / (m(w) + 1.2 * (0.25 + 0.75 * dl(did) / avgdl))
+          BigDecimal(c * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum
+        (qid, did) -> sq.toDouble / 1000000
+      }).toMap
+      assert(got.keySet == want.keySet, s"seed $seed: pair sets differ")
+      got.foreach { case (k2, v) =>
+        assert(math.abs(v - want(k2)) < 1e-5, s"seed $seed $k2: $v vs ${want(k2)}")
+      }
+    }
+  }
+
   test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()

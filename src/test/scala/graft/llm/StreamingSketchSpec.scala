@@ -41,4 +41,37 @@ class StreamingSketchSpec extends SparkSpec {
     val perShardSizes = rows.groupBy(r => (r.shard, r.ver)).values.map(_.size)
     assert(perShardSizes.forall(_ <= k), s"sketch capped at k=$k entries")
   }
+
+  test("bottom-k stream sample equals the batch bottom-k regardless of arrival order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    val k = 4
+    val out = StreamingSketch.sampleStream(in.toDS(), k = k, shards = 2)
+    val q = out.writeStream.format("memory").queryName("bk_out")
+      .outputMode("update").start()
+
+    // 40 docs, deliberately fed out of order across three batches
+    val ids = (0L until 40L)
+    in.addData(ids.filter(_ % 3 == 1).map(i => DocEvent(i, 1000L, "x")): _*)
+    q.processAllAvailable()
+    in.addData(ids.filter(_ % 3 == 2).reverse.map(i => DocEvent(i, 2000L, "x")): _*)
+    q.processAllAvailable()
+    in.addData(ids.filter(_ % 3 == 0).map(i => DocEvent(i, 3000L, "x")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("bk_out").as[StreamingSketch.SampleRow].collect()
+    val latest = rows.groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+      val maxVer = rs.map(_.ver).max; rs.filter(_.ver == maxVer).toSeq
+    }
+    // global size-k sample = bottom-k of the union of shard emissions
+    val got = latest.map(r => (r.h, r.doc_id)).sorted.take(k).map(_._2).toSet
+    // batch reference: same hash over ALL docs, k smallest — a pure
+    // function of the doc SET, so the stream must reproduce it exactly
+    val want = ids.map(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"samp:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+      .sorted.take(k).map(_._2).toSet
+    assert(got == want, s"stream sample $got != batch bottom-k $want")
+  }
 }

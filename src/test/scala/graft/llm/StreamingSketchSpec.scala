@@ -1,10 +1,18 @@
 package graft.llm
 
+import java.nio.file.{Files, Path}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 
 class StreamingSketchSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
 
   test("Misra-Gries heavy hitter survives across batches with a bounded-state sketch") {
     import spark.implicits._
@@ -73,5 +81,55 @@ class StreamingSketchSpec extends SparkSpec {
         .digest(s"samp:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
       .sorted.take(k).map(_._2).toSet
     assert(got == want, s"stream sample $got != batch bottom-k $want")
+  }
+
+  test("bottom-k sample state survives a query RESTART from checkpoint") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.types._
+    val in = tmpDir("bk_in"); val out = tmpDir("bk_sink").resolve("data")
+    val ckpt = tmpDir("bk_ckpt")
+    val k = 4
+    val ids = (0L until 40L)
+
+    def writeFile(name: String, docs: Seq[Long]): Unit =
+      docs.map(i => DocEvent(i, 1000L, "x")).toDF()
+        .coalesce(1).write.parquet(in.resolve(name).toString)
+
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("timestamp", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString + "/*/")
+        .as[DocEvent]
+      val q = StreamingSketch.sampleStream(src, k = k, shards = 2)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingSketch.SampleRow], _: Long) =>
+          df.write.mode("append").parquet(out.toString): Unit
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1 sees the first half; run 2 resumes from the checkpoint and
+    // must fold the second half into the RECOVERED bottom-k state
+    writeFile("f1", ids.filter(_ < 20L))
+    run()
+    writeFile("f2", ids.filter(_ >= 20L))
+    run()
+
+    val rows = spark.read.parquet(out.toString).as[StreamingSketch.SampleRow].collect()
+    val latest = rows.groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+      val maxVer = rs.map(_.ver).max; rs.filter(_.ver == maxVer).toSeq
+    }
+    val got = latest.map(r => (r.h, r.doc_id)).sorted.take(k).map(_._2).toSet
+    val want = ids.map(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"samp:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+      .sorted.take(k).map(_._2).toSet
+    assert(got == want, s"post-restart sample $got != batch bottom-k $want")
   }
 }

@@ -126,10 +126,13 @@ object TextQueries {
       .orderBy("query_id", "doc_id")
   }
 
-  /** tx_bpe body over any (doc_id, text) frame — factored so the spec can
-    * drive it with a corpus of known pair frequencies. */
-  private[llm] def bpeMergesDF(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** BPE training over any (doc_id, text) frame: returns the learned merge
+    * table (unordered, with merge_rank) AND the fully-merged corpus state
+    * `(doc_id, s)` after all [[bpeIters]] rounds — the latter is what
+    * `tx_bpe_apply` reports on, for free, since training materializes it
+    * anyway. Factored so the spec can drive it with known frequencies. */
+  private[llm] def bpeTrain(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     var state = docs
       .select(col("doc_id"),
         expr(s"array_join(regexp_extract_all(lower(text), '$tokRegex', 0), '  ')").as("s"))
@@ -152,10 +155,44 @@ object TextQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       m
     }
-    merges.reduce(_ union _)
+    val mergeTable = merges.reduce(_ union _)
       .select(col("merge_rank"), expr("replace(pair, '  ', ' ')").as("pair"),
         col("merged"), col("freq"))
-      .orderBy("merge_rank")
+    (mergeTable, state)
+  }
+
+  /** tx_bpe body (merge table only) — the spec's entry point. */
+  private[llm] def bpeMergesDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bpeTrain(docs)._1.orderBy("merge_rank")
+
+  /** DuckDB CTE chain for BPE training: `s1` (double-space-joined tokens)
+    * through `s${bpeIters+1}` (fully merged) with `m1..m$bpeIters` merge
+    * rows — shared by tx_bpe and tx_bpe_apply. */
+  private def bpeOracleCtes: String = {
+    def iterCtes(i: Int) =
+      s"""p$i AS (
+         |  SELECT t[CAST(j AS INT)] || '  ' || t[CAST(j+1 AS INT)] AS pair
+         |  FROM (SELECT string_split(s, '  ') AS t FROM s$i),
+         |    unnest(generate_series(1, len(t) - 1)) AS u(j)
+         |  WHERE len(t) >= 2
+         |),
+         |m$i AS (
+         |  SELECT $i AS merge_rank, pair, replace(pair, '  ', '~') AS merged,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM p$i GROUP BY pair
+         |  QUALIFY row_number() OVER (ORDER BY freq DESC, pair) = 1
+         |),
+         |s${i + 1} AS (
+         |  SELECT doc_id,
+         |    trim(replace(' ' || s || ' ', ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ')) AS s
+         |  FROM s$i, m$i
+         |)""".stripMargin
+    s"""s1 AS (
+       |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '$tokRegex'), '  ') AS s
+       |  FROM documents
+       |),
+       |${(1 to bpeIters).map(iterCtes).mkString(",\n")}""".stripMargin
   }
 
   /** The PII scrub chain over a column named `raw` — shared by tx_pii and
@@ -1136,35 +1173,50 @@ object TextQueries {
     // so round N+1 reads round N instead of replaying the chain. At 100 TB
     // BPE trains on a sampled subcorpus (tx_sample upstream) — the shape
     // here is per-round linear regardless.
-    Q("tx_bpe", {
-      def iterCtes(i: Int) =
-        s"""p$i AS (
-           |  SELECT t[CAST(j AS INT)] || '  ' || t[CAST(j+1 AS INT)] AS pair
-           |  FROM (SELECT string_split(s, '  ') AS t FROM s$i),
-           |    unnest(generate_series(1, len(t) - 1)) AS u(j)
-           |  WHERE len(t) >= 2
-           |),
-           |m$i AS (
-           |  SELECT $i AS merge_rank, pair, replace(pair, '  ', '~') AS merged,
-           |    CAST(count(*) AS BIGINT) AS freq
-           |  FROM p$i GROUP BY pair
-           |  QUALIFY row_number() OVER (ORDER BY freq DESC, pair) = 1
-           |),
-           |s${i + 1} AS (
-           |  SELECT doc_id,
-           |    trim(replace(' ' || s || ' ', ' ' || m$i.pair || ' ', ' ' || m$i.merged || ' ')) AS s
-           |  FROM s$i, m$i
-           |)""".stripMargin
-      s"""WITH s1 AS (
-         |  SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '$tokRegex'), '  ') AS s
-         |  FROM documents
-         |),
-         |${(1 to bpeIters).map(iterCtes).mkString(",\n")}
+    Q("tx_bpe",
+      s"""WITH $bpeOracleCtes
          |SELECT merge_rank, replace(pair, '  ', ' ') AS pair, merged, freq
          |FROM (${(1 to bpeIters).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
-         |ORDER BY merge_rank""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY merge_rank""".stripMargin) { (s, d) =>
       bpeMergesDF(Tables.documents(s, d))
+    },
+
+    // BPE APPLICATION — tokenize the corpus with the learned merges (the
+    // step after tx_bpe training, and the real producer of the token
+    // counts tx_pack bins on): per doc, pieces after all merges, merges
+    // applied (= n_tokens − n_pieces, each application fuses two pieces),
+    // and the compression ratio. Rides the training loop's final state —
+    // the merged corpus is materialized by training anyway, so apply adds
+    // one row-local piece count + a doc_id join, no extra replace pass.
+    // At 100 TB apply runs with a BROADCAST merge table over the full
+    // corpus while training ran on a sample (the tx_bpe stance); here both
+    // run on the same corpus so the oracle can replay the identical chain.
+    Q("tx_bpe_apply",
+      s"""WITH $bpeOracleCtes,
+         |base AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(string_split(f.s, '  ')) END AS BIGINT) AS n_pieces,
+         |  b.n_tokens - CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(string_split(f.s, '  ')) END AS BIGINT) AS n_merged,
+         |  CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(string_split(f.s, '  ')) END AS BIGINT) * 1.0
+         |    / greatest(b.n_tokens, 1) AS compression
+         |FROM base b JOIN s${bpeIters + 1} f ON f.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, finalState) = bpeTrain(docs)
+      val base = docs.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).cast("long").as("n_tokens"))
+      base.join(finalState, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(size(split(col("s"), "  ")).cast("long")).as("n_pieces"))
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+          (col("n_tokens") - col("n_pieces")).as("n_merged"),
+          // UNROUNDED integer/integer quotient (the Q.exactSum tie pitfall)
+          expr("n_pieces * 1.0D / greatest(n_tokens, 1)").as("compression"))
+        .orderBy("doc_id")
     },
 
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the

@@ -1159,6 +1159,60 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    // Mixture PLANNER — the step between the mix report and the sampler:
+    // given target language shares (permille literals, the tx_sample
+    // stance), compute per-language downsampling rates normalized so the
+    // most under-represented language keeps everything (downsample-only —
+    // upsampling is a repetition decision made elsewhere). Scale shape:
+    // one map-side-combined per-language token count; everything after is
+    // language-cardinality-sized (the constant-partition window runs over
+    // a result-sized 5-row frame — the documented bounded pattern). Float
+    // discipline: ratios are one identical chain of double ops from exact
+    // integers (cast-to-double, /1000, /n_tokens), the normalizing max
+    // compares exact doubles, and every emitted float is an UNROUNDED
+    // deterministic quotient/product (integer ratios land ON rounding
+    // ties); expected_tokens truncates the same double product in both
+    // engines.
+    Q("tx_mix_plan", {
+      val tgt = "CASE lang WHEN 'de' THEN 250 WHEN 'en' THEN 350 WHEN 'es' THEN 200 WHEN 'fr' THEN 150 ELSE 50 END"
+      s"""WITH tl AS (
+         |  SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '$tokRegex'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tl),
+         |rt AS (
+         |  SELECT lang, n_tokens, total, $tgt AS target,
+         |    CAST(($tgt) * total AS DOUBLE) / 1000 / n_tokens AS ratio
+         |  FROM tl CROSS JOIN t
+         |),
+         |nm AS (SELECT *, max(ratio) OVER () AS maxr FROM rt)
+         |SELECT lang, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / total AS current_share,
+         |  CAST(target AS DOUBLE) / 1000 AS target_share,
+         |  ratio / maxr AS rate,
+         |  CAST(floor(ratio / maxr * n_tokens) AS BIGINT) AS expected_tokens
+         |FROM nm ORDER BY lang""".stripMargin
+      // ^ explicit floor: DuckDB's DOUBLE->BIGINT cast ROUNDS to nearest,
+      // Spark's truncates — floor() is the same in both
+    }) { (s, d) =>
+      val tgt = "CASE lang WHEN 'de' THEN 250 WHEN 'en' THEN 350 WHEN 'es' THEN 200 WHEN 'fr' THEN 150 ELSE 50 END"
+      val tl = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).cast("long")).as("n_tokens"))
+      val t = tl.agg(sum("n_tokens").as("total"))
+      val rt = tl.crossJoin(broadcast(t)) // 1-row total
+        .withColumn("target", expr(tgt))
+        .withColumn("ratio", expr("cast(target * total as double) / 1000 / n_tokens"))
+      val nm = rt.withColumn("maxr",
+        max("ratio").over(Window.partitionBy(lit(1)))) // result-sized frame
+      nm.select(col("lang"), col("n_tokens"),
+          expr("cast(n_tokens as double) / total").as("current_share"),
+          expr("cast(target as double) / 1000").as("target_share"),
+          expr("ratio / maxr").as("rate"),
+          expr("cast(floor(ratio / maxr * n_tokens) as bigint)").as("expected_tokens"))
+        .orderBy("lang")
+    },
+
     // BPE merge training — the actual tokenizer-training step (tx_vocab is
     // its precursor): iteratively find the most frequent adjacent token
     // pair and merge it corpus-wide, emitting the learned merge table.

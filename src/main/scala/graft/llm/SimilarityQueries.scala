@@ -587,6 +587,64 @@ object SimilarityQueries {
         .orderBy("query_id", "neighbor_id")
     },
 
+    // Embedding-distribution drift monitor — the vector-space counterpart
+    // of tx_drift's token-KL: per semantic cell, how far did the centroid
+    // move between two corpus slices (even vs odd vec_id standing in for
+    // last-crawl vs this-crawl, the tx_drift stance)? A growing shift on a
+    // cell is the "my embedding space moved under me" alarm that triggers
+    // re-clustering/IVF retraining. Exactness is the sim_kmeans stance:
+    // quantized-integer dims → exact per-(cell, slice, dim) BIGINT sums,
+    // centroid = one double division + round back to integer, shift =
+    // the codegen vector_l2q integer kernel — nothing order-fragile.
+    // Scale shape: two map-side-combined aggregates over the corpus and
+    // then cell-cardinality-sized math; no joins touch raw vectors.
+    Q("sim_drift", {
+      def dN(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id, label, vec_id % 2 AS slice,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |sums AS (
+         |  SELECT label, slice, u.i,
+         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+         |  GROUP BY label, slice, u.i
+         |),
+         |cent AS (
+         |  SELECT label, slice, list(cm ORDER BY i) AS carr, min(n) AS n
+         |  FROM sums GROUP BY label, slice
+         |)
+         |SELECT a.label AS cell, a.n AS n_a, b.n AS n_b,
+         |  ${dN("a.carr", "b.carr")} AS shift_sq,
+         |  sqrt(CAST(${dN("a.carr", "b.carr")} AS DOUBLE)) / $pqScale AS shift
+         |FROM cent a JOIN cent b ON b.label = a.label AND a.slice = 0 AND b.slice = 1
+         |ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("slice"),
+          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+      val cent = xq
+        .select(col("label"), col("slice"), posexplode(col("xq")).as(Seq("i", "v")))
+        .groupBy("label", "slice", "i")
+        .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"),
+          count(lit(1)).as("n"))
+        .groupBy("label", "slice")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"),
+          min("n").as("n"))
+      cent.filter(col("slice") === 0)
+        .select(col("label").as("cell"), col("carr").as("ca"), col("n").as("n_a"))
+        .join(cent.filter(col("slice") === 1)
+          .select(col("label").as("cell"), col("carr").as("cb"), col("n").as("n_b")), "cell")
+        .select(col("cell"), col("n_a"), col("n_b"),
+          expr("vector_l2q(ca, cb)").as("shift_sq"),
+          expr(s"sqrt(cast(vector_l2q(ca, cb) as double)) / $pqScale").as("shift"))
+        .orderBy("cell")
+    },
+
     // Recall@k harness — the evaluation query every ANN deployment needs:
     // per query point, |ANN top-k ∩ exact top-k| / k. Joins the two (tiny,
     // |queries|×k) result sets; all the heavy lifting happens in the two

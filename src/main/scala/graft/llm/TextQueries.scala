@@ -166,6 +166,29 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame =
     bpeTrain(docs)._1.orderBy("merge_rank")
 
+  /** DuckDB CTE chain for winnowed Rabin–Karp fingerprints, ending in
+    * `fps(doc_id, fp)` — shared by tx_rolling_fp and dd_spans. The direct
+    * polynomial form is congruent to the Spark side's rolling hash. */
+  private def rollingFpCtes: String = {
+    val P = graft.functions.RollingHash.P
+    val B = graft.functions.RollingHash.B
+    val bp = Iterator.iterate(1L)(v => v * B % P).take(8).toIndexedSeq // B^0..B^7 mod P
+    val terms = (0 until 8)
+      .map(j => s"(CAST(ord(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${bp(7 - j)}) % $P")
+      .mkString(" + ")
+    s"""rh AS (
+       |  SELECT doc_id, i AS pos, ($terms) % $P AS h, length(text) - 7 AS ng
+       |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
+       |  WHERE length(text) >= 8
+       |),
+       |w AS (
+       |  SELECT doc_id, pos, ng,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${winLen - 1} FOLLOWING) AS fp
+       |  FROM rh
+       |),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= greatest(ng - ${winLen - 1}, 1))""".stripMargin
+  }
+
   /** DuckDB CTE chain for BPE training: `s1` (double-space-joined tokens)
     * through `s${bpeIters+1}` (fully merged) with `m1..m$bpeIters` merge
     * rows — shared by tx_bpe and tx_bpe_apply. */
@@ -556,26 +579,10 @@ object TextQueries {
     // the previous hash) instead of re-hashing k chars per position. The
     // oracle computes the congruent direct polynomial sum; both land on
     // the same canonical value mod P.
-    Q("tx_rolling_fp", {
-      val P = graft.functions.RollingHash.P
-      val B = graft.functions.RollingHash.B
-      val bp = Iterator.iterate(1L)(v => v * B % P).take(8).toIndexedSeq // B^0..B^7 mod P
-      val terms = (0 until 8)
-        .map(j => s"(CAST(ord(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${bp(7 - j)}) % $P")
-        .mkString(" + ")
-      s"""WITH rh AS (
-         |  SELECT doc_id, i AS pos, ($terms) % $P AS h, length(text) - 7 AS ng
-         |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
-         |  WHERE length(text) >= 8
-         |),
-         |w AS (
-         |  SELECT doc_id, pos, ng,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND ${winLen - 1} FOLLOWING) AS fp
-         |  FROM rh
-         |)
-         |SELECT DISTINCT doc_id, fp FROM w WHERE pos <= greatest(ng - ${winLen - 1}, 1)
-         |ORDER BY doc_id, fp""".stripMargin
-    }) { (s, d) =>
+    Q("tx_rolling_fp",
+      s"""WITH $rollingFpCtes
+         |SELECT doc_id, fp FROM fps
+         |ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
       // winnow folds the sliding-window minima + per-doc distinct on the
       // row (monotonic deque, O(grams)); the query is a pure projection —
       // the former explode + per-doc window + distinct shape moved every
@@ -586,6 +593,43 @@ object TextQueries {
         .select(col("doc_id"),
           explode(expr(s"winnow(rolling_hash(text, 8), $winLen)")).as("fp"))
         .orderBy("doc_id", "fp")
+    },
+
+    // Cross-document repeated-span detection (the ExactSubstr-family
+    // signal, Lee et al. 2022 at span granularity): a winnowed fingerprint
+    // appearing in ≥2 documents marks shared boilerplate (headers, license
+    // text, templated spam) that document-level dedup can't see. Per doc:
+    // fingerprint count, how many are corpus-shared, and the shared
+    // fraction — the "boilerplate coverage" drop signal. Scale shape:
+    // fingerprints are a row-local winnow projection (zero shuffle to
+    // build); ONE map-side-combined (fp) count shuffle sizes each span's
+    // document frequency; the score join rides the same fp partitioning
+    // and the per-doc rollup is fingerprint-grain, never char-grain.
+    Q("dd_spans",
+      s"""WITH $rollingFpCtes,
+         |sh AS (SELECT fp, CAST(count(*) AS BIGINT) AS docs FROM fps GROUP BY fp)
+         |SELECT f.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_fp,
+         |  CAST(sum(CASE WHEN sh.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(sum(CASE WHEN sh.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*) AS shared_frac
+         |FROM fps f JOIN sh ON sh.fp = f.fp
+         |GROUP BY f.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val fps = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode(expr(s"winnow(rolling_hash(text, 8), $winLen)")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // two consumers: df count + score join
+      val sh = fps.groupBy("fp").agg(count(lit(1)).as("docs"))
+      fps.join(sh, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        // UNROUNDED int/int quotient (the rounding-tie pitfall)
+        .select(col("doc_id"), col("n_fp"), col("n_shared"),
+          expr("n_shared * 1.0D / n_fp").as("shared_frac"))
+        .orderBy("doc_id")
     },
 
     // Benchmark decontamination — the gate every training corpus runs

@@ -36,4 +36,38 @@ object StreamingCorpusPrep {
       .select(col("doc_id"), col("ts"),
         expr(s"cast((pos - 1) div ${TextQueries.chunkStep} as bigint)").as("chunk_idx"),
         expr(s"md5(substring(text, pos, ${TextQueries.chunkLen}))").as("chunk_hash"))
+
+  /** Streaming decontamination gate — tx_decontam_bloom's ingest twin: the
+    * benchmark gram set rides along as a serialized bloom filter (built
+    * batch-side, bounded by the eval suite), and every incoming doc is
+    * flagged IN ITS OWN ROW: token 4-grams fold to the house 60-bit hash
+    * and probe the bloom inside one projection — zero state, zero shuffle,
+    * no watermark needed. Contract: `n_hits = 0` is DEFINITIVE clean (blooms
+    * have no false negatives); `n_hits > 0` means "quarantine for the exact
+    * batch-side verify" (false-positive rate = the build's fpp). The gram
+    * loop runs as an interpreted higher-order function — acceptable on a
+    * per-doc gate (~hundreds of probes/doc); the batch twin keeps the
+    * codegen explode form for the full-corpus pass. */
+  def decontamStream(docs: Dataset[DocEvent], bloomBytes: Array[Byte],
+      gram: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stream_bloom_probe",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        exprs.head),
+      "built-in")
+    docs.toDF()
+      .withColumn("toks", expr(s"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("n_hits", expr(
+        s"""size(filter(
+           |  transform(
+           |    CASE WHEN size(toks) >= $gram THEN sequence(1, size(toks) - ${gram - 1}) ELSE array() END,
+           |    i -> ${LlmHash.sparkH(s"array_join(slice(toks, i, $gram), ' ')")}),
+           |  gh -> graft_stream_bloom_probe(gh)))""".stripMargin))
+      .select(col("doc_id"), col("timestamp"), col("n_hits").cast("long").as("n_hits"),
+        (col("n_hits") > 0).as("quarantine"))
+  }
 }

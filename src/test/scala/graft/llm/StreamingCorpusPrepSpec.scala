@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class StreamingCorpusPrepSpec extends SparkSpec {
@@ -29,5 +30,36 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(rows.map(_._1) == Set(1L), s"only the first good doc survives: $rows")
     assert(rows == (0 until expectedChunks).map(i => (1L, i.toLong)).toSet,
       s"doc 1 must emit $expectedChunks chunks: $rows")
+  }
+
+  test("streaming decontamination quarantines docs sharing eval 4-grams, in-row") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // batch-side bloom over the eval suite's token-4-gram hashes (the
+    // tx_decontam_bloom build, tiny fpp so the clean doc can't collide)
+    val evalDocs = Seq("the secret eval answer is forty two").toDF("text")
+    val eg = evalDocs
+      .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(explode(expr("sequence(1, size(toks) - 3)")).as("i"), col("toks"))
+      .select(expr(LlmHash.sparkH("array_join(slice(toks, i, 4), ' ')")).as("gh"))
+      .distinct()
+    val bloom = eg.stat.bloomFilter("gh", 1000L, 0.0001)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingCorpusPrep.decontamStream(mem.toDS(), bytes)
+      .writeStream.format("memory").queryName("dc_out").outputMode("append").start()
+    mem.addData(
+      DocEvent(1L, 1000L, "totally unrelated clean text about nothing special"),
+      DocEvent(2L, 1100L, "a doc leaking the secret eval answer is forty two verbatim"),
+      DocEvent(3L, 1200L, "tiny")) // fewer tokens than a 4-gram
+    q.processAllAvailable()
+    val rows = spark.table("dc_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    q.stop()
+    assert(!rows(1L)._2 && rows(1L)._1 == 0, s"clean doc passes: $rows")
+    assert(rows(2L)._2 && rows(2L)._1 >= 1, s"leaking doc quarantined: $rows")
+    assert(!rows(3L)._2, s"sub-gram doc is definitively clean: $rows")
   }
 }

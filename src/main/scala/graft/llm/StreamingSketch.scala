@@ -39,6 +39,22 @@ object StreamingSketch {
     * Emitted in Update mode: each batch re-emits the shard's current
     * sketch with a bumped `ver`; consumers read the max-`ver` emission per
     * shard (spec shows the pattern). */
+  /** Global top-k over a table of [[TokenHH]] emissions (e.g. a memory or
+    * parquet sink fed by [[heavyHitters]]): tokens are partitioned by
+    * shard (the same token never lands in two shards), so the union of
+    * each shard's LATEST emission needs no cross-shard counter merge —
+    * rank by estimate and take k. Estimates are MG lower bounds. */
+  def topTokens(emissions: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    emissions
+      .withColumn("maxv", max("ver").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+      .filter(col("ver") === col("maxv"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+      .select("token", "est", "shard")
+  }
+
   /** One sample entry: docs with the k smallest `h` per shard survive. */
   case class SampleRow(shard: Int, doc_id: Long, h: String, ver: Long)
 

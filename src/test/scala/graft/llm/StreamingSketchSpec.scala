@@ -48,6 +48,9 @@ class StreamingSketchSpec extends SparkSpec {
     // bounded state: no shard's sketch ever exceeds k entries
     val perShardSizes = rows.groupBy(r => (r.shard, r.ver)).values.map(_.size)
     assert(perShardSizes.forall(_ <= k), s"sketch capped at k=$k entries")
+    // the consumer helper ranks the heavy token first globally
+    val top = StreamingSketch.topTokens(spark.table("hh_out"), 3).collect()
+    assert(top.head.getString(0) == "heavyzz", s"helper ranks the heavy hitter first: ${top.toSeq}")
   }
 
   test("bottom-k stream sample equals the batch bottom-k regardless of arrival order") {

@@ -511,61 +511,76 @@ object DedupQueries {
     // existing rows (never all-pairs, never incoming×incoming); the
     // content-hash check is a hash-partitioned semi join; both flags then
     // left-join the incoming base (per-doc, result-sized).
-    Q("dd_incremental", {
-      val ws = (0 until 32)
-        .map(i => s"list_sum(list_transform(garr, h -> CASE WHEN ${affine(16 + i, "h")} % 2 = 1 THEN 1 ELSE -1 END)) AS w$i")
-        .mkString(", ")
-      val simExpr = (0 until 32)
-        .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-      s"""WITH $gsCte,
-         |w AS (SELECT doc_id, $ws FROM gs),
-         |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM w),
-         |bandt AS (
-         |  SELECT doc_id, simhash, b, (simhash // CAST(CASE b WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END AS BIGINT)) % 256 AS chunk
-         |  FROM sim, unnest([0,1,2,3]) AS u(b)
-         |),
-         |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
-         |nearids AS (
-         |  SELECT DISTINCT y.doc_id
-         |  FROM bandt y JOIN bandt x
-         |    ON x.b = y.b AND x.chunk = y.chunk
-         |   AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
-         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
-         |)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN exh.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
-         |  CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
-         |  CAST(CASE WHEN exh.h IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
-         |FROM documents d
-         |LEFT JOIN exh ON exh.h = md5(d.text)
-         |LEFT JOIN nearids n ON n.doc_id = d.doc_id
-         |WHERE d.doc_id % 3 <> 0
-         |ORDER BY d.doc_id""".stripMargin
-    }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val bandt = simhashBands(docs)
-      val nearIds = bandt.filter(col("doc_id") % 3 =!= 0).as("y")
-        .join(bandt.filter(col("doc_id") % 3 === 0).as("x"),
-          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk"))
-        .filter(expr("bit_count(x.simhash ^ y.simhash) <= 2"))
-        .select(col("y.doc_id").as("doc_id")).distinct()
-        .withColumn("near", lit(1))
-      val exh = docs.filter(col("doc_id") % 3 === 0)
-        .select(md5(col("text")).as("h")).distinct()
-        .withColumn("ex", lit(1))
-      docs.filter(col("doc_id") % 3 =!= 0)
-        .select(col("doc_id"), md5(col("text")).as("h"))
-        .join(exh, Seq("h"), "left")
-        .join(nearIds, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("ex"), lit(0)).cast("int").as("exact_dup"),
-          coalesce(col("near"), lit(0)).cast("int").as("near_dup"),
-          (coalesce(col("ex"), lit(0)) === 0 && coalesce(col("near"), lit(0)) === 0)
-            .cast("int").as("keep"))
-        .orderBy("doc_id")
+    Q("dd_incremental",
+      s"""WITH $incrementalCtes
+         |SELECT doc_id, exact_dup, near_dup, keep FROM incr
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      incrementalKeepDF(s, d).orderBy("doc_id")
     },
   )
+
+  /** Oracle CTE chain for the incremental (cross-corpus) dedup, ending in
+    * `incr(doc_id, exact_dup, near_dup, keep)` over the incoming slice —
+    * shared by dd_incremental and the incremental prep pipeline. */
+  private[llm] def incrementalCtes: String = {
+    val ws = (0 until 32)
+      .map(i => s"list_sum(list_transform(garr, h -> CASE WHEN ${affine(16 + i, "h")} % 2 = 1 THEN 1 ELSE -1 END)) AS w$i")
+      .mkString(", ")
+    val simExpr = (0 until 32)
+      .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""$gsCte,
+       |w AS (SELECT doc_id, $ws FROM gs),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM w),
+       |bandt AS (
+       |  SELECT doc_id, simhash, b, (simhash // CAST(CASE b WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END AS BIGINT)) % 256 AS chunk
+       |  FROM sim, unnest([0,1,2,3]) AS u(b)
+       |),
+       |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
+       |nearids AS (
+       |  SELECT DISTINCT y.doc_id
+       |  FROM bandt y JOIN bandt x
+       |    ON x.b = y.b AND x.chunk = y.chunk
+       |   AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+       |),
+       |incr AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN exh.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+       |    CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
+       |    CAST(CASE WHEN exh.h IS NULL AND n.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+       |  FROM documents d
+       |  LEFT JOIN exh ON exh.h = md5(d.text)
+       |  LEFT JOIN nearids n ON n.doc_id = d.doc_id
+       |  WHERE d.doc_id % 3 <> 0
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[incrementalCtes]]: per incoming doc, exact/near dup
+    * flags against the existing corpus and the combined keep bit —
+    * UNORDERED (callers sort or join as needed). */
+  private[llm] def incrementalKeepDF(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val bandt = simhashBands(docs)
+    val nearIds = bandt.filter(col("doc_id") % 3 =!= 0).as("y")
+      .join(bandt.filter(col("doc_id") % 3 === 0).as("x"),
+        col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 2"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+      .withColumn("near", lit(1))
+    val exh = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("ex", lit(1))
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exh, Seq("h"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ex"), lit(0)).cast("int").as("exact_dup"),
+        coalesce(col("near"), lit(0)).cast("int").as("near_dup"),
+        (coalesce(col("ex"), lit(0)) === 0 && coalesce(col("near"), lit(0)) === 0)
+          .cast("int").as("keep"))
+  }
 
   /** (doc_id, simhash, b, chunk): row-local simhash + 4×8-bit band chunks —
     * shared by dd_simhash (self-join) and dd_incremental (asymmetric join). */

@@ -127,5 +127,54 @@ object PipelineQueries {
     Q("llm_corpus_prep_staged", prepOracle) { (s, d) =>
       prepDF(s, d, s.table(stageClusters(s, d)))
     },
+
+    // The corpus-UPDATE prep — the daily-crawl path that completes the
+    // family (full / staged / streaming / incremental): incoming docs
+    // (doc_id % 3 <> 0, the dd_incremental slice) are quality-gated,
+    // deduped AGAINST THE EXISTING corpus (content-hash semi join + the
+    // asymmetric banded simhash join — incoming never self-joins), exact-
+    // deduped WITHIN the crawl (min-doc_id keeper), then chunked. Within-
+    // crawl NEAR-dups are the streaming guard's job (L28, signature
+    // equality on ingest) — full clustering of the merged corpus stays the
+    // staged batch pass. Scale shape: every join is the already-audited
+    // dd_incremental / prep shape; nothing new shuffles.
+    Q("llm_corpus_prep_incr",
+      s"""WITH ${DedupQueries.incrementalCtes},
+         |${TextQueries.qualityCtes},
+         |exk AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keeper
+         |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+         |),
+         |surv AS (
+         |  SELECT doc.doc_id, doc.text
+         |  FROM documents doc
+         |  JOIN incr ON incr.doc_id = doc.doc_id AND incr.keep = 1
+         |  JOIN qual ON qual.doc_id = doc.doc_id AND qual.keep = 1
+         |  JOIN exk ON md5(doc.text) = exk.h AND doc.doc_id = exk.keeper
+         |)
+         |SELECT doc_id,
+         |  CAST((pos - 1) // ${TextQueries.chunkStep} AS BIGINT) AS chunk_idx,
+         |  md5(substring(text, CAST(pos AS INT), ${TextQueries.chunkLen})) AS chunk_hash
+         |FROM surv, unnest(generate_series(1, greatest(length(text), 1), ${TextQueries.chunkStep})) AS t(pos)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+      val keep = DedupQueries.incrementalKeepDF(s, d)
+        .filter(col("keep") === 1).select("doc_id")
+      val qual = TextQueries.qualityKeepDF(s, d)
+        .filter(col("keep") === 1).select("doc_id")
+      val exk = incoming.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+      incoming
+        .join(exk, md5(col("text")) === col("h") && col("doc_id") === col("keeper"))
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(qual, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .withColumn("pos",
+          explode(expr(s"sequence(1, greatest(length(text), 1), ${TextQueries.chunkStep})")))
+        .select(col("doc_id"),
+          expr(s"cast((pos - 1) div ${TextQueries.chunkStep} as bigint)").as("chunk_idx"),
+          expr(s"md5(substring(text, pos, ${TextQueries.chunkLen}))").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
   )
 }

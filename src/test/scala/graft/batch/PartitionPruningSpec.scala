@@ -49,5 +49,8 @@ class PartitionPruningSpec extends SparkSpec {
     // column pruning rides along: only the projected columns are read
     assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "n_chars"),
       s"ReadSchema pruned to the projection: ${scan.requiredSchema.fieldNames.toSeq}")
+    // and the pruned read returns exactly the unpartitioned filter's rows
+    assert(sliced.count() ==
+      graft.core.Tables.documents(spark, sf("sf0.01")).filter("lang = 'de'").count())
   }
 }

@@ -52,8 +52,13 @@ object StreamingCorpusPrep {
       gram: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // function name derives from the bloom's content: two concurrent
+    // streams gating on different eval suites in one session must not
+    // fight over a shared registry slot
+    val probeFn = "graft_stream_bloom_probe_" +
+      (java.util.Arrays.hashCode(bloomBytes) & Int.MaxValue)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_stream_bloom_probe",
+      probeFn,
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(
           bloomBytes, org.apache.spark.sql.types.BinaryType),
@@ -66,7 +71,7 @@ object StreamingCorpusPrep {
            |  transform(
            |    CASE WHEN size(toks) >= $gram THEN sequence(1, size(toks) - ${gram - 1}) ELSE array() END,
            |    i -> ${LlmHash.sparkH(s"array_join(slice(toks, i, $gram), ' ')")}),
-           |  gh -> graft_stream_bloom_probe(gh)))""".stripMargin))
+           |  gh -> $probeFn(gh)))""".stripMargin))
       .select(col("doc_id"), col("timestamp"), col("n_hits").cast("long").as("n_hits"),
         (col("n_hits") > 0).as("quarantine"))
   }

@@ -18,6 +18,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist intermediates (dedup/BPE/bm25 chains) must
+      // not accumulate cached RDDs across an 88-query session (the Bench
+      // contract, same reason)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -138,6 +138,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", exprs =>
         Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_quantize", exprs =>
+        VectorQuantize(exprs(0), exprs(1).eval().asInstanceOf[Number].longValue()), "built-in")
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in SQL; the builder makes the bloom PREFILTER
     // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
@@ -198,6 +201,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[Winnow].getName, null, "winnow"),
       (exprs: Seq[Expression]) =>
         Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("vector_quantize"),
+      new ExpressionInfo(classOf[VectorQuantize].getName, null, "vector_quantize"),
+      (exprs: Seq[Expression]) =>
+        VectorQuantize(exprs(0), exprs(1).eval().asInstanceOf[Number].longValue())))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -20,9 +20,14 @@ import LlmHash._
   *     Recall is probabilistic (documented LSH property); the oracle runs
   *     the identical algorithm, so determinism is exact.
   *
-  * All vector math is `zip_with`/`aggregate` over DOUBLE arrays — pure
-  * Catalyst expressions (codegen'd, no UDF), summed left-to-right so the
-  * DuckDB `list_dot_product` twin produces bit-identical doubles.
+  * Hot vector math runs through the codegen kernels (`vector_dot`,
+  * `vector_l2q`, `vector_quantize` — graft.functions): Catalyst's
+  * higher-order `zip_with`/`aggregate`/`transform` forms compute the same
+  * values but interpreted, one boxed lambda call per element. Dots sum
+  * left-to-right so the DuckDB `list_dot_product` twin produces
+  * bit-identical doubles; quantized integers are order-free by
+  * construction. Interpreted lambdas survive only on candidate-pair-sized
+  * frames (the est filter), never on a corpus scan.
   */
 object SimilarityQueries {
 
@@ -321,7 +326,7 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val xq = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $scale, 0) as bigint))").as("xq"))
+          expr(s"vector_quantize(embedding, $scale)").as("xq")) // codegen: no per-element lambda on the corpus scan
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c0 = xq.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("xq").as("carr"))
@@ -475,7 +480,7 @@ object SimilarityQueries {
         .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
       val xq = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
-          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sub = xq
         .select(col("vec_id"), col("label"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
@@ -566,7 +571,7 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val xq = Tables.embeddings(s, d)
         .select(col("vec_id"),
-          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
         .withColumn("pre", expr(s"slice(xq, 1, $preDim)"))
       val q = xq.filter(expr(querySel))
         .select(col("vec_id").as("query_id"), col("xq").as("qx"), col("pre").as("qpre"))
@@ -626,7 +631,7 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val xq = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("slice"),
-          expr(s"transform(embedding, v -> cast(round(cast(v as double) * $pqScale, 0) as bigint))").as("xq"))
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
       val cent = xq
         .select(col("label"), col("slice"), posexplode(col("xq")).as(Seq("i", "v")))
         .groupBy("label", "slice", "i")

@@ -23,9 +23,32 @@ class FunctionsSpec extends SparkSpec {
       assert(s2.sql("SELECT size(minhash_sigs(rolling_hash('abcdefghij', 5)))").head.getInt(0) == 16)
       assert(!s2.sql("SELECT simhash_sig(rolling_hash('abcdefghij', 5))").head.isNullAt(0))
       assert(s2.sql("SELECT bloom_might_contain(CAST(NULL AS BINARY), 42L)").head.isNullAt(0))
+      assert(s2.sql("SELECT vector_quantize(array(CAST(0.5 AS FLOAT)), 10)").head
+        .getSeq[Long](0) == Seq(5L))
     } finally {
       SparkSession.setActiveSession(orig); SparkSession.setDefaultSession(orig)
     }
+  }
+
+  test("vector_quantize matches the transform-lambda form, incl. negative halves") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    // random floats plus planted .5-tie values in BOTH signs — the exact
+    // points where Math.round (floor(x+0.5)) would diverge from Spark's
+    // round() HALF_UP (half away from zero)
+    val rows = Seq.fill(200)(
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1) ++ Seq(0.00005f, -0.00005f, 0.03125f, -0.03125f))
+    val df = rows.toDF("a")
+      .withColumn("native", expr("vector_quantize(a, 10000)"))
+      .withColumn("hof", expr("transform(a, v -> cast(round(cast(v as double) * 10000, 0) as bigint))"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0,
+      "native quantize must equal the interpreted round() lambda elementwise")
+    // double-array input path
+    val dd = Seq(Seq(1.00005, -1.00005, 0.0, 312.5 / 10000)).toDF("a")
+      .withColumn("native", expr("vector_quantize(a, 10000)"))
+      .withColumn("hof", expr("transform(a, v -> cast(round(v * 10000, 0) as bigint))"))
+    assert(dd.filter(col("native") =!= col("hof")).count() == 0)
   }
 
   test("vector_dot (codegen Expression) matches the interpreted HOF form bit-for-bit") {

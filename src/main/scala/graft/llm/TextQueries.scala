@@ -138,11 +138,16 @@ object TextQueries {
         expr(s"array_join(regexp_extract_all(lower(text), '$tokRegex', 0), '  ')").as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = (1 to bpeIters).map { rank =>
+      // explode positions + codegen'd concat projection: the former
+      // transform(sequence, j -> concat(...)) lambda ran interpreted per
+      // token over the whole corpus, once per merge round (Generate and
+      // Project fuse in one codegen stage — the carried array never
+      // crosses an exchange)
       val pairs = state
         .select(split(col("s"), "  ").as("t"))
         .filter(size(col("t")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(t) - 1), j -> concat(element_at(t, j), '  ', element_at(t, j + 1)))")).as("pair"))
+        .select(col("t"), explode(expr("sequence(1, size(t) - 1)")).as("j"))
+        .select(expr("concat(element_at(t, j), '  ', element_at(t, j + 1))").as("pair"))
       val m = pairs.groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair")).limit(1)
         .select(lit(rank).as("merge_rank"), col("pair"),

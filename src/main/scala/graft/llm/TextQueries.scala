@@ -310,7 +310,7 @@ object TextQueries {
       .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
       .withColumn("uniq_r", expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)"))
       .withColumn("stop_r", expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)"))
-      .withColumn("avg_len", expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)"))
+      .withColumn("avg_len", expr("cast(length(array_join(toks, '')) as double) / greatest(size(toks), 1)"))
       .withColumn("keep", expr(s"CAST(CASE WHEN ($rulesSqlSpark) = 'ok' THEN 1 ELSE 0 END AS INT)"))
       .drop("toks", "n_tokens", "uniq_r", "stop_r", "avg_len")
 
@@ -347,7 +347,7 @@ object TextQueries {
           expr("cast(size(split(text, ' ', -1)) as bigint)").as("n_tokens_ws"),
           expr(s"cast(size(regexp_extract_all(lower(text), '$pieceRegex', 0)) as bigint)").as("n_pieces"),
           expr("cast(size(array_distinct(toks)) as bigint)").as("n_uniq"),
-          expr("round(cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1), 4)").as("avg_token_len"),
+          expr("round(cast(length(array_join(toks, '')) as double) / greatest(size(toks), 1), 4)").as("avg_token_len"),
           // NB: `1.0` in a Spark SQL string is a DECIMAL literal (unlike
           // Scala-side 1.0) — `1.0D` keeps the division in DOUBLE like DuckDB
           expr(s"round(size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1), 4)").as("stop_ratio"),
@@ -447,7 +447,7 @@ object TextQueries {
           expr("cast(size(toks) as bigint)").as("n_tokens"),
           expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)").as("uniq_r"),
           expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)").as("stop_r"),
-          expr("cast(aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x) as double) / greatest(size(toks), 1)").as("avg_len"))
+          expr("cast(length(array_join(toks, '')) as double) / greatest(size(toks), 1)").as("avg_len"))
         .select(col("doc_id"), col("n_tokens"),
           round(col("uniq_r"), 4).as("uniq_ratio"),
           round(col("stop_r"), 4).as("stop_ratio"),

@@ -70,27 +70,47 @@ object StreamJoins {
     * processing-time temporal join: a reference arriving in a later batch
     * cannot retro-enrich an earlier batch's probes. Probes are never
     * buffered awaiting late references; they enrich against the newest
-    * state seen so far. */
-  def asofEnrich(probes: Dataset[SensorReading],
-      refs: Dataset[SensorReading]): Dataset[AsOfEnriched] = {
+    * state seen so far.
+    *
+    * `ttlMs > 0` bounds TOTAL state under key churn (constant bytes/key
+    * still leaves unbounded KEYS at 100 TB): an event-time timer (the P4
+    * pattern) evicts a key whose newest row is `ttlMs` behind the
+    * watermark; a later probe on the evicted key enriches as None until a
+    * fresh reference arrives — the documented staleness floor. */
+  def asofEnrich(probes: Dataset[SensorReading], refs: Dataset[SensorReading],
+      ttlMs: Long = 0L, watermarkDelay: String = "5 seconds"): Dataset[AsOfEnriched] = {
     val spark = probes.sparkSession
     import spark.implicits._
-    val routed = probes.map(r => StatefulOps.Routed(r.id, 0, r.timestamp, r.temperature, 0L, 0.0))
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val routed0 = probes.map(r => StatefulOps.Routed(r.id, 0, r.timestamp, r.temperature, 0L, 0.0))
       .union(refs.map(r => StatefulOps.Routed(r.id, 1, r.timestamp, r.temperature, 0L, 0.0)))
+    val routed =
+      if (ttlMs <= 0L) routed0
+      else routed0.toDF() // EventTimeTimeout needs a watermark on the union
+        .withColumn("ets", timestamp_millis(col("ts")))
+        .withWatermark("ets", watermarkDelay)
+        .as[StatefulOps.Routed]
+    val timeout =
+      if (ttlMs <= 0L) GroupStateTimeout.NoTimeout else GroupStateTimeout.EventTimeTimeout
     routed.groupByKey(_.key)
-      .flatMapGroupsWithState[LastRef, AsOfEnriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[LastRef, AsOfEnriched](OutputMode.Append, timeout) {
         (id, rows, state: GroupState[LastRef]) =>
-          var st = state.getOption.getOrElse(LastRef(None, None))
-          val out = Seq.newBuilder[AsOfEnriched]
-          // event-time order, refs (kind 1) before probes at equal ts —
-          // the batch operator's tie semantics
-          rows.toSeq.sortBy(r => (r.ts, -r.kind)).foreach { r =>
-            if (r.kind == 1) st = LastRef(Some(r.ts), Some(r.temp))
-            else out += AsOfEnriched(id, r.ts, r.temp, st.ts, st.temp)
+          if (ttlMs > 0L && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(LastRef(None, None))
+            val out = Seq.newBuilder[AsOfEnriched]
+            var maxTs = 0L
+            // event-time order, refs (kind 1) before probes at equal ts —
+            // the batch operator's tie semantics
+            rows.toSeq.sortBy(r => (r.ts, -r.kind)).foreach { r =>
+              if (r.kind == 1) st = LastRef(Some(r.ts), Some(r.temp))
+              else out += AsOfEnriched(id, r.ts, r.temp, st.ts, st.temp)
+              maxTs = math.max(maxTs, r.ts)
+            }
+            state.update(st)
+            if (ttlMs > 0L) state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

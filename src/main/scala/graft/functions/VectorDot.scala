@@ -115,6 +115,30 @@ object GraftFunctions {
     classOf[VectorDot].getName, null, "vector_dot",
     "vector_dot(a, b) - dot product of two DOUBLE arrays (codegen'd)", "")
 
+  /** Resolution-time extraction of a foldable, non-null integer literal
+    * argument. The registry builders run during analysis, so a column or
+    * NULL argument must surface as an AnalysisException naming the
+    * function — not as the bare NullPointerException/ClassCastException
+    * that `exprs(1).eval().asInstanceOf[Number]` produced. */
+  private[functions] def literalIntArg(fn: String, param: String,
+      e: Expression): Long = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException("NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    e.eval() match {
+      case n: Number => n.longValue()
+      case null =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.NULL",
+          Map("parameter" -> s"`$param`", "functionName" -> s"`$fn`"))
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException("NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+            "paramType" -> "\"INT\""))
+    }
+  }
+
   /** Idempotently register the engine's SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -125,7 +149,7 @@ object GraftFunctions {
       "md5_long60", exprs => Md5Long(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs =>
-        RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        RollingHash(exprs(0), literalIntArg("rolling_hash", "window", exprs(1)).toInt), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -134,13 +158,13 @@ object GraftFunctions {
       "hash_hist", exprs => HashHist(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_grams", exprs =>
-        Md5Grams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        Md5Grams(exprs(0), literalIntArg("md5_grams", "n", exprs(1)).toInt), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", exprs =>
-        Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+        Winnow(exprs(0), literalIntArg("winnow", "window", exprs(1)).toInt), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_quantize", exprs =>
-        VectorQuantize(exprs(0), exprs(1).eval().asInstanceOf[Number].longValue()), "built-in")
+        VectorQuantize(exprs(0), literalIntArg("vector_quantize", "scale", exprs(1))), "built-in")
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in SQL; the builder makes the bloom PREFILTER
     // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
@@ -178,7 +202,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, null, "rolling_hash"),
       (exprs: Seq[Expression]) =>
-        RollingHash(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+        RollingHash(exprs(0), GraftFunctions.literalIntArg("rolling_hash", "window", exprs(1)).toInt)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, null, "minhash_sigs"),
@@ -195,17 +219,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("md5_grams"),
       new ExpressionInfo(classOf[Md5Grams].getName, null, "md5_grams"),
       (exprs: Seq[Expression]) =>
-        Md5Grams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+        Md5Grams(exprs(0), GraftFunctions.literalIntArg("md5_grams", "n", exprs(1)).toInt)))
     ext.injectFunction((
       FunctionIdentifier("winnow"),
       new ExpressionInfo(classOf[Winnow].getName, null, "winnow"),
       (exprs: Seq[Expression]) =>
-        Winnow(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+        Winnow(exprs(0), GraftFunctions.literalIntArg("winnow", "window", exprs(1)).toInt)))
     ext.injectFunction((
       FunctionIdentifier("vector_quantize"),
       new ExpressionInfo(classOf[VectorQuantize].getName, null, "vector_quantize"),
       (exprs: Seq[Expression]) =>
-        VectorQuantize(exprs(0), exprs(1).eval().asInstanceOf[Number].longValue())))
+        VectorQuantize(exprs(0), GraftFunctions.literalIntArg("vector_quantize", "scale", exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

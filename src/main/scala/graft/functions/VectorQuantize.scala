@@ -45,10 +45,23 @@ case class VectorQuantize(child: Expression, scale: Long) extends UnaryExpressio
 
 object VectorQuantize {
   /** Spark `round(x, 0)` semantics: half away from zero on the exact
-    * binary double (BigDecimal(x).setScale(0, HALF_UP) agrees with this
-    * for every double — the shortest decimal repr preserves the value). */
+    * binary double. NOT `floor(x + 0.5)`: the addition itself rounds, so
+    * x = 0.49999999999999994 (the largest double below 0.5) gives
+    * x + 0.5 == 1.0 and floor says 1 while HALF_UP on the exact value says
+    * 0 (JDK-8010430). Instead compare the fractional part exactly:
+    * `x - floor(x)` is an exact subtraction for |x| < 2^52 (Sterbenz for
+    * x ≥ 1, trivially exact below), and every |x| ≥ 2^52 is already an
+    * integer — so `frac >= 0.5` is decided on the true binary value,
+    * which is also the decision BigDecimal HALF_UP makes (a shortest-repr
+    * decimal equals k.5 exactly iff the double is exactly k.5). */
   private def roundHalfAway(x: Double): Long =
-    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    if (x >= 0) {
+      val f = math.floor(x)
+      (if (x - f >= 0.5) f + 1 else f).toLong
+    } else {
+      val c = math.ceil(x)
+      (if (c - x >= 0.5) c - 1 else c).toLong
+    }
 
   def compute(a: ArrayData, scale: Long, fromFloat: Boolean): ArrayData = {
     val n = a.numElements()

@@ -51,6 +51,43 @@ class FunctionsSpec extends SparkSpec {
     assert(dd.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("vector_quantize JDK-8010430 tie region: floor(x+0.5) would round the wrong way") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 0.49999999999999994 is the largest double BELOW 0.5: adding 0.5 to it
+    // rounds (in binary) to exactly 1.0, so the floor(x+0.5) shortcut says 1
+    // while HALF_UP on the true value says 0. Planted in both signs, next to
+    // genuine .5 ties which must still round away from zero.
+    val dd = Seq(Seq(0.49999999999999994, -0.49999999999999994,
+      0.5, -0.5, 2.5, -2.5, 1.9999999999999998)).toDF("a")
+      .withColumn("native", expr("vector_quantize(a, 1)"))
+      .withColumn("hof", expr("transform(a, v -> cast(round(v, 0) as bigint))"))
+    val row = dd.select("native", "hof").head
+    assert(row.getSeq[Long](0) == Seq(0L, 0L, 1L, -1L, 3L, -3L, 2L),
+      s"exact tie handling: ${row.getSeq[Long](0)}")
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+      "native must agree with Spark round() on the pathological values")
+  }
+
+  test("literal-window-arg functions reject column / NULL arguments at analysis time") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(("abcdef", 3)).toDF("s", "n")
+    // a column second arg is not foldable — must be a named analysis error,
+    // not a NullPointerException from eval() in the registry builder
+    for (sql <- Seq("rolling_hash(s, n)", "md5_grams(s, n)", "vector_quantize(array(1.0D), n)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(sql).collect()
+      }
+      assert(e.getMessage.contains("foldable"), s"$sql: ${e.getMessage}")
+      assert(e.getMessage.contains(sql.takeWhile(_ != '(')), s"names the function: ${e.getMessage}")
+    }
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("winnow(array(1L), CAST(NULL AS INT))").collect()
+    }
+    assert(eNull.getMessage.contains("winnow"), s"names the function: ${eNull.getMessage}")
+  }
+
   test("vector_dot (codegen Expression) matches the interpreted HOF form bit-for-bit") {
     import spark.implicits._
     GraftFunctions.register(spark)

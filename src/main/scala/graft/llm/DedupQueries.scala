@@ -52,6 +52,14 @@ object DedupQueries {
   private val estThreshold = "0.5"
   private val dupThreshold = "0.8"
 
+  /** Everything the clustering output depends on besides the corpus: a
+    * staged cluster table written under DIFFERENT values of any of these is
+    * not a valid stage for this code (PipelineQueries validates the full
+    * fingerprint before cross-session reuse). */
+  private[llm] def algoFingerprint: String =
+    s"v1;P=${LlmHash.P};seeds=$nSeeds;bandRows=$bandRows;shingle=$shingleLen;" +
+      s"est=$estThreshold;dup=$dupThreshold;cap=$maxBucket"
+
   /** LSH band-bucket size cap: buckets with more docs than this are dropped
     * before the self-join (standard production-LSH practice). Recall
     * trade-off: a pair only in over-cap buckets is lost, but a bucket this

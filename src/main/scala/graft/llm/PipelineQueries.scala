@@ -34,36 +34,84 @@ import graft.core.Tables
   */
 object PipelineQueries {
 
-  /** sfDir → staged cluster table, scoped to this JVM/session so a stale
-    * table from an earlier process (older constants, changed corpus) can
-    * never satisfy a read — the first consumer in a session always stages
-    * fresh. */
+  /** sfDir → staged cluster table, scoped to this JVM — the first consumer
+    * in a process validates (or stages) once; later consumers skip even
+    * the validation scan. */
   private val stagedTables = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Test hook: number of actual clustering computations this JVM ran —
+    * the cross-session reuse spec asserts a valid stage does NOT bump it. */
+  private[llm] var stagingsComputed: Int = 0
+
+  /** Test hook: forget the per-JVM stage cache, simulating a fresh process
+    * (the disk state — table files, fingerprint sidecar, catalog entries —
+    * is deliberately left as-is). */
+  private[llm] def resetStageCache(): Unit = stagedTables.clear()
+
+  /** Fingerprint of everything the staged cluster table is a function of:
+    * the clustering constants ([[DedupQueries.algoFingerprint]]) and the
+    * corpus content (row count + order-free XOR of a per-doc content
+    * hash). Validation is ONE projection-pruned scan of (doc_id, text) —
+    * at 100 TB that is orders cheaper than the multi-pass clustering it
+    * lets a new session skip. */
+  private[llm] def stageFingerprint(s: SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val r = Tables.documents(s, d).agg(
+      count(lit(1)).as("n"),
+      expr("coalesce(bit_xor(md5_long60(concat(cast(doc_id as string), '|', text))), 0L)").as("x"))
+      .head
+    s"${DedupQueries.algoFingerprint};docs=${r.getLong(0)};xor=${r.getLong(1)}"
+  }
 
   /** Compute verified near-dup clusters once and persist them bucketed by
     * doc_id (16 buckets), pre-sorted — downstream joins on doc_id read the
     * bucket files without re-exchanging the (small) cluster side, and a
-    * cluster deployment gets the same via a bucketed warehouse table. */
+    * cluster deployment gets the same via a bucketed warehouse table.
+    *
+    * Cross-SESSION reuse: the stage directory carries a `_graft_fingerprint`
+    * sidecar (algorithm constants + corpus content hash). A fresh process
+    * whose fingerprint matches re-registers the existing bucketed files as
+    * an external table and skips the clustering pass entirely — the
+    * "N consumers × 1 pass" claim across driver restarts, not just within
+    * one. Any mismatch (changed constants, changed corpus) recomputes. */
   private def stageClusters(s: SparkSession, d: String): String =
     stagedTables.getOrElseUpdate(d, {
       val table = "graft_clusters_" + math.abs(d.hashCode).toString
-      // a previous JVM's warehouse files are NOT a valid stage (code or
-      // constants may have changed since) and, being unknown to this
-      // session's catalog, would fail managed-table creation with
-      // LOCATION_ALREADY_EXISTS — drop both catalog entry and location
-      s.sql(s"DROP TABLE IF EXISTS $table")
       val loc = java.nio.file.Paths.get(
         java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+      val fpFile = loc.resolve("_graft_fingerprint")
+      val fp = stageFingerprint(s, d)
+      val reusable = java.nio.file.Files.exists(fpFile) &&
+        new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp
+      if (reusable) {
+        // a previous process staged this exact corpus under this exact
+        // code: adopt the bucketed files as an external table (bucket spec
+        // restated so joins still skip the exchange)
+        if (!s.catalog.tableExists(table))
+          s.sql(s"""CREATE TABLE $table (doc_id BIGINT, cluster_id BIGINT) USING parquet
+                   |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 16 BUCKETS
+                   |LOCATION '${loc.toUri}'""".stripMargin)
+        table
+      } else {
+        // stale or absent: drop both catalog entry and location, recompute
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        // external (explicit path): the stage belongs to the warehouse dir,
+        // not to any one session's catalog — a later DROP TABLE (catalog
+        // cleanup, process death) must not delete the shared files
+        DedupQueries.clustersDF(s, d)
+          .write.mode("overwrite")
+          .option("path", loc.toUri.toString)
+          .bucketBy(16, "doc_id").sortBy("doc_id")
+          .saveAsTable(table)
+        stagingsComputed += 1
+        java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
+        table
       }
-      DedupQueries.clustersDF(s, d)
-        .write.mode("overwrite")
-        .bucketBy(16, "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
-      table
     })
 
   private val prepOracle =

@@ -1,0 +1,70 @@
+package graft.llm
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Cross-session reuse of the staged cluster table: a fresh process whose
+  * stage fingerprint (algorithm constants + corpus content hash) matches
+  * the `_graft_fingerprint` sidecar adopts the existing bucketed files
+  * WITHOUT re-running the clustering pass; any corpus change invalidates.
+  * Simulated fresh process = stage cache cleared + catalog entry dropped
+  * (the table is external, so the files survive the drop — exactly the
+  * state a new driver starts from). */
+class StageReuseSpec extends SparkSpec {
+
+  override val timeLimit = org.scalatest.time.Span(300, org.scalatest.time.Seconds)
+
+  test("fingerprint match skips recompute across sessions; corpus change invalidates") {
+    val dir = Files.createTempDirectory("stage_corpus")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.documents(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val table = "graft_clusters_" + math.abs(corpus.hashCode).toString
+    def stageRows() = graft.SparkEntry.queries("llm_cluster_stage")(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // session 1: first consumer stages (one real clustering computation)
+    val base = PipelineQueries.stagingsComputed
+    val rows1 = stageRows()
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call computes the stage")
+    assert(rows1.nonEmpty, "sf0.001 corpus has near-dup clusters")
+
+    // "new process": JVM cache gone, catalog entry gone, files + sidecar on disk
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val rows2 = stageRows()
+    assert(PipelineQueries.stagingsComputed == base + 1,
+      "matching fingerprint reuses the staged files without recompute")
+    assert(rows2 == rows1, "adopted external table returns the identical stage")
+
+    // the adopted table keeps its bucket spec (doc_id joins skip the exchange)
+    val bucketSpec = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .filter(col("col_name").isin("Num Buckets", "Bucket Columns")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(bucketSpec.get("Num Buckets").contains("16") &&
+      bucketSpec.get("Bucket Columns").exists(_.contains("doc_id")),
+      s"bucket metadata restored on adoption: $bucketSpec")
+
+    // corpus change: one doc's text edited -> fingerprint mismatch -> recompute
+    val docs = spark.read.parquet(s"$corpus/documents.parquet").collect()
+    val schema = spark.read.parquet(s"$corpus/documents.parquet").schema
+    val textIdx = schema.fieldIndex("text")
+    val edited = docs.zipWithIndex.map { case (r, i) =>
+      if (i == 0) org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.updated(textIdx, r.getString(textIdx) + " EDITED"))
+      else r
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(edited: _*)),
+      schema).write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    stageRows()
+    assert(PipelineQueries.stagingsComputed == base + 2,
+      "changed corpus invalidates the stage and recomputes")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}

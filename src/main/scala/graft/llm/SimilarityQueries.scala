@@ -39,6 +39,10 @@ object SimilarityQueries {
   private val preDim = 16
   /** stage-1 candidates per query retained for exact re-rank (5× topK). */
   private val twoStageC = 25
+  /** cells probed per query in sim_twostage_ann's IVF stage 1. 3 of the 10
+    * label cells — the recall/cost knob; see the query's comment for the
+    * measured recall geometry of the synthetic embeddings. */
+  private val annNprobe = 3
   /** SemDeDup cosine threshold (raw-double compare, engine-congruent). */
   private val semTau = "0.35"
   /** IVF-PQ geometry: M subspaces × subDim dims, k codes per subspace,
@@ -86,6 +90,61 @@ object SimilarityQueries {
   private def bucketSparkExpr: String = (0 until nPlanes)
     .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")
+
+  /** IVF coarse layer shared by sim_ivf and sim_twostage_ann: the
+    * normalized labeled corpus `n` (vec_id, label, v, nrm) and the query
+    * routing `asg` (query_id, qv, qn, probe_label) — each query sent to
+    * its `nprobe` best cell centroids (one row per probed cell). The
+    * centroid table is k-row (k = cells, ~sqrt(corpus) at scale) so its
+    * broadcast is the allowed constant-bounded kind; centroid components
+    * round to 4dp so parallel partial-avg order can't leak into the
+    * oracle compare. */
+  private def ivfLayer(s: org.apache.spark.sql.SparkSession,
+      d: String, nprobe: Int = 1): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+    val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
+    val asgW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("probe_label"))
+    val asg = n.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cent.withColumnRenamed("label", "probe_label")))
+      .withColumn("score",
+        expr(s"${sparkDot("qv", "c")} / sqrt(${sparkDot("c", "c")})"))
+      .withColumn("rn", row_number().over(asgW))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "qn", "probe_label")
+    (n, asg)
+  }
+
+  /** The sim_ivf centroid/routing CTEs, shared with sim_twostage_ann
+    * (which widens `rn = 1` to its nprobe — see its oracle). */
+  private def ivfRoutingCtes(nprobe: Int = 1): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |ex AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding::DOUBLE[]) AS x
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT label, list(cm ORDER BY i) AS c
+       |  FROM (SELECT label, i, round(avg(x), 4) AS cm FROM ex GROUP BY label, i)
+       |  GROUP BY label
+       |),
+       |asg AS (
+       |  SELECT query_id, qv, qn, probe_label FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent.label AS probe_label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) DESC, cent.label) AS rn
+       |    FROM n q, cent WHERE q.$querySel
+       |  ) WHERE rn <= $nprobe
+       |)""".stripMargin
 
   /** Sign-LSH ANN top-k DF (the sim_ann_lsh body — shared with the recall
     * harness). */
@@ -176,25 +235,7 @@ object SimilarityQueries {
     // rounded to 4dp so parallel partial-avg summation order can't leak
     // into the oracle compare.
     Q("sim_ivf",
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |ex AS (
-         |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding::DOUBLE[]) AS x
-         |  FROM embeddings
-         |),
-         |cent AS (
-         |  SELECT label, list(cm ORDER BY i) AS c
-         |  FROM (SELECT label, i, round(avg(x), 4) AS cm FROM ex GROUP BY label, i)
-         |  GROUP BY label
-         |),
-         |asg AS (
-         |  SELECT query_id, qv, qn, probe_label FROM (
-         |    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cent.label AS probe_label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_dot_product(q.v, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) DESC, cent.label) AS rn
-         |    FROM n q, cent WHERE q.$querySel
-         |  ) WHERE rn = 1
-         |),
+      s"""WITH ${ivfRoutingCtes()},
          |s AS (
          |  SELECT a.query_id, c.vec_id AS neighbor_id,
          |    list_dot_product(a.qv, c.v) / (a.qn * c.nrm) AS cos
@@ -204,25 +245,7 @@ object SimilarityQueries {
          |FROM s
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val n = e.withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
-      val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      val cent = ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
-      val asgW = Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("probe_label"))
-      val asg = n.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        .crossJoin(broadcast(cent.withColumnRenamed("label", "probe_label")))
-        .withColumn("score",
-          expr(s"${sparkDot("qv", "c")} / sqrt(${sparkDot("c", "c")})"))
-        .withColumn("rn", row_number().over(asgW))
-        .filter(col("rn") === 1)
-        .select("query_id", "qv", "qn", "probe_label")
+      val (n, asg) = ivfLayer(s, d)
       val scored = n.join(broadcast(asg),
           col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -585,6 +608,80 @@ object SimilarityQueries {
       val w2 = Window.partitionBy("query_id").orderBy(col("fdist"), col("neighbor_id"))
       s1.join(xq.select(col("vec_id").as("neighbor_id"), col("xq")), "neighbor_id")
         .join(broadcast(q.select(col("query_id"), col("qx"))), "query_id")
+        .withColumn("fdist", expr("vector_l2q(xq, qx)"))
+        .withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") <= topK)
+        .select("query_id", "neighbor_id", "cdist", "fdist")
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // Two-stage retrieval with an ANN stage 1 — the PRODUCTION shape that
+    // retires sim_twostage's documented brute-force stand-in: stage 1 is
+    // the multi-probe IVF router (each query probes its annNprobe best
+    // cells — |corpus|·nprobe/cells candidates instead of |corpus|),
+    // coarse-ranked on the same quantized preDim prefix; stage 2 is the
+    // identical exact full-dim re-rank of the C survivors. Fully
+    // deterministic (4dp centroids route, integer distances rank), so the
+    // whole chain is hash-gated by the oracle running the same algorithm;
+    // RECALL vs the exact sim_twostage is pinned in TwoStageAnnRecallSpec
+    // (the sim_ann_recall stance). NB the synthetic embeddings are near-
+    // uniform (measured: an exact top-5 neighbor lands in the query's cell
+    // only ~18-20% of the time, for label cells AND true k-means cells
+    // alike), so recall here tracks nprobe/cells — on clusterable real
+    // embeddings the same plan's recall is far higher; the gate pins the
+    // routing correctness and the measured floor for THIS data. Scale
+    // shape: stage 1 joins equi on the cell id (never all-pairs), the
+    // windows rank narrow rows, survivors join back for full vectors —
+    // every piece already audited in sim_ivf / sim_twostage.
+    Q("sim_twostage_ann", {
+      def dN(n: Int)(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, $n), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH ${ivfRoutingCtes(annNprobe)},
+         |xq0 AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |px AS (SELECT vec_id, label, xq, list_slice(xq, 1, $preDim) AS pre FROM xq0),
+         |qb AS (
+         |  SELECT a.query_id, p.xq AS qx, p.pre AS qpre, a.probe_label
+         |  FROM asg a JOIN px p ON p.vec_id = a.query_id
+         |),
+         |s1 AS (
+         |  SELECT qb.query_id, c.vec_id AS neighbor_id, ${dN(preDim)("c.pre", "qb.qpre")} AS cdist
+         |  FROM qb JOIN px c ON c.label = qb.probe_label AND c.vec_id <> qb.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY qb.query_id ORDER BY cdist, neighbor_id) <= $twoStageC
+         |),
+         |qd AS (SELECT DISTINCT query_id, qx FROM qb),
+         |s2 AS (
+         |  SELECT s1.query_id, s1.neighbor_id, s1.cdist, ${dN(LlmHash.dims)("c.xq", "qd.qx")} AS fdist
+         |  FROM s1 JOIN px c ON c.vec_id = s1.neighbor_id JOIN qd ON qd.query_id = s1.query_id
+         |)
+         |SELECT query_id, neighbor_id, cdist, fdist FROM s2
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fdist, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    }) { (s, d) =>
+      val (_, asg) = ivfLayer(s, d, annNprobe)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
+        .withColumn("pre", expr(s"slice(xq, 1, $preDim)"))
+      // one row per (query, probed cell); cells are disjoint so a candidate
+      // matches at most one probe row — no dedup needed in stage 1
+      val q = asg.select("query_id", "probe_label")
+        .join(xq.select(col("vec_id").as("query_id"), col("xq").as("qx"),
+          col("pre").as("qpre")), "query_id")
+      val w1 = Window.partitionBy("query_id").orderBy(col("cdist"), col("neighbor_id"))
+      val s1 = xq.join(broadcast(q),
+          col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(pre, qpre)").as("cdist"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") <= twoStageC)
+        .select("query_id", "neighbor_id", "cdist")
+      val w2 = Window.partitionBy("query_id").orderBy(col("fdist"), col("neighbor_id"))
+      s1.join(xq.select(col("vec_id").as("neighbor_id"), col("xq")), "neighbor_id")
+        .join(broadcast(q.select(col("query_id"), col("qx")).distinct()), "query_id")
         .withColumn("fdist", expr("vector_l2q(xq, qx)"))
         .withColumn("rn2", row_number().over(w2))
         .filter(col("rn2") <= topK)

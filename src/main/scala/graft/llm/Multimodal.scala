@@ -18,10 +18,13 @@ case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
   * batching contract as an Arrow-based vectorized UDF), and the output is
   * a typed frame Dataset partitioned like its input (no shuffle).
   *
-  * The codec itself is a STUB — this environment has no image/audio
-  * libraries — producing metadata and a checksum deterministically from
-  * the payload bytes. Swapping in a real decoder changes only the body of
-  * `decodeOne`; schema, batching, and partitioning stay as tested.
+  * The IMAGE leg is REAL: [[Multimodal.decodeImages]] parses BMP payloads
+  * with the JDK's own javax.imageio codec (oracle-gated round trip —
+  * mm_imageio_decode). Video/audio decode remains a STUB — no JDK codec
+  * exists and this environment has no media libraries — producing metadata
+  * and a checksum deterministically from the payload bytes. Swapping in a
+  * real av codec changes only the body of `decodeOne`; schema, batching,
+  * and partitioning stay as tested.
   */
 object Multimodal {
 
@@ -55,4 +58,78 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  // ------------------------------------------------------ real image path
+  //
+  // The container has no media libraries, but the JDK itself ships a BMP
+  // codec in javax.imageio — so the IMAGE leg of the decode stage can be
+  // real: generate deterministic 24-bit BMPs (a format simple enough to
+  // write by hand), then decode them with ImageIO and emit TRUE
+  // width/height plus a pixel checksum. The mm_imageio_decode query
+  // hash-gates the round trip: the oracle recomputes the expected
+  // dimensions and pixel sum from the generation parameters, so a decoder
+  // that misparsed the container (or a generator that miswrote it) fails
+  // the gate. Video/audio stay stubbed (decodeStub) — no JDK codec exists.
+
+  /** One decoded still image: true ImageIO dimensions + sum over all
+    * pixels of (r + g + b). */
+  case class DecodedImage(doc_id: Long, width: Long, height: Long, pixel_sum: Long)
+
+  /** Deterministic 24-bit uncompressed BMP: pixel (x, y) has channels
+    *   r = (seed + 31x + 7y) mod 256
+    *   g = (seed + 13x + 3y) mod 256
+    *   b = (seed +  5x + 11y) mod 256
+    * Rows bottom-up with 4-byte alignment per the BMP spec. */
+  def makeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && seed >= 0)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, positive h = bottom-up
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(rowSize * h) // BI_RGB, data size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = h - 1
+    while (y >= 0) { // bottom-up storage; (x, y) stays top-left logical
+      var x = 0
+      while (x < w) {
+        buf.put(((seed + 5 * x + 11 * y) % 256).toByte) // B
+        buf.put(((seed + 13 * x + 3 * y) % 256).toByte) // G
+        buf.put(((seed + 31 * x + 7 * y) % 256).toByte) // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** REAL decode: parse each payload with the JDK ImageIO codec. Same
+    * mapPartitions batch contract as [[decodeStub]] (a heavier codec would
+    * init once per partition here). */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"ImageIO could not decode payload for doc ${a.doc_id}")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(a.doc_id, img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
+    }
+  }
 }

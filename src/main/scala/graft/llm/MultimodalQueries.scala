@@ -97,5 +97,49 @@ object MultimodalQueries {
           col("crc_sum"))
         .orderBy("doc_id")
     },
+
+    // REAL image decode, oracle-gated end to end: per doc, deterministic
+    // dimensions/seed derive from the content hash; a 24-bit BMP is
+    // GENERATED with a known per-pixel function (Multimodal.makeBmp), then
+    // DECODED with the JDK's javax.imageio BMP codec; the query emits the
+    // decoder's reported width/height and the sum over decoded pixels of
+    // r+g+b. The oracle recomputes all three from the generation function
+    // alone — any container-format disagreement between the writer and the
+    // real decoder breaks the hash match. Dims stay small (≤ 15×13) so the
+    // corpus-wide decode is cheap; the shape (binary payload column →
+    // mapPartitions codec → typed frame rows, no shuffle) is the identical
+    // contract a JPEG/PNG ingest would run at scale.
+    Q("mm_imageio_decode",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+         |    CAST(8 + h % 6 AS BIGINT) AS ht, h % 65536 AS seed
+         |  FROM m
+         |)
+         |SELECT doc_id, w AS width, ht AS height,
+         |  CAST(sum((seed + 31 * xx.x + 7 * yy.y) % 256
+         |         + (seed + 13 * xx.x + 3 * yy.y) % 256
+         |         + (seed + 5 * xx.x + 11 * yy.y) % 256) AS BIGINT) AS pixel_sum
+         |FROM g,
+         |  unnest(generate_series(0, w - 1)) AS xx(x),
+         |  unnest(generate_series(0, ht - 1)) AS yy(y)
+         |GROUP BY doc_id, w, ht
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+          expr("cast(8 + h % 6 as int)").as("ht"), expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Long)]
+      val assets = spec.map { case (id, w, ht, seed) =>
+        MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
+      Multimodal.decodeImages(assets)
+        .toDF()
+        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "pixel_sum")
+    },
   )
 }

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve data generator: writes an N× replica of an existing SF
+  * dir's `documents` + `embeddings` tables (the only inputs of the heavy
+  * bench family) so SCALING.md can cover a third decade without touching
+  * the read-only driver testdata.
+  *
+  * Replication must not manufacture a pathological 100%-near-dup corpus:
+  * replica r > 0 suffixes every WORD with the replica digit, which shifts
+  * essentially every character shingle (the dedup families' 5-gram unit),
+  * so replicas are ordinary distinct documents to MinHash/SimHash/Jaccard
+  * — corpus-level dup statistics stay comparable to the source SF instead
+  * of collapsing into 10-cliques. Embeddings get a small deterministic
+  * per-replica component shift (same reasoning in vector space); every
+  * 50th vec_id remains a query (shift is a multiple of 50), so the query
+  * batch scales with the corpus like a real SF increase.
+  *
+  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [reps<=10]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sfx10")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    require(reps >= 1 && reps <= 10, "replica digit must stay a single char")
+    val idShift = 10000000L // multiple of 50 (query sel) and of nothing else load-bearing
+    val spark = graft.core.GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-genscale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docReps = (0 until reps).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * idShift)).as("doc_id"),
+        // suffix each word with the replica digit -> new shingle universe
+        expr(s"array_join(transform(split(text, ' '), w -> concat(w, '$r')), ' ')").as("text"),
+        col("lang"), col("source"), lit(0L).as("n_chars"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    docReps.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embReps = (0 until reps).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r * idShift)).as("vec_id"),
+        expr(s"transform(embedding, v -> cast(v + ${r * 0.0011} as float))").as("embedding"),
+        col("label"))
+    }
+    embReps.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"[genscale] wrote $out: $nd documents, $ne embeddings ($reps x $src)")
+    spark.stop()
+  }
+}

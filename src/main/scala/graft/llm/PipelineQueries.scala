@@ -162,8 +162,11 @@ object PipelineQueries {
     },
 
     // The stage itself, oracle-gated: persist + return the cluster table.
-    // Named to sort BEFORE the prep queries so a bench run charges the
-    // one-time clustering cost here and the staged prep shows the reuse win.
+    // NB on bench reading: since cross-session fingerprint reuse, a fresh
+    // JVM whose warehouse already holds a valid stage measures the
+    // validate-and-adopt path here (one pruned corpus scan + table read) —
+    // the production behavior. The full clustering price stays visible in
+    // the self-contained llm_corpus_prep, which recomputes by definition.
     Q("llm_cluster_stage",
       s"""WITH RECURSIVE ${DedupQueries.clusterCtes}
          |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin) {

@@ -64,12 +64,19 @@ object MinHashSigs {
   }
 }
 
-/** `simhash_sig(garr)` — 32-bit SimHash of a document's gram-hash array in
+/** `simhash_sig(garr)` — 60-bit SimHash of a document's gram-hash array in
   * one row-local pass: per bit, sum ±1 weighted by the bit of an affine
-  * rehash (seeds 16..47), then pack signs. Replaces a 32-aggregate groupBy
+  * rehash (seeds 16..75), then pack signs. Replaces a 60-aggregate groupBy
   * over exploded grams with a projection — same zero-shuffle argument as
   * [[MinHashSigs]]. Oracle congruence: the DuckDB twin sums over the raw
   * gram MULTISET (garr), exactly what this loop sees.
+  *
+  * 60 bits (up from the original 32) so the banded candidate join stays
+  * sparse as the corpus grows: 4×15-bit bands give 32768 buckets per band
+  * vs 256, and the third-decade scaling run showed the 8-bit buckets
+  * densifying toward a quadratic self-join (~195 docs/bucket at 50k docs).
+  * 60 (not 64) keeps the signature and every band chunk positive, so no
+  * sign-extension/floor-division divergence between engines can exist.
   */
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -143,7 +150,7 @@ object HashHist {
 
 object SimHashSig {
   final val P = LlmHash.P
-  private val nBits = 32
+  private val nBits = 60
   private val A: Array[Long] = LlmHash.A.slice(16, 16 + nBits).toArray
   private val B: Array[Long] = LlmHash.B.slice(16, 16 + nBits).toArray
 

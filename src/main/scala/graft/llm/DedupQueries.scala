@@ -14,7 +14,7 @@ import LlmHash._
   *   - `dd_exact`        exact dedup by content hash (hash-shuffle groupBy)
   *   - `dd_minhash_lsh`  MinHash signatures + banded LSH candidate pairs
   *   - `dd_jaccard`      exact shingle-Jaccard verification of LSH candidates
-  *   - `dd_simhash`      32-bit SimHash + banded Hamming-distance pairs
+  *   - `dd_simhash`      60-bit SimHash + banded Hamming-distance pairs
   *
   * Scale design (the part that must survive 100 TB):
   *   - signature building is a PROJECTION, not an aggregation: the
@@ -466,32 +466,40 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // SimHash: 32 bit-weights as row-local array aggregates (no shuffle),
-    // banded candidate join on 8-bit chunks, Hamming via bit_count(xor).
+    // SimHash: 60 bit-weights as row-local array aggregates (no shuffle),
+    // banded candidate join on 15-bit chunks, Hamming via bit_count(xor).
     // Features are the char-5-gram hashes (same grams as minhash) — word
     // unigrams are useless on shared-vocabulary corpora (every doc's weight
     // vector converges to the vocab frequency profile: measured 12k+ false
     // pairs at hamming<=6 on 500 docs vs 67 true ones for grams at <=2).
-    // The 4x8-bit band join pigeonhole-guarantees recall for hamming<=3,
-    // a superset of the <=2 emitted.
+    // 60 bits / 15-bit chunks (widened from 32/8 after the third-decade
+    // scaling run measured 8-bit buckets densifying toward a quadratic
+    // self-join): 32768 buckets per band keep occupancy ~n/32768, and the
+    // [[maxBucket]] cap (shared with the minhash path, inside
+    // [[simhashBands]]) bounds any boilerplate-skewed bucket regardless.
+    // The 4-band join pigeonhole-guarantees recall for hamming<=3 — the
+    // emitted threshold, scaled with the width (2/32 -> 3/60 keeps the
+    // same ~6% bit-flip sensitivity).
     Q("dd_simhash", {
-      val ws = (0 until 32)
+      val ws = (0 until 60)
         .map(i => s"list_sum(list_transform(garr, h -> CASE WHEN ${affine(16 + i, "h")} % 2 = 1 THEN 1 ELSE -1 END)) AS w$i")
         .mkString(", ")
-      val simExpr = (0 until 32)
+      val simExpr = (0 until 60)
         .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
       s"""WITH $gsCte,
          |w AS (SELECT doc_id, $ws FROM gs),
          |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM w),
-         |bandt AS (
-         |  SELECT doc_id, simhash, b, (simhash // CAST(CASE b WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END AS BIGINT)) % 256 AS chunk
+         |bandt0 AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS chunk
          |  FROM sim, unnest([0,1,2,3]) AS u(b)
-         |)
+         |),
+         |okb AS (SELECT b, chunk FROM bandt0 GROUP BY b, chunk HAVING count(*) <= $maxBucket),
+         |bandt AS (SELECT bandt0.* FROM bandt0 JOIN okb USING (b, chunk))
          |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM bandt x JOIN bandt y
          |  ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY d1, d2""".stripMargin
     }) { (s, d) =>
       // row-local simhash_sig projection: all 32 bit-weight sums + sign
@@ -505,7 +513,7 @@ object DedupQueries {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
           expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 3)
         .distinct()
         .orderBy("d1", "d2")
     },
@@ -514,7 +522,7 @@ object DedupQueries {
     // a new crawl against the EXISTING training set (doc_id % 3 == 0 slice
     // standing in for it), not against itself. An incoming doc is flagged
     // exact_dup on content-hash membership and near_dup on a banded
-    // simhash Hamming ≤ 2 match into the existing side. Scale shape:
+    // simhash Hamming ≤ 3 match into the existing side. Scale shape:
     // asymmetric band join — incoming band rows meet only same-chunk
     // existing rows (never all-pairs, never incoming×incoming); the
     // content-hash check is a hash-partitioned semi join; both flags then
@@ -531,25 +539,27 @@ object DedupQueries {
     * `incr(doc_id, exact_dup, near_dup, keep)` over the incoming slice —
     * shared by dd_incremental and the incremental prep pipeline. */
   private[llm] def incrementalCtes: String = {
-    val ws = (0 until 32)
+    val ws = (0 until 60)
       .map(i => s"list_sum(list_transform(garr, h -> CASE WHEN ${affine(16 + i, "h")} % 2 = 1 THEN 1 ELSE -1 END)) AS w$i")
       .mkString(", ")
-    val simExpr = (0 until 32)
+    val simExpr = (0 until 60)
       .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     s"""$gsCte,
        |w AS (SELECT doc_id, $ws FROM gs),
        |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM w),
-       |bandt AS (
-       |  SELECT doc_id, simhash, b, (simhash // CAST(CASE b WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END AS BIGINT)) % 256 AS chunk
+       |bandt0 AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (15 * b)) & 32767 AS chunk
        |  FROM sim, unnest([0,1,2,3]) AS u(b)
        |),
+       |okb AS (SELECT b, chunk FROM bandt0 GROUP BY b, chunk HAVING count(*) <= $maxBucket),
+       |bandt AS (SELECT bandt0.* FROM bandt0 JOIN okb USING (b, chunk)),
        |exh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0),
        |nearids AS (
        |  SELECT DISTINCT y.doc_id
        |  FROM bandt y JOIN bandt x
        |    ON x.b = y.b AND x.chunk = y.chunk
        |   AND x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0
-       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+       |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
        |),
        |incr AS (
        |  SELECT d.doc_id,
@@ -573,7 +583,7 @@ object DedupQueries {
     val nearIds = bandt.filter(col("doc_id") % 3 =!= 0).as("y")
       .join(bandt.filter(col("doc_id") % 3 === 0).as("x"),
         col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk"))
-      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 2"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 3"))
       .select(col("y.doc_id").as("doc_id")).distinct()
       .withColumn("near", lit(1))
     val exh = docs.filter(col("doc_id") % 3 === 0)
@@ -590,21 +600,34 @@ object DedupQueries {
           .cast("int").as("keep"))
   }
 
-  /** (doc_id, simhash, b, chunk): row-local simhash + 4×8-bit band chunks —
-    * shared by dd_simhash (self-join) and dd_incremental (asymmetric join). */
+  /** (doc_id, simhash, b, chunk): row-local simhash + 4×15-bit band chunks,
+    * [[maxBucket]]-capped — shared by dd_simhash (self-join) and
+    * dd_incremental (asymmetric join). The cap mirrors the minhash path:
+    * a band bucket holding more than maxBucket docs is a low-information
+    * signature (shared boilerplate) whose self-join would go quadratic in
+    * corpus skew; dropping it bounds every bucket at O(cap²) while a true
+    * near-dup pair keeps 4 independent band chances. */
   private def simhashBands(docs: DataFrame): DataFrame = {
+    // persist the 2-long-per-doc signature table: the cap aggregate, the
+    // band join, and both sides of a self-join would otherwise each
+    // re-run the 60-seed signature fold over the full corpus (the
+    // consumers' clearCache releases it, same contract as clustersDF)
     val sim = docs
       .filter(length(col("text")) >= shingleLen)
       .select(col("doc_id"),
         expr(s"simhash_sig(rolling_hash(text, $shingleLen))").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("b"), expr(s"(simhash div ${1L << (8 * b)}) % 256").as("chunk"))
+      struct(lit(b).as("b"), expr(s"shiftright(simhash, ${15 * b}) & 32767").as("chunk"))
     }
     // carry simhash through the band join so Hamming is filtered BEFORE
     // distinct — shared-vocab corpora make band buckets skew, and filtering
     // inside the join stage keeps the distinct input at result size
-    sim
+    val bandt0 = sim
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+    val ok = bandt0.groupBy("b", "chunk").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBucket).select("b", "chunk")
+    bandt0.join(ok, Seq("b", "chunk"), "left_semi")
   }
 }

@@ -35,8 +35,16 @@ object LlmHash {
     * literals into both engines' SQL, so the draw mechanism never has to be
     * reproduced outside the JVM). */
   private val rng = new scala.util.Random(42)
-  val A: IndexedSeq[Long] = IndexedSeq.fill(48)(1L + rng.nextInt(999999999).toLong)
-  val B: IndexedSeq[Long] = IndexedSeq.fill(48)(rng.nextInt(999999999).toLong)
+  // the extension draws (a1/b1, for simhash bits 32..59) come AFTER the
+  // original 48-pair sequence so every seed pair that existed before the
+  // 60-bit simhash widening — and with them all minhash signatures and the
+  // first 32 simhash bit-weights — is bit-identical to the 48-seed era
+  private val a0 = IndexedSeq.fill(48)(1L + rng.nextInt(999999999).toLong)
+  private val b0 = IndexedSeq.fill(48)(rng.nextInt(999999999).toLong)
+  private val a1 = IndexedSeq.fill(28)(1L + rng.nextInt(999999999).toLong)
+  private val b1 = IndexedSeq.fill(28)(rng.nextInt(999999999).toLong)
+  val A: IndexedSeq[Long] = a0 ++ a1
+  val B: IndexedSeq[Long] = b0 ++ b1
 
   /** Seed-s affine re-hash of an expression already reduced mod P.
     * Engine-neutral SQL (plain `*`, `+`, `%`). */

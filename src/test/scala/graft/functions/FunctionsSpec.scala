@@ -193,10 +193,10 @@ class FunctionsSpec extends SparkSpec {
       .select(col("doc_id") +:
         (0 until 16).map(i => element_at(col("sigs"), i + 1).as(s"m$i")): _*)
     assert(viaExpr.except(viaAgg).isEmpty && viaAgg.except(viaExpr).isEmpty)
-    // simhash: 32 sum-aggregates + sign packing vs the one-pass fold
-    val ws = (0 until 32).map(i =>
+    // simhash: 60 sum-aggregates + sign packing vs the one-pass fold
+    val ws = (0 until 60).map(i =>
       expr(s"sum(CASE WHEN ${LlmHash.affine(16 + i, "hm")} % 2 = 1 THEN 1 ELSE -1 END)").as(s"w$i"))
-    val simExpr = (0 until 32)
+    val simExpr = (0 until 60)
       .map(i => s"(CASE WHEN w$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val simViaAgg = sh.groupBy("doc_id").agg(ws.head, ws.tail: _*)
       .select(col("doc_id"), expr(s"CAST($simExpr AS BIGINT)").as("simhash"))

@@ -70,7 +70,7 @@ class PropertySpec extends AnyFunSuite {
     val B = graft.llm.LlmHash.B
     check(Prop.forAll(gramArr) { gs: List[Long] =>
       val got = SimHashSig.compute(ArrayData.toArrayData(gs.toArray))
-      (0 until 32).forall { b =>
+      (0 until 60).forall { b =>
         val w = gs.map { g =>
           val h = (g * g + 987654321L) % P
           if ((A(16 + b) * h + B(16 + b)) % P % 2 == 1) 1L else -1L

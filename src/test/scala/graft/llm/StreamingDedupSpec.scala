@@ -38,12 +38,20 @@ class StreamingDedupSpec extends SparkSpec {
       "sleepy cats watch from a warm windowsill in the late afternoon sun"
     // find a one-char edit that provably keeps the simhash (a single edit
     // flips only ~5 gram instances; most leave every bit-weight's sign
-    // alone, but which do is data-dependent — verify in batch, then stream)
-    def sig(t: String): Long = Seq(t).toDF("text")
-      .selectExpr("simhash_sig(rolling_hash(text, 5)) AS s").as[Long].head()
-    val baseSig = sig(base)
-    val variant = ('a' to 'z').map(c => base.replace("windowsill", s"windowsil$c"))
-      .find(v => v != base && sig(v) == baseSig)
+    // alone, but which do is data-dependent — verify in batch, then
+    // stream). 60 signature bits make any single candidate less likely to
+    // keep all signs than 32 did, so search edits of several words; the
+    // whole candidate batch is scored in ONE query.
+    val targets = Seq("windowsill", "afternoon", "seventeen", "sleepy", "quick")
+    val candidates = for {
+      w <- targets; c <- 'a' to 'z'
+      v = base.replace(w, w.dropRight(1) + c) if v != base
+    } yield v
+    val sigs = (base +: candidates).toDF("text")
+      .selectExpr("text", "simhash_sig(rolling_hash(text, 5)) AS s")
+      .as[(String, Long)].collect().toMap
+    val baseSig = sigs(base)
+    val variant = candidates.find(v => sigs(v) == baseSig)
       .getOrElse(fail("no same-signature one-char variant found"))
     val mem = MemoryStream[DocEvent]
     val q = StreamingDedup.dedupNearStream(mem.toDS(), "10 seconds")

@@ -35,6 +35,13 @@ class SnapshotClientSpec extends SparkSpec {
       val snap2 = SnapshotClient.poll(dir)(_.size == 3)
       assert(snap2.map(r => r("sensor") -> r("max_temp").toDouble).toMap ==
         Map("a" -> 99.0, "b" -> 20.0, "c" -> 5.0))
+      // typed read: parquet DOUBLE arrives as a Double, no string parsing
+      val typed = SnapshotClient.readTyped(dir)
+      assert(typed.size == 3)
+      assert(typed.forall(r => r("max_temp").isInstanceOf[Double] &&
+        r("sensor").isInstanceOf[String]), s"typed values: $typed")
+      assert(typed.map(r => r("sensor") -> r("max_temp")).toMap ==
+        Map("a" -> 99.0, "b" -> 20.0, "c" -> 5.0))
     } finally q.stop()
   }
 }

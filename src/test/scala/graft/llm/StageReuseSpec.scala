@@ -65,6 +65,23 @@ class StageReuseSpec extends SparkSpec {
     stageRows()
     assert(PipelineQueries.stagingsComputed == base + 2,
       "changed corpus invalidates the stage and recomputes")
+
+    // constants-change path: a stage written under different algorithm
+    // constants carries a different fingerprint — simulated by corrupting
+    // the sidecar (same observable state as a constants edit: files
+    // present, fingerprint mismatched) -> recompute, and the sidecar heals
+    val loc = java.nio.file.Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    val fpFile = loc.resolve("_graft_fingerprint")
+    val goodFp = new String(Files.readAllBytes(fpFile), "UTF-8")
+    Files.write(fpFile, "v0;stale-constants".getBytes("UTF-8"))
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    stageRows()
+    assert(PipelineQueries.stagingsComputed == base + 3,
+      "fingerprint mismatch (changed constants) recomputes")
+    assert(new String(Files.readAllBytes(fpFile), "UTF-8") == goodFp,
+      "recompute rewrites the current fingerprint")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

@@ -506,16 +506,7 @@ object DedupQueries {
       // packing fold over the rolling-hash array in one codegen'd loop —
       // no gram explode, no 32-aggregate groupBy, zero shuffle to here
       graft.functions.GraftFunctions.register(s)
-      val bandt = simhashBands(Tables.documents(s, d))
-      bandt.as("x")
-        .join(bandt.as("y"),
-          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("d1", "d2")
+      simhashPairs(Tables.documents(s, d)).orderBy("d1", "d2")
     },
 
     // Incremental (cross-corpus) dedup — the corpus-UPDATE operator: dedup
@@ -598,6 +589,21 @@ object DedupQueries {
         coalesce(col("near"), lit(0)).cast("int").as("near_dup"),
         (coalesce(col("ex"), lit(0)) === 0 && coalesce(col("near"), lit(0)) === 0)
           .cast("int").as("keep"))
+  }
+
+  /** The dd_simhash pair pipeline over any (doc_id, text) frame —
+    * `private[llm]` so the planted-pair recall spec can drive it with
+    * synthetic near-dups. UNORDERED. */
+  private[llm] def simhashPairs(docs: DataFrame): DataFrame = {
+    val bandt = simhashBands(docs)
+    bandt.as("x")
+      .join(bandt.as("y"),
+        col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** (doc_id, simhash, b, chunk): row-local simhash + 4×15-bit band chunks,

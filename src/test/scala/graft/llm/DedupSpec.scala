@@ -107,4 +107,42 @@ class DedupSpec extends SparkSpec {
     val falseCands = pairs.filterNot(expected)
     assert(falseCands.size <= 5, s"unexpected candidate pairs: $falseCands")
   }
+
+  test("planted near-dup pairs survive the 60-bit simhash band chain (recall harness)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // One-word edit on a 200-word doc (~0.5% of gram instances): the
+    // simhash angle theta ~ 0.1 rad gives an expected Hamming of
+    // 60*theta/pi ~ 2 — inside the <=3 emit threshold, and any pair at
+    // Hamming <=3 is pigeonhole-GUARANTEED a clean band of the four. The
+    // fixed per-doc PRNG seeds make every signature deterministic, so the
+    // asserted recall is a pinned value. Regression target: the r5
+    // widening (32->60 bits, threshold 2->3) must keep real near-dups
+    // detectable, not just keep buckets sparse.
+    val vocab = {
+      val r = new scala.util.Random(11)
+      (0 until 400).map(_ => (0 until 8).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+    }
+    def doc(seed: Int): Seq[String] = {
+      val rng = new scala.util.Random(seed)
+      Seq.fill(200)(vocab(rng.nextInt(vocab.length)))
+    }
+    val planted = (0 until 20).flatMap { p =>
+      val base = doc(p)
+      Seq((p * 2L, base.mkString(" ")),
+        (p * 2L + 1L, base.updated(97, "zzzzz").mkString(" ")))
+    }
+    val decoys = (0 until 40).map(k => (1000L + k, doc(1000 + k).mkString(" ")))
+    val docs = (planted ++ decoys).toDF("doc_id", "text")
+    val pairs = DedupQueries.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(p => (p * 2L, p * 2L + 1L)).toSet
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    assert(recall >= 0.8,
+      s"recall $recall; missing planted pairs: ${expected -- pairs}")
+    // precision: independent 200-word decoys are ~90 deg apart — a decoy
+    // pair within Hamming 3 of 60 bits would be a collapsed signature
+    val falseCands = pairs.filterNot(expected)
+    assert(falseCands.isEmpty, s"unexpected candidate pairs: $falseCands")
+  }
 }

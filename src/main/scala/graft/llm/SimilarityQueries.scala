@@ -254,19 +254,27 @@ object SimilarityQueries {
     },
 
     // Embedding-cosine near-dup (the dedup family's vector method): pairs
-    // in the SAME sign-LSH bucket with cosine >= 0.4. Bucketed — the join
-    // key is the 8-bit bucket, never all-pairs; recall is the LSH
-    // probability (the oracle runs the identical algorithm).
+    // in the SAME sign-LSH bucket with cosine >= 0.4, buckets capped at
+    // maxBucket docs. The join key is the 8-bit bucket, never all-pairs;
+    // recall is the LSH probability (the oracle runs the identical
+    // algorithm, cap included).
     Q("dd_embed_cosine", {
       val bucketDuck = (0 until nPlanes)
         .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuck(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
+      // the bucket space is FIXED (2^nPlanes = 256), so occupancy grows
+      // linearly with the corpus and the self-join quadratically — the
+      // dd_simhash densification class. The maxBucket cap (mirrored here)
+      // is the hard B·cap² ceiling; production also raises nPlanes with
+      // the corpus, which this cap makes safe to forget.
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (
+         |n0 AS (
          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
          |    $bucketDuck AS bucket
          |  FROM e
-         |)
+         |),
+         |okb AS (SELECT bucket FROM n0 GROUP BY bucket HAVING count(*) <= ${DedupQueries.maxBucket}),
+         |n AS (SELECT n0.* FROM n0 JOIN okb USING (bucket))
          |SELECT a.vec_id AS v1, b.vec_id AS v2,
          |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -276,7 +284,15 @@ object SimilarityQueries {
       val bucketSpark = (0 until nPlanes)
         .map(j => s"(CASE WHEN ${sparkDot("v", planeSpark(j))} > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
-      val n = vectors(s, d).withColumn("bucket", expr(bucketSpark))
+      // persist: the cap aggregate, the semi join, and both self-join
+      // sides would otherwise each re-run the 9 vector_dot projections
+      // (8 plane buckets + the norm) over the corpus — the simhash
+      // lesson; consumers' clearCache releases it
+      val n0 = vectors(s, d).withColumn("bucket", expr(bucketSpark))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ok = n0.groupBy("bucket").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= DedupQueries.maxBucket).select("bucket")
+      val n = n0.join(ok, Seq("bucket"), "left_semi")
       n.as("a")
         .join(n.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -42,6 +42,8 @@ object TextQueries {
   private val gramLen = 8
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
+  private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
+  private val boilerDf = 3 // distinct docs containing a line before it counts as boilerplate
   private val evalMod = 41 // doc_id % evalMod == 0 → held-out eval/benchmark doc
   // Token n-gram length for decontamination. Production suites use 8-13;
   // on this synthetic word-salad corpus verbatim 8-gram collisions simply
@@ -1509,5 +1511,77 @@ object TextQueries {
           expr("cast(CASE WHEN coalesce(raw, 0L) >= 0 THEN 1 ELSE 0 END as int)").as("keep"))
         .orderBy("doc_id")
     },
+
+    // Cross-document boilerplate LINE removal — the CCNet/RefinedWeb
+    // line-dedup pass, and the corrective counterpart of dd_spans'
+    // detection: a line whose corpus document-frequency reaches
+    // [[boilerDf]] is removed from EVERY document (unlike dd_chunk's
+    // first-occurrence-wins — repeated navigation/footer text is noise
+    // wherever it appears), and the document text is REWRITTEN from the
+    // surviving lines. The synthetic corpus is single-line word soup, so a
+    // "line" here is a fixed [[lineWords]]-word segment; a real crawl
+    // splits on '\n' and the plan is identical.
+    //
+    // Scale shape: the line array is a row-local projection; the df pass
+    // is one map-side-combined distinct (line_hash, doc_id) shuffle; the
+    // boilerplate set (df >= threshold) is result-sized, so AQE broadcasts
+    // the membership join (no hint); the rebuild is ONE doc_id shuffle
+    // carrying each line's text exactly once — the unavoidable payload of
+    // a rewriting operator, since hashes alone cannot reassemble text. No
+    // window spans the corpus; nothing is collected to the driver.
+    // removed_frac is the UNROUNDED integer/integer quotient (the
+    // tx_quality_score stance — k/2^m quotients land ON exact 4-dp
+    // rounding ties where the engines disagree).
+    Q("tx_line_dedup",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ln AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ws[(i*$lineWords+1):(i*$lineWords+$lineWords)], ' ') AS line
+         |  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/$lineWords.0) AS BIGINT) - 1)) AS t(i)
+         |),
+         |boiler AS (
+         |  SELECT md5(line) AS lh FROM ln
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $boilerDf
+         |),
+         |tagged AS (
+         |  SELECT l.doc_id, l.pos, l.line, (b.lh IS NOT NULL) AS is_b
+         |  FROM ln l LEFT JOIN boiler b ON md5(l.line) = b.lh
+         |)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  sum(CASE WHEN is_b THEN 1 ELSE 0 END) * 1.0 / count(*) AS removed_frac,
+         |  md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END, ' ' ORDER BY pos), '')) AS clean_hash
+         |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      lineDedupDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
   )
+
+  /** Body of `tx_line_dedup` over any (doc_id, text) frame — factored so the
+    * planted-boilerplate spec drives the REAL segmentation/df/rebuild chain. */
+  private[llm] def lineDedupDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ln = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(ws) / $lineWords.0D) as int) - 1), " +
+          s"i -> array_join(slice(ws, i * $lineWords + 1, $lineWords), ' '))")))
+      .withColumnRenamed("col", "line")
+      .withColumn("lh", md5(col("line")))
+    val boiler = ln.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >= boilerDf)
+      .select(col("lh"), lit(true).as("is_b"))
+    ln.join(boiler, Seq("lh"), "left")
+      .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("is_b"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), " ")).as("clean_hash"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        expr("n_removed * 1.0D / n_lines").as("removed_frac"),
+        col("clean_hash"))
+  }
 }

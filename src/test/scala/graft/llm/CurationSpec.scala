@@ -270,6 +270,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tx_line_dedup: planted boilerplate line is removed everywhere, text rebuilt in order") {
+    import spark.implicits._
+    // 5-word lines by construction. The "footer" line appears in docs
+    // 1, 2, 3 (df = 3 = threshold) at different positions; the "pair"
+    // line appears only in docs 1 and 4 (df = 2 — must survive).
+    val footer = "visit our site for more"
+    val pair = "two docs share this line"
+    val a = "alpha beta gamma delta epsilon"
+    val b = "one two three four five"
+    val c = "red green blue cyan magenta"
+    val docs = Seq(
+      (1L, s"$a $footer $pair"),        // footer mid-doc
+      (2L, s"$footer $b"),              // footer first
+      (3L, s"$c $footer"),              // footer last
+      (4L, s"$pair $b"),                // df=2 line only
+      (5L, a),                          // untouched
+      (6L, footer)                      // ONLY boilerplate → empty rebuild
+    ).toDF("doc_id", "text")
+    val out = TextQueries.lineDedupDF(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 1L, h(s"$a $pair"))), "mid-doc removal stitches the rest")
+    assert(out(2L) == ((2L, 1L, h(b))) && out(3L) == ((2L, 1L, h(c))),
+      "removal works at every position")
+    assert(out(4L) == ((2L, 0L, h(s"$pair $b"))), "df=2 line survives (below threshold)")
+    assert(out(5L) == ((1L, 0L, h(a))), "doc with unique lines is untouched")
+    assert(out(6L) == ((1L, 1L, h(""))), "all-boilerplate doc rebuilds to empty text")
+  }
+
   test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()

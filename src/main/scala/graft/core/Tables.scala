@@ -15,18 +15,28 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
-    // (PARQUET_TYPE_ILLEGAL); read nanos as Long and rebuild a µs
-    // TimestampType column. The data has no sub-µs components (verified),
-    // so `ts div 1000` is lossless and matches DuckDB's ns→µs handling.
+    // events.parquet has shipped with two physical encodings for `ts`
+    // across driver testdata generations: TIMESTAMP(NANOS) (which vanilla
+    // Spark rejects — PARQUET_TYPE_ILLEGAL — hence the nanosAsLong legacy
+    // flag and a ns→µs rebuild) and plain TIMESTAMP(MICROS) (read as
+    // TIMESTAMP_NTZ under inferTimestampNTZ). Normalize both to a µs
+    // TimestampType column: the session timezone is pinned to UTC
+    // (GraftSession), so the NTZ→TZ cast is value-identical to the
+    // timestamp_micros rebuild and downstream queries see one stable type.
     // The legacy flag is set once, only if absent — a loader silently
     // re-configuring a live session on every call is a concurrency footgun.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

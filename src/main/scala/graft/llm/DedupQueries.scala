@@ -69,6 +69,9 @@ object DedupQueries {
     * regardless of corpus skew. Mirrored in the oracle CTE. */
   private[llm] val maxBucket = 64
 
+  /** Train share (percent) for the leakage-safe `dd_split`. */
+  private[llm] val splitTrainPct = 90
+
   // ------------------------------------------------------------ Spark side
   //
   // The Spark bodies use explode + codegen'd hash expressions rather than
@@ -524,7 +527,51 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       incrementalKeepDF(s, d).orderBy("doc_id")
     },
+
+    // Leakage-safe train/validation split — the eval-hygiene operator that
+    // plain hash splits get WRONG: hashing doc_id puts two near-duplicate
+    // documents on opposite sides of the split, so the model trains on a
+    // paraphrase of its own validation set. Here the split key is the
+    // near-dup CLUSTER root (dd_clusters' connected components; singletons
+    // are their own root), so every member of a duplicate cluster lands on
+    // the same side, always. 90/10 via the cross-engine md5 fold of the
+    // root id — content-independent, reproducible across runs and engines,
+    // and stable under repartitioning (the tx_sample stance).
+    //
+    // Scale shape: the component chain is dd_clusters (banded candidates,
+    // pointer-jumping label propagation, O(log diameter) rounds); the root
+    // join back to the doc base is doc-sized left join (clusters are the
+    // small side — AQE broadcasts); the hash gate is a row-local codegen
+    // projection. No new shuffle beyond the cluster chain itself.
+    Q("dd_split",
+      s"""WITH RECURSIVE $clusterCtes,
+         |rooted AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, CAST(root AS BIGINT) AS cluster_root,
+         |  CASE WHEN ${duckH("CAST(root AS VARCHAR)")} % 100 < $splitTrainPct
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM rooted ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      splitDF(s, d).orderBy("doc_id")
+    },
   )
+
+  /** 90/10 leakage-safe split body (`dd_split`): docs joined to their
+    * near-dup cluster root, split decided by the root's md5 fold so cluster
+    * members can never straddle the train/val boundary. */
+  private[llm] def splitDF(s: SparkSession, d: String): DataFrame = {
+    val roots = clustersDF(s, d)
+      .select(col("doc_id"), col("cluster_id").as("root"))
+    Tables.documents(s, d).select("doc_id")
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_root"))
+      .select(col("doc_id"), col("cluster_root").cast("long").as("cluster_root"),
+        expr(s"CASE WHEN ${sparkH("CAST(cluster_root AS STRING)")} % 100 < $splitTrainPct" +
+          " THEN 'train' ELSE 'val' END").as("split"))
+  }
 
   /** Oracle CTE chain for the incremental (cross-corpus) dedup, ending in
     * `incr(doc_id, exact_dup, near_dup, keep)` over the incoming slice —

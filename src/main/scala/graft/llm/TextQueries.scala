@@ -1555,7 +1555,86 @@ object TextQueries {
          |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       lineDedupDF(Tables.documents(s, d)).orderBy("doc_id")
     },
+
+    // Statistical language-model quality scoring — the CCNet/RedPajama
+    // perplexity filter: a per-LANGUAGE unigram LM with add-1/2 smoothing
+    // is trained on the kept pool (non-eval docs, the tx_decontam slice
+    // discipline: held-out docs are scored but never train), every doc is
+    // scored by its mean negative log-likelihood in nats/token, and docs
+    // are bucketed head/middle/tail by within-language NLL rank — the
+    // CCNet tercile cut that decides keep/LM-rerank/drop downstream.
+    //
+    // Scale shape: tf is ONE map-side-combined (doc, lang, token) shuffle
+    // (shared algebra with tx_bm25's postings); the model is a vocab-sized
+    // aggregate OF tf (no second corpus pass) and stats is lang-sized, so
+    // AQE broadcasts both into the scoring join; the rank window partitions
+    // by language over doc-sized rows. Float determinism: each distinct
+    // token's -ln(p) is one identical chain of double ops in both engines,
+    // QUANTIZED to a 6-dp scaled BIGINT and multiplied/summed in pure long
+    // arithmetic (the tx_bm25 stance) — per-doc sums are order-free, and
+    // the tercile rank orders by a double computed identically from exact
+    // longs (ties broken by doc_id), never by a float boundary.
+    Q("tx_lm_score", {
+      val nlq = s"CAST(round(-ln((coalesce(m.c, 0) + 0.5) / (st.n + 0.5 * st.v)) * 1000000, 0) AS BIGINT)"
+      s"""WITH tf AS (
+         |  SELECT doc_id, lang, t AS tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS t FROM documents)
+         |  GROUP BY 1, 2, 3
+         |),
+         |model AS (
+         |  SELECT lang, tok, CAST(sum(tf) AS BIGINT) AS c
+         |  FROM tf WHERE doc_id % $evalMod <> 0 GROUP BY 1, 2
+         |),
+         |stats AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM model GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.lang,
+         |    CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tf.tf * $nlq) AS BIGINT) AS sq
+         |  FROM tf JOIN stats st USING (lang)
+         |  LEFT JOIN model m ON m.lang = tf.lang AND m.tok = tf.tok
+         |  GROUP BY 1, 2
+         |),
+         |rk AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sq AS DOUBLE) / (1e6 * n_tokens) AS nll,
+         |    row_number() OVER (PARTITION BY lang ORDER BY CAST(sq AS DOUBLE) / (1e6 * n_tokens), doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS nl
+         |  FROM sc
+         |)
+         |SELECT doc_id, lang, n_tokens, nll,
+         |  CASE (rn - 1) * 3 // nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM rk ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      lmScoreDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
   )
+
+  /** Body of `tx_lm_score` over any (doc_id, lang, text) frame — factored so
+    * the planted-outlier spec drives the REAL train/score/bucket chain. */
+  private[llm] def lmScoreDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+    val model = tf.filter(col("doc_id") % evalMod =!= 0)
+      .groupBy("lang", "tok").agg(sum("tf").as("c"))
+    val stats = model.groupBy("lang")
+      .agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val sc = tf
+      .join(stats, "lang")
+      .join(model.withColumnRenamed("c", "mc"), Seq("lang", "tok"), "left")
+      .select(col("doc_id"), col("lang"), col("tf"),
+        expr("tf * cast(round(-ln((coalesce(mc, 0L) + 0.5D) / (n + 0.5D * v)) * 1000000D, 0) as bigint)").as("q"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("tf").as("n_tokens"), sum("q").as("sq"))
+      .withColumn("nll", expr("cast(sq as double) / (1e6 * n_tokens)"))
+    val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    sc.withColumn("rn", row_number().over(w))
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        expr("CASE (rn - 1) * 3 div nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+  }
 
   /** Body of `tx_line_dedup` over any (doc_id, text) frame — factored so the
     * planted-boilerplate spec drives the REAL segmentation/df/rebuild chain. */

@@ -300,6 +300,76 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == ((1L, 1L, h(""))), "all-boilerplate doc rebuilds to empty text")
   }
 
+  test("tx_lm_score: OOV eval doc lands in tail, common-token doc in head; nll matches a Scala recompute") {
+    import spark.implicits._
+    // lang "en", 7 docs. Training slice = doc_id % 41 != 0, so doc 41 is
+    // held out: its tokens never train and are fully OOV → worst (highest)
+    // smoothed nll → 'tail'. Doc 1 repeats the most common token → best
+    // nll → 'head'. Docs 2..6 fill the terciles (7 docs: head=1-3,
+    // middle=4-5, tail=6-7 by rank).
+    val docs = Seq(
+      (1L, "en", "the the the the the the"),
+      (2L, "en", "the cat sat on the mat"),
+      (3L, "en", "the dog ran to the cat"),
+      (4L, "en", "cat dog mat sun moon star"),
+      (5L, "en", "sun moon star the dog mat"),
+      (6L, "en", "on to ran sat sun moon"),
+      (41L, "en", "zyx wvu tsr qpo nml kji")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextQueries.lmScoreDF(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out.size == 7)
+    // independent reference: train counts over docs != 41, add-1/2 smoothing,
+    // per-token -ln quantized to 6-dp longs, tf-weighted long sum
+    val train = docs.collect().filter(_.getLong(0) % 41 != 0)
+      .flatMap(_.getString(2).split(" ")).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val n = train.values.sum.toDouble
+    val v = train.size.toDouble
+    def nllOf(text: String): Double = {
+      val toks = text.split(" ")
+      val sq = toks.groupBy(identity).map { case (t, g) =>
+        val c = train.getOrElse(t, 0L).toDouble
+        g.length.toLong * BigDecimal(-math.log((c + 0.5) / (n + 0.5 * v)) * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      sq.toDouble / (1e6 * toks.length)
+    }
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(2))
+      assert(math.abs(out(id)._2 - nllOf(text)) < 1e-9, s"doc $id nll")
+      assert(out(id)._1 == text.split(" ").length.toLong, s"doc $id n_tokens")
+    }
+    assert(out(41L)._3 == "tail", s"OOV eval doc must rank worst: ${out(41L)}")
+    assert(out(1L)._3 == "head", s"most-common-token doc must rank best: ${out(1L)}")
+    assert(out(41L)._2 == out.values.map(_._2).max, "OOV doc has the max nll")
+    assert(out(1L)._2 == out.values.map(_._2).min, "repeated-common doc has the min nll")
+  }
+
+  test("dd_split: near-dup cluster members never straddle the train/val boundary") {
+    val sfDir = sf("sf0.01")
+    val split = graft.SparkEntry.queries("dd_split")(spark, sfDir).cache()
+    val clusters = graft.SparkEntry.queries("dd_clusters")(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).cache()
+    assert(clusters.count() > 0, "non-vacuous: the corpus has dup clusters")
+    // every doc appears exactly once, both sides populated, train majority
+    val total = graft.core.Tables.documents(spark, sfDir).count()
+    assert(split.count() == total)
+    val sides = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("val", 0L) > 0)
+    assert(sides("train") > sides("val"), "90/10 target: train is the majority")
+    // THE invariant: one split value per cluster — no member crosses sides
+    val straddling = split.join(clusters, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0, "a near-dup cluster straddles the split boundary")
+    // and the split key IS the cluster root: members carry the root id
+    val wrongRoot = split.join(clusters, "doc_id")
+      .filter(col("cluster_root") =!= col("cluster_id")).count()
+    assert(wrongRoot == 0)
+    split.unpersist(); clusters.unpersist()
+  }
+
   test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * simhash signature equality); the full clustering runs downstream on the
   * staged table (PipelineQueries.llm_cluster_stage).
   */
+/** Document ingest event carrying a language tag (the lm-gate stream shape;
+  * [[DocEvent]] is the untagged flavor the dedup/prep streams use). */
+case class LangDocEvent(doc_id: Long, timestamp: Long, lang: String, text: String)
+
 object StreamingCorpusPrep {
 
   /** (doc_id, ts, chunk_idx, chunk_hash) for surviving documents. */
@@ -36,6 +40,50 @@ object StreamingCorpusPrep {
       .select(col("doc_id"), col("ts"),
         expr(s"cast((pos - 1) div ${TextQueries.chunkStep} as bigint)").as("chunk_idx"),
         expr(s"md5(substring(text, pos, ${TextQueries.chunkLen}))").as("chunk_hash"))
+
+  /** Online LM quality gate — tx_lm_score's ingest twin, and the CCNet
+    * SERVING shape: the unigram model, smoothing stats, and tercile cutoffs
+    * are trained batch-side on the reference corpus
+    * (`TextQueries.lmModelFrames` / `lmCutoffsDF` — the exact batch chain),
+    * then every incoming doc is scored online and bucketed against the
+    * STATIC cutoffs. Ranks are a corpus concept; a stream can't re-rank the
+    * past, so serving pins the cut POINTS — which is precisely how CCNet
+    * deploys its perplexity terciles.
+    *
+    * Shape: explode (stateless) → stream-static left join against the
+    * vocab-sized model (Spark broadcasts the static side; no stream state)
+    * → per-doc windowed re-agg under the watermark (state = in-flight
+    * window, bounded) → cutoff comparison carried through the agg via
+    * `first` (the cutoff table is lang-sized and joined BEFORE the agg, so
+    * no stream-static join sits downstream of a stateful operator). Scoring
+    * arithmetic is `TextQueries.lmContribSql` with tf = 1 per occurrence —
+    * the scaled-long sum is order-free, so per-occurrence streaming sums
+    * equal the batch tf-weighted sums bit for bit. Tie envelope: a doc whose
+    * nll lands EXACTLY on a cut point buckets to the better tier online,
+    * whereas the batch rank may push its doc_id-tiebroken twin down one —
+    * the one divergence pinned-cutoff serving admits. */
+  def lmScoreStream(docs: DataFrame, model: DataFrame, stats: DataFrame,
+      cutoffs: DataFrame, delay: String = "10 seconds",
+      window: String = "1 second"): DataFrame =
+    docs
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("lang"), col("ts"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .join(stats, "lang")
+      .join(model.select(col("lang"), col("tok"), col("c").as("mc")),
+        Seq("lang", "tok"), "left")
+      .join(cutoffs, Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ts"), col("c1"), col("c2"),
+        expr(TextQueries.lmContribSql("1L")).as("q"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum("q").as("sq"),
+        first("c1").as("c1"), first("c2").as("c2"))
+      .withColumn("nll", expr("cast(sq as double) / (1e6 * n_tokens)"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        expr("CASE WHEN c1 IS NOT NULL AND nll <= c1 THEN 'head' " +
+          "WHEN c2 IS NOT NULL AND nll <= c2 THEN 'middle' ELSE 'tail' END").as("bucket"))
 
   /** Streaming decontamination gate — tx_decontam_bloom's ingest twin: the
     * benchmark gram set rides along as a serialized bloom filter (built

@@ -1609,23 +1609,62 @@ object TextQueries {
     },
   )
 
-  /** Body of `tx_lm_score` over any (doc_id, lang, text) frame — factored so
-    * the planted-outlier spec drives the REAL train/score/bucket chain. */
-  private[llm] def lmScoreDF(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), col("lang"),
+  /** Quantized per-token -ln(p) contribution under add-1/2 smoothing, as a
+    * SQL fragment over columns `mc` (model count, null = OOV), `n`, `v`
+    * (per-lang token total / vocab size), weighted by `tfExpr` occurrences.
+    * Shared verbatim by the batch scorer and the streaming gate so both
+    * produce bit-identical scaled-long sums. */
+  private[llm] def lmContribSql(tfExpr: String): String =
+    s"$tfExpr * cast(round(-ln((coalesce(mc, 0L) + 0.5D) / (n + 0.5D * v)) * 1000000D, 0) as bigint)"
+
+  /** Per-doc term frequencies of a (doc_id, lang, text) frame — the one
+    * corpus-pass postings shuffle both the model build and the batch scorer
+    * share. */
+  private[llm] def lmTfDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
       .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+
+  /** Per-language unigram model + smoothing stats trained on the non-eval
+    * slice of a (doc_id, lang, text) frame: (`model`(lang, tok, c),
+    * `stats`(lang, n, v)) — vocab-/lang-sized aggregates OF the tf postings,
+    * never a second corpus pass. Factored so the streaming gate trains on
+    * the exact batch chain. */
+  private[llm] def lmModelFrames(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    lmModelFromTf(lmTfDF(docs))
+
+  private[llm] def lmModelFromTf(tf: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val model = tf.filter(col("doc_id") % evalMod =!= 0)
       .groupBy("lang", "tok").agg(sum("tf").as("c"))
     val stats = model.groupBy("lang")
       .agg(sum("c").as("n"), count(lit(1)).as("v"))
+    (model, stats)
+  }
+
+  /** Per-language tercile cutoffs from a scored frame (`lmScoreDF` output):
+    * (lang, c1, c2) where nll <= c1 is head and nll <= c2 is middle — the
+    * static serving table the streaming gate buckets against (null cutoff =
+    * the tercile is empty at this corpus size; the gate falls through). */
+  private[llm] def lmCutoffsDF(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    scored.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("nll"))).as("c1"),
+      max(when(col("bucket") =!= "tail", col("nll"))).as("c2"))
+
+  /** Body of `tx_lm_score` over any (doc_id, lang, text) frame — factored so
+    * the planted-outlier spec drives the REAL train/score/bucket chain. */
+  private[llm] def lmScoreDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = lmTfDF(docs)
+    val (model, stats) = lmModelFromTf(tf)
     val sc = tf
       .join(stats, "lang")
       .join(model.withColumnRenamed("c", "mc"), Seq("lang", "tok"), "left")
       .select(col("doc_id"), col("lang"), col("tf"),
-        expr("tf * cast(round(-ln((coalesce(mc, 0L) + 0.5D) / (n + 0.5D * v)) * 1000000D, 0) as bigint)").as("q"))
+        expr(lmContribSql("tf")).as("q"))
       .groupBy("doc_id", "lang")
       .agg(sum("tf").as("n_tokens"), sum("q").as("sq"))
       .withColumn("nll", expr("cast(sq as double) / (1e6 * n_tokens)"))

@@ -32,6 +32,53 @@ class StreamingCorpusPrepSpec extends SparkSpec {
       s"doc 1 must emit $expectedChunks chunks: $rows")
   }
 
+  test("streaming LM gate scores and buckets exactly like the batch scorer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two languages; "en" docs are the tx_lm_score spec corpus (distinct
+    // nll values, so the rank terciles and the cutoff comparison agree);
+    // doc 41 is eval-held-out → fully OOV → must gate 'tail' online too
+    val corpus = Seq(
+      (1L, "en", "the the the the the the"),
+      (2L, "en", "the cat sat on the mat"),
+      (3L, "en", "the dog ran to the cat"),
+      (4L, "en", "cat dog mat sun moon star"),
+      (5L, "en", "sun moon star the dog mat"),
+      (6L, "en", "on to ran sat sun moon"),
+      (41L, "en", "zyx wvu tsr qpo nml kji"),
+      (7L, "de", "der hund und die katze"),
+      (8L, "de", "die katze und der vogel extra"),
+      (9L, "de", "vogel hund katze der die und"))
+    val batchDocs = corpus.toDF("doc_id", "lang", "text")
+    val scored = TextQueries.lmScoreDF(batchDocs)
+    val want = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    // batch-trained serving tables
+    val (model, stats) = TextQueries.lmModelFrames(batchDocs)
+    val cutoffs = TextQueries.lmCutoffsDF(scored)
+
+    val mem = MemoryStream[LangDocEvent]
+    val q = StreamingCorpusPrep.lmScoreStream(
+        mem.toDS().toDF(), model, stats, cutoffs)
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    mem.addData(corpus.zipWithIndex.map { case ((id, lang, text), i) =>
+      LangDocEvent(id, 1000L + 100L * i, lang, text) }: _*)
+    q.processAllAvailable()
+    // advance the watermark past every scoring window to flush append mode
+    mem.addData(LangDocEvent(999L, 100000L, "en", "sentinel"))
+    q.processAllAvailable()
+    val got = spark.table("lm_out").filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    q.stop()
+    assert(got.keySet == want.keySet, s"every doc scored once: ${got.keySet}")
+    got.foreach { case (id, (nTok, nll, bucket)) =>
+      assert(nTok == want(id)._1, s"doc $id n_tokens")
+      assert(nll == want(id)._2, s"doc $id: stream nll $nll != batch ${want(id)._2}")
+      assert(bucket == want(id)._3, s"doc $id: stream bucket $bucket != batch ${want(id)._3}")
+    }
+    assert(got(41L)._3 == "tail", "OOV held-out doc gates to tail online")
+  }
+
   test("streaming decontamination quarantines docs sharing eval 4-grams, in-row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

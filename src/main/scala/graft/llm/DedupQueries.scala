@@ -543,35 +543,46 @@ object DedupQueries {
     // join back to the doc base is doc-sized left join (clusters are the
     // small side — AQE broadcasts); the hash gate is a row-local codegen
     // projection. No new shuffle beyond the cluster chain itself.
-    Q("dd_split",
-      s"""WITH RECURSIVE $clusterCtes,
-         |rooted AS (
-         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
-         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |)
-         |SELECT doc_id, CAST(root AS BIGINT) AS cluster_root,
-         |  CASE WHEN ${duckH("CAST(root AS VARCHAR)")} % 100 < $splitTrainPct
-         |       THEN 'train' ELSE 'val' END AS split
-         |FROM rooted ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("dd_split", splitOracle) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       splitDF(s, d).orderBy("doc_id")
     },
   )
 
-  /** 90/10 leakage-safe split body (`dd_split`): docs joined to their
-    * near-dup cluster root, split decided by the root's md5 fold so cluster
-    * members can never straddle the train/val boundary. */
-  private[llm] def splitDF(s: SparkSession, d: String): DataFrame = {
-    val roots = clustersDF(s, d)
-      .select(col("doc_id"), col("cluster_id").as("root"))
-    Tables.documents(s, d).select("doc_id")
-      .join(roots, Seq("doc_id"), "left")
+  /** Shared oracle for `dd_split` and its staged twin — both must produce
+    * the identical split, whatever produced the component table. */
+  // lazy: referenced from `all`'s initializer above (and from
+  // PipelineQueries' staged twin) — a strict val here would still be null
+  // mid-object-init when `all` builds its Q entries
+  private[llm] lazy val splitOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |rooted AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS root
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, CAST(root AS BIGINT) AS cluster_root,
+       |  CASE WHEN ${duckH("CAST(root AS VARCHAR)")} % 100 < $splitTrainPct
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM rooted ORDER BY doc_id""".stripMargin
+
+  /** 90/10 leakage-safe split over an explicit (doc_id, cluster_id)
+    * component frame — the staged-table twin feeds the bucketed stage here
+    * instead of recomputing the chain. */
+  private[llm] def splitFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("root")),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_root"))
       .select(col("doc_id"), col("cluster_root").cast("long").as("cluster_root"),
         expr(s"CASE WHEN ${sparkH("CAST(cluster_root AS STRING)")} % 100 < $splitTrainPct" +
           " THEN 'train' ELSE 'val' END").as("split"))
-  }
+
+  /** 90/10 leakage-safe split body (`dd_split`): docs joined to their
+    * near-dup cluster root, split decided by the root's md5 fold so cluster
+    * members can never straddle the train/val boundary. */
+  private[llm] def splitDF(s: SparkSession, d: String): DataFrame =
+    splitFromClusters(Tables.documents(s, d), clustersDF(s, d))
 
   /** Oracle CTE chain for the incremental (cross-corpus) dedup, ending in
     * `incr(doc_id, exact_dup, near_dup, keep)` over the incoming slice —

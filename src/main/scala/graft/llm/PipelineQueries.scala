@@ -179,6 +179,18 @@ object PipelineQueries {
       prepDF(s, d, s.table(stageClusters(s, d)))
     },
 
+    // Staged twin of dd_split (same oracle): the split consumes the staged
+    // component table instead of re-running the cluster chain — the shape a
+    // production pipeline runs, where clustering is one pass and split /
+    // prep / audit all read the stage. Bucketed on doc_id, so the root
+    // join needs no exchange on the cluster side.
+    Q("dd_split_staged", DedupQueries.splitOracle) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      DedupQueries.splitFromClusters(
+          graft.core.Tables.documents(s, d), s.table(stageClusters(s, d)))
+        .orderBy("doc_id")
+    },
+
     // The corpus-UPDATE prep — the daily-crawl path that completes the
     // family (full / staged / streaming / incremental): incoming docs
     // (doc_id % 3 <> 0, the dd_incremental slice) are quality-gated,

@@ -85,6 +85,35 @@ object StreamingCorpusPrep {
         expr("CASE WHEN c1 IS NOT NULL AND nll <= c1 THEN 'head' " +
           "WHEN c2 IS NOT NULL AND nll <= c2 THEN 'middle' ELSE 'tail' END").as("bucket"))
 
+  /** Online boilerplate-line scrub — tx_line_dedup's ingest twin: the
+    * boilerplate set (lines whose corpus document-frequency reached the
+    * threshold) is built batch-side on the reference corpus
+    * (`TextQueries.boilerSetDF`, result-sized), and every incoming doc is
+    * re-segmented, membership-joined, and REBUILT online. Corpus df is a
+    * corpus concept — a stream cannot know a line's future frequency, so
+    * serving pins the batch-built set, exactly like the lm gate pins its
+    * tercile cutoffs (and CCNet-style pipelines deploy line filters).
+    *
+    * Shape: row-local segmentation (the shared batch transform) →
+    * stream-static left join against the boiler set (no stream state) →
+    * watermark-bounded per-doc rebuild agg using the SAME aggregate
+    * expressions as the batch rebuild — output rows are bit-identical to
+    * `tx_line_dedup` for any doc whose lines all carry their batch df. */
+  def lineScrubStream(docs: Dataset[DocEvent], boiler: DataFrame,
+      delay: String = "10 seconds", window: String = "1 second"): DataFrame =
+    TextQueries.lineSegmentsDF(
+        docs.toDF().withColumn("ts", timestamp_millis(col("timestamp")))
+          .withWatermark("ts", delay)
+          .select("doc_id", "ts", "text"))
+      .join(boiler, Seq("lh"), "left")
+      .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(TextQueries.lineRebuildAggs.head, TextQueries.lineRebuildAggs.tail: _*)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        expr("n_removed * 1.0D / n_lines").as("removed_frac"),
+        col("clean_hash"))
+
   /** Streaming decontamination gate — tx_decontam_bloom's ingest twin: the
     * benchmark gram set rides along as a serialized bloom filter (built
     * batch-side, bounded by the eval suite), and every incoming doc is

@@ -1684,17 +1684,46 @@ object TextQueries {
         expr("CASE (rn - 1) * 3 div nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
   }
 
-  /** Body of `tx_line_dedup` over any (doc_id, text) frame — factored so the
-    * planted-boilerplate spec drives the REAL segmentation/df/rebuild chain. */
-  private[llm] def lineDedupDF(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val ln = docs
+  /** Row-local fixed-width line segmentation of any frame with a `text`
+    * column: every input column is preserved, plus (pos, line, lh). Shared
+    * by the batch line dedup and the streaming scrub gate so both cut the
+    * identical lines. */
+  private[llm] def lineSegmentsDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("*"), posexplode(expr(
         s"transform(sequence(0, cast(ceil(size(ws) / $lineWords.0D) as int) - 1), " +
           s"i -> array_join(slice(ws, i * $lineWords + 1, $lineWords), ' '))")))
       .withColumnRenamed("col", "line")
       .withColumn("lh", md5(col("line")))
+      .drop("ws", "text")
+
+  /** Corpus-df boilerplate line set (lh, is_b) from a segmented frame —
+    * the static table the streaming scrub gate joins against. */
+  private[llm] def boilerSetDF(segments: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    segments.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >= boilerDf)
+      .select(col("lh"), lit(true).as("is_b"))
+
+  /** The per-doc rebuild aggregates (n_lines / n_removed / clean_hash) over
+    * a boiler-tagged segment frame — grouping keys differ between batch
+    * (doc_id) and stream (watermark window + doc_id), the aggregates must
+    * not. */
+  private[llm] def lineRebuildAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_lines"),
+    sum(when(col("is_b"), 1L).otherwise(0L)).as("n_removed"),
+    md5(array_join(transform(
+      array_sort(collect_list(when(!col("is_b"), struct(col("pos"), col("line"))))),
+      x => x.getField("line")), " ")).as("clean_hash"))
+
+  /** Body of `tx_line_dedup` over any (doc_id, text) frame — factored so the
+    * planted-boilerplate spec drives the REAL segmentation/df/rebuild chain. */
+  private[llm] def lineDedupDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ln = lineSegmentsDF(docs.select("doc_id", "text"))
     // ln has two consumers, so Catalyst segments the corpus twice — here
     // that is the RIGHT trade (measured 2.5x faster than persisting): the
     // df pass shuffles only (line_hash, doc_id) pairs and the rebuild pass
@@ -1702,18 +1731,11 @@ object TextQueries {
     // line text just to save one cheap columnar re-scan + regex pass.
     // Contrast lmScoreDF/bm25DF, whose shared frame is the DENSE postings
     // table — there the cache wins and is taken.
-    val boiler = ln.select("lh", "doc_id").distinct()
-      .groupBy("lh").agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") >= boilerDf)
-      .select(col("lh"), lit(true).as("is_b"))
+    val boiler = boilerSetDF(ln)
     ln.join(boiler, Seq("lh"), "left")
       .withColumn("is_b", coalesce(col("is_b"), lit(false)))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_removed"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(!col("is_b"), struct(col("pos"), col("line"))))),
-          x => x.getField("line")), " ")).as("clean_hash"))
+      .agg(lineRebuildAggs.head, lineRebuildAggs.tail: _*)
       .select(col("doc_id"), col("n_lines"), col("n_removed"),
         expr("n_removed * 1.0D / n_lines").as("removed_frac"),
         col("clean_hash"))

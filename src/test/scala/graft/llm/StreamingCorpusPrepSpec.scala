@@ -79,6 +79,39 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(got(41L)._3 == "tail", "OOV held-out doc gates to tail online")
   }
 
+  test("streaming line scrub rebuilds docs exactly like the batch line dedup") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the tx_line_dedup spec corpus: "footer" df=3 (boilerplate), "pair"
+    // df=2 (survives), doc 6 is all-boilerplate → empty rebuild online too
+    val footer = "visit our site for more"
+    val pair = "two docs share this line"
+    val a = "alpha beta gamma delta epsilon"
+    val b = "one two three four five"
+    val c = "red green blue cyan magenta"
+    val corpus = Seq(
+      (1L, s"$a $footer $pair"), (2L, s"$footer $b"), (3L, s"$c $footer"),
+      (4L, s"$pair $b"), (5L, a), (6L, footer))
+    val batchDocs = corpus.toDF("doc_id", "text")
+    val want = TextQueries.lineDedupDF(batchDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val boiler = TextQueries.boilerSetDF(
+      TextQueries.lineSegmentsDF(batchDocs.select("doc_id", "text")))
+
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingCorpusPrep.lineScrubStream(mem.toDS(), boiler)
+      .writeStream.format("memory").queryName("ls_out").outputMode("append").start()
+    mem.addData(corpus.zipWithIndex.map { case ((id, text), i) =>
+      DocEvent(id, 1000L + 100L * i, text) }: _*)
+    q.processAllAvailable()
+    mem.addData(DocEvent(999L, 100000L, "sentinel closes the windows"))
+    q.processAllAvailable()
+    val got = spark.table("ls_out").filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    q.stop()
+    assert(got == want, s"stream rebuild must equal the batch rebuild:\n$got\nvs\n$want")
+  }
+
   test("streaming decontamination quarantines docs sharing eval 4-grams, in-row") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

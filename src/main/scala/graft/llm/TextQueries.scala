@@ -1631,7 +1631,7 @@ object TextQueries {
     * `stats`(lang, n, v)) — vocab-/lang-sized aggregates OF the tf postings,
     * never a second corpus pass. Factored so the streaming gate trains on
     * the exact batch chain. */
-  private[llm] def lmModelFrames(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def lmModelFrames(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     lmModelFromTf(lmTfDF(docs))
 
@@ -1648,7 +1648,7 @@ object TextQueries {
     * (lang, c1, c2) where nll <= c1 is head and nll <= c2 is middle — the
     * static serving table the streaming gate buckets against (null cutoff =
     * the tercile is empty at this corpus size; the gate falls through). */
-  private[llm] def lmCutoffsDF(scored: org.apache.spark.sql.DataFrame)
+  private[graft] def lmCutoffsDF(scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     scored.groupBy("lang").agg(
       max(when(col("bucket") === "head", col("nll"))).as("c1"),
@@ -1656,7 +1656,7 @@ object TextQueries {
 
   /** Body of `tx_lm_score` over any (doc_id, lang, text) frame — factored so
     * the planted-outlier spec drives the REAL train/score/bucket chain. */
-  private[llm] def lmScoreDF(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def lmScoreDF(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // persist the postings and the model: tf feeds the model build AND the
     // scoring join, model feeds stats AND the scoring join — unpersisted,

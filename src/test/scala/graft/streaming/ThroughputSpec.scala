@@ -77,4 +77,67 @@ class ThroughputSpec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("LM gate sustains >=100 docs/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 1000 // 10x the 100 rec/s/partition target
+    // reference corpus → model/stats/cutoffs, the batch-side training pass
+    val vocab = (0 until 50).map(i => f"w$i%02d")
+    val ref = (1L to 200L).map { i =>
+      (i, "en", (0 until 12).map(j => vocab(((i * 7 + j * 13) % 50).toInt)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val scored = graft.llm.TextQueries.lmScoreDF(ref)
+    val (model, stats) = graft.llm.TextQueries.lmModelFrames(ref)
+    val cutoffs = graft.llm.TextQueries.lmCutoffsDF(scored)
+    val vocabArr = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select(col("value").as("doc_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        lit("en").as("lang"),
+        expr(s"array_join(transform(sequence(0, 11), " +
+          s"j -> element_at($vocabArr, cast((value * 7 + j * 13) % 50 as int) + 1)), ' ')")
+          .as("text"))
+    val ckpt = Files.createTempDirectory("rate_lm_ckpt").toString
+    val q = graft.llm.StreamingCorpusPrep.lmScoreStream(
+        docs, model, stats, cutoffs, delay = "5 seconds")
+      .writeStream.format("memory").queryName("rate_lm")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      def dataProgress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      def spanSec(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Double =
+        if (ps.size < 2) 0.0
+        else (Instant.parse(ps.last.timestamp).toEpochMilli -
+          Instant.parse(ps.head.timestamp).toEpochMilli) / 1000.0
+      while (spanSec(dataProgress.drop(1)) < 11.0 && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      val steady = dataProgress.drop(1)
+      val span = spanSec(steady)
+      assert(span >= 10.0, s"never reached 10s of steady-state progress (got $span s)")
+      val totalRows = steady.drop(1).map(_.numInputRows).sum
+      val rate = totalRows / span
+      val perPartition = rate / numPartitions
+      val json =
+        s"""{"pipeline":"doc rate source -> tokenize -> static model join -> 5s watermark -> windowed rebuild -> memory sink (append)",
+           |"partitions":$numPartitions,"offered_rows_per_sec":${perPartitionRate * numPartitions},
+           |"measured_rows_per_sec":${"%.1f".format(rate)},
+           |"measured_rows_per_sec_per_partition":${"%.1f".format(perPartition)},
+           |"target_rows_per_sec_per_partition":100,
+           |"steady_state_sec":${"%.1f".format(span)},"total_rows":$totalRows}"""
+          .stripMargin.replaceAll("\n", "")
+      Files.write(Paths.get("STREAM_RATE_LM.json"), (json + "\n").getBytes("UTF-8"))
+      info(s"LM gate sustained $rate docs/s over $span s ($perPartition docs/s/partition)")
+      assert(perPartition >= 100.0,
+        s"sustained $perPartition docs/s/partition < 100 target (total $totalRows in $span s)")
+    } finally {
+      q.stop()
+    }
+  }
 }

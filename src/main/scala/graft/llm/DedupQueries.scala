@@ -340,16 +340,22 @@ object DedupQueries {
     while (changed > 0 && iter < 30) {
       val nmin = sym.join(labels, col("d2") === col("node"))
         .groupBy("d1").agg(min("lbl").as("nl"))
-      val jump = labels.select(col("lbl").as("jn"), col("node").as("jnode"))
-        .join(labels.select(col("node").as("jn"), col("lbl").as("jl")), "jn")
-        .select(col("jnode"), col("jl"))
-      val next = labels
-        .join(nmin, col("node") === col("d1"), "left")
-        .join(jump, col("node") === col("jnode"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl")),
-            coalesce(col("jl"), col("lbl"))).as("nlbl"))
-        .localCheckpoint()
+      val withNmin = labels.join(nmin, col("node") === col("d1"), "left")
+      val next = (if (iter == 0) {
+        // round 1: labels are the identity, so label-of-own-label is a
+        // self-join no-op — skip the jump term (one join + exchange saved)
+        withNmin.select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
+      } else {
+        val jump = labels.select(col("lbl").as("jn"), col("node").as("jnode"))
+          .join(labels.select(col("node").as("jn"), col("lbl").as("jl")), "jn")
+          .select(col("jnode"), col("jl"))
+        withNmin
+          .join(jump, col("node") === col("jnode"), "left")
+          .select(col("node"), col("lbl"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl")),
+              coalesce(col("jl"), col("lbl"))).as("nlbl"))
+      }).localCheckpoint()
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("node"), col("nlbl").as("lbl"))
       iter += 1

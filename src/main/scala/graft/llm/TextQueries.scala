@@ -43,6 +43,17 @@ object TextQueries {
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
+  // Gopher-style composite gate thresholds (Rae et al. repetition rules,
+  // adapted to the synthetic corpus's scale)
+  private val gMinWords = 10
+  private val gMaxWords = 100000
+  private val gMinWlen = 2.0
+  private val gMaxWlen = 12.0
+  private val gDupLine = 0.30 // within-doc duplicate-line occurrence fraction
+  private val gDupLineChar = 0.20 // char-weighted version of the same
+  private val gTop2 = 0.20 // top word-2-gram share of all 2-grams
+  private val gDup3 = 0.30 // occurrences of repeated 3-grams / all 3-grams
+
   private val boilerDf = 3 // distinct docs containing a line before it counts as boilerplate
   private val evalMod = 41 // doc_id % evalMod == 0 → held-out eval/benchmark doc
   // Token n-gram length for decontamination. Production suites use 8-13;
@@ -1556,6 +1567,77 @@ object TextQueries {
       lineDedupDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // The Gopher composite quality gate — the Rae-et-al. repetition +
+    // lexical rules as ONE keep/drop decision with a reasons trail, the
+    // form a pipeline actually deploys (tx_quality_filter's lexical rules,
+    // tx_repetition's n-gram signals, and the WITHIN-doc duplicate-line
+    // fractions — a different quantity from tx_line_dedup's corpus df —
+    // joined into a single verdict). All signals are exact-integer ratios
+    // emitted UNROUNDED; thresholds compare identically-computed doubles,
+    // so the verdict can never sit on a float boundary the engines read
+    // differently. Scale shape: tokenize/segment/gram passes are row-local
+    // explodes collapsed map-side per doc; every joined signal table is
+    // doc-sized; reasons are a fixed-order concat_ws (both engines skip
+    // NULLs), 'ok' when none fire.
+    Q("tx_gopher_gate", {
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / greatest(len(toks), 1) AS mean_wlen
+         |  FROM tk
+         |),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ln AS (
+         |  SELECT doc_id, array_to_string(ws[(i*$lineWords+1):(i*$lineWords+$lineWords)], ' ') AS line
+         |  FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/$lineWords.0) AS BIGINT) - 1)) AS t(i)
+         |),
+         |lc AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c FROM ln GROUP BY 1, 2),
+         |lstat AS (
+         |  SELECT doc_id,
+         |    sum(c - 1) * 1.0 / sum(c) AS dup_line_frac,
+         |    sum((c - 1) * length(line)) * 1.0 / greatest(sum(c * length(line)), 1) AS dup_line_char_frac
+         |  FROM lc GROUP BY 1
+         |),
+         |g2 AS (
+         |  SELECT doc_id, array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS g
+         |  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i) WHERE len(toks) >= 2
+         |),
+         |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2),
+         |r2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2_frac FROM c2 GROUP BY 1),
+         |g3 AS (
+         |  SELECT doc_id, array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ') AS g
+         |  FROM tk, unnest(generate_series(1, len(toks) - 2)) AS t(i) WHERE len(toks) >= 3
+         |),
+         |c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g3 GROUP BY 1, 2),
+         |r3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup3_frac FROM c3 GROUP BY 1),
+         |f AS (
+         |  SELECT b.doc_id, b.n_words, b.mean_wlen,
+         |    coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+         |    coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         |    coalesce(r2.top2_frac, 0.0) AS top2_frac,
+         |    coalesce(r3.dup3_frac, 0.0) AS dup3_frac
+         |  FROM base b
+         |  LEFT JOIN lstat l ON l.doc_id = b.doc_id
+         |  LEFT JOIN r2 ON r2.doc_id = b.doc_id
+         |  LEFT JOIN r3 ON r3.doc_id = b.doc_id
+         |)
+         |SELECT doc_id, n_words, mean_wlen, dup_line_frac, dup_line_char_frac, top2_frac, dup3_frac,
+         |  CAST(CASE WHEN n_words >= $gMinWords AND n_words <= $gMaxWords
+         |    AND mean_wlen >= $gMinWlen AND mean_wlen <= $gMaxWlen
+         |    AND dup_line_frac <= $gDupLine AND dup_line_char_frac <= $gDupLineChar
+         |    AND top2_frac <= $gTop2 AND dup3_frac <= $gDup3 THEN 1 ELSE 0 END AS INT) AS keep,
+         |  coalesce(nullif(concat_ws(';',
+         |    CASE WHEN n_words < $gMinWords OR n_words > $gMaxWords THEN 'n_words' END,
+         |    CASE WHEN mean_wlen < $gMinWlen OR mean_wlen > $gMaxWlen THEN 'wlen' END,
+         |    CASE WHEN dup_line_frac > $gDupLine THEN 'dup_line' END,
+         |    CASE WHEN dup_line_char_frac > $gDupLineChar THEN 'dup_line_chars' END,
+         |    CASE WHEN top2_frac > $gTop2 THEN 'top_2gram' END,
+         |    CASE WHEN dup3_frac > $gDup3 THEN 'dup_3gram' END), ''), 'ok') AS reasons
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      gopherGateDF(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
     // Statistical language-model quality scoring — the CCNet/RedPajama
     // perplexity filter: a per-LANGUAGE unigram LM with add-1/2 smoothing
     // is trained on the kept pool (non-eval docs, the tx_decontam slice
@@ -1682,6 +1764,53 @@ object TextQueries {
       .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
         expr("CASE (rn - 1) * 3 div nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+  }
+
+  /** Body of `tx_gopher_gate` over any (doc_id, text) frame — factored so
+    * the planted-failure spec drives the REAL signal/verdict chain. */
+  private[llm] def gopherGateDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+    val base = tk.select(col("doc_id"),
+      expr("cast(size(toks) as bigint)").as("n_words"),
+      expr("cast(length(array_join(toks, '')) as double) / greatest(size(toks), 1)").as("mean_wlen"))
+    val lc = lineSegmentsDF(docs.select("doc_id", "text"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+    val lstat = lc.groupBy("doc_id").agg(
+      expr("sum(c - 1) * 1.0D / sum(c)").as("dup_line_frac"),
+      expr("sum((c - 1) * length(line)) * 1.0D / greatest(sum(c * length(line)), 1)").as("dup_line_char_frac"))
+    def grams(n: Int) = tk
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val r2 = grams(2).groupBy("doc_id")
+      .agg(expr("max(c) * 1.0D / sum(c)").as("top2_frac"))
+    val r3 = grams(3).groupBy("doc_id")
+      .agg(expr("sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0D / sum(c)").as("dup3_frac"))
+    base
+      .join(lstat, Seq("doc_id"), "left")
+      .join(r2, Seq("doc_id"), "left")
+      .join(r3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        coalesce(col("dup_line_frac"), lit(0.0)).as("dup_line_frac"),
+        coalesce(col("dup_line_char_frac"), lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+      .select(col("*"),
+        expr(s"""CAST(CASE WHEN n_words >= $gMinWords AND n_words <= $gMaxWords
+          AND mean_wlen >= ${gMinWlen}D AND mean_wlen <= ${gMaxWlen}D
+          AND dup_line_frac <= ${gDupLine}D AND dup_line_char_frac <= ${gDupLineChar}D
+          AND top2_frac <= ${gTop2}D AND dup3_frac <= ${gDup3}D THEN 1 ELSE 0 END AS INT)""").as("keep"),
+        expr(s"""coalesce(nullif(concat_ws(';',
+          CASE WHEN n_words < $gMinWords OR n_words > $gMaxWords THEN 'n_words' END,
+          CASE WHEN mean_wlen < ${gMinWlen}D OR mean_wlen > ${gMaxWlen}D THEN 'wlen' END,
+          CASE WHEN dup_line_frac > ${gDupLine}D THEN 'dup_line' END,
+          CASE WHEN dup_line_char_frac > ${gDupLineChar}D THEN 'dup_line_chars' END,
+          CASE WHEN top2_frac > ${gTop2}D THEN 'top_2gram' END,
+          CASE WHEN dup3_frac > ${gDup3}D THEN 'dup_3gram' END), ''), 'ok')""").as("reasons"))
   }
 
   /** Row-local fixed-width line segmentation of any frame with a `text`

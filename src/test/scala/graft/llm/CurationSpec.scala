@@ -370,6 +370,32 @@ class CurationSpec extends SparkSpec {
     split.unpersist(); clusters.unpersist()
   }
 
+  test("tx_gopher_gate: each planted defect fires its own rule; clean doc passes") {
+    import spark.implicits._
+    val clean = (0 until 30).map(i => f"word$i%02dxx").mkString(" ") // 30 distinct 8-char words
+    val docs = Seq(
+      (1L, clean),                                            // passes every rule
+      (2L, "tiny doc"),                                       // n_words < 10
+      (3L, (0 until 12).map(_ => "a").mkString(" ")),         // mean_wlen < 2 (and repetition)
+      (4L, ((0 until 15).map(i => f"w$i%02dabc") ++ (0 until 15).map(i => f"w$i%02dabc")).mkString(" ")),
+      // ^ doc 4: 5-word lines repeat exactly (lines 0-2 == lines 3-5) →
+      //   dup_line_frac = 0.5, dup_line_char_frac > 0.2; 2/3-grams repeat too
+      (5L, (0 until 20).flatMap(_ => Seq("ping", "pong")).mkString(" "))
+      // ^ doc 5: 'ping pong' dominates 2-grams → top_2gram + dup_3gram
+    ).toDF("doc_id", "text")
+    val out = TextQueries.gopherGateDF(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(7), r.getString(8)))).toMap
+    assert(out(1L) == ((1, "ok")), s"clean doc: ${out(1L)}")
+    assert(out(2L)._1 == 0 && out(2L)._2.contains("n_words"), s"short doc: ${out(2L)}")
+    assert(out(3L)._1 == 0 && out(3L)._2.contains("wlen"), s"1-char words: ${out(3L)}")
+    assert(out(4L)._1 == 0 && out(4L)._2.contains("dup_line") &&
+      out(4L)._2.contains("dup_line_chars"), s"repeated half: ${out(4L)}")
+    assert(out(5L)._1 == 0 && out(5L)._2.contains("top_2gram") &&
+      out(5L)._2.contains("dup_3gram"), s"two-token loop: ${out(5L)}")
+    // reasons are a fixed-order trail, not a single verdict
+    assert(out(4L)._2.split(";").length >= 2)
+  }
+
   test("sim_twostage: well-formed top-k and full distance dominates its prefix") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("sim_twostage")(spark, sfDir).cache()

@@ -14,7 +14,7 @@ object SparkEntry {
   /** All correctness-gated queries, grouped by module. */
   def allQueries: Seq[Q] =
     TransformQueries.all ++ AggQueries.all ++ JoinQueries.all ++
-      StatefulTwinQueries.all ++
+      FunnelQueries.all ++ StatefulTwinQueries.all ++
       graft.llm.DedupQueries.all ++ graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++ graft.llm.MultimodalQueries.all ++
       graft.llm.PipelineQueries.all

@@ -1,0 +1,126 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-sequence analytics over `events.parquet` — the funnel / cohort
+  * operators every product-analytics deployment of a streaming engine ends
+  * up running (the batch twins of CEP-style ordered-pattern matching; the
+  * reference's stateful pattern detectors P1-P3 are the per-record flavor).
+  *
+  * Scale stance: every step table is a FILTERED scan (`event_type` predicate
+  * pushed to parquet) aggregated to user-sized minima before any join, so
+  * the join graph never carries raw events — at 100 TB the step joins are
+  * user-cardinality hash joins AQE can broadcast, and the only full-event
+  * pass is the initial pushdown scan each step's filter prunes. Timestamps
+  * compare as epoch-µs BIGINTs end to end (UTC session) — no float, no
+  * interval arithmetic divergence.
+  */
+object FunnelQueries {
+
+  /** Funnel step window: a later stage counts only within 24 h of the
+    * previous stage's first occurrence. */
+  private val stepUs = 24L * 3600 * 1000 * 1000
+  private val dayUs = 24L * 3600 * 1000 * 1000
+
+  val all: Seq[Q] = Seq(
+
+    // Ordered-funnel conversion: earliest completion of view -> click ->
+    // purchase per user, each step within [[stepUs]] of the previous
+    // step's first event. Emits per-user stage timestamps + depth reached.
+    Q("ev_funnel",
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |v AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS vt
+         |  FROM events WHERE event_type = 'view' GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+         |  FROM events e JOIN v ON v.user_id = e.user_id
+         |  WHERE e.event_type = 'click'
+         |    AND epoch_us(e.ts) > v.vt AND epoch_us(e.ts) <= v.vt + $stepUs
+         |  GROUP BY 1
+         |),
+         |p AS (
+         |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+         |  FROM events e JOIN c ON c.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase'
+         |    AND epoch_us(e.ts) > c.ct AND epoch_us(e.ts) <= c.ct + $stepUs
+         |  GROUP BY 1
+         |)
+         |SELECT u.user_id, v.vt AS view_us, c.ct AS click_us, p.pt AS purchase_us,
+         |  CAST(CASE WHEN p.pt IS NOT NULL THEN 3 WHEN c.ct IS NOT NULL THEN 2
+         |            WHEN v.vt IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+         |FROM u
+         |LEFT JOIN v ON v.user_id = u.user_id
+         |LEFT JOIN c ON c.user_id = u.user_id
+         |LEFT JOIN p ON p.user_id = u.user_id
+         |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      funnelDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention: users cohorted by first-seen UTC day, retention
+    // measured as any activity on cohort day +1 / +7. The (user, day)
+    // activity set is one distinct pass; cohorts and retention flags are
+    // user-sized joins on exact integer day keys.
+    Q("ev_retention",
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us
+         |  FROM events
+         |),
+         |coh AS (SELECT user_id, min(day_us) AS cday FROM ud GROUP BY 1)
+         |SELECT coh.cday AS cohort_day_us,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(CASE WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d1_retained,
+         |  CAST(sum(CASE WHEN d7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d7_retained
+         |FROM coh
+         |LEFT JOIN ud d1 ON d1.user_id = coh.user_id AND d1.day_us = coh.cday + ${dayUs}
+         |LEFT JOIN ud d7 ON d7.user_id = coh.user_id AND d7.day_us = coh.cday + ${7L * dayUs}
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .distinct()
+      val coh = ud.groupBy("user_id").agg(min("day_us").as("cday"))
+      val d1 = ud.select(col("user_id").as("u1"), col("day_us").as("d1_day"))
+      val d7 = ud.select(col("user_id").as("u7"), col("day_us").as("d7_day"))
+      coh
+        .join(d1, col("user_id") === col("u1") && col("d1_day") === col("cday") + dayUs, "left")
+        .join(d7, col("user_id") === col("u7") && col("d7_day") === col("cday") + 7L * dayUs, "left")
+        .groupBy(col("cday"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("d1_day").isNotNull, 1L).otherwise(0L)).as("d1_retained"),
+          sum(when(col("d7_day").isNotNull, 1L).otherwise(0L)).as("d7_retained"))
+        .select(col("cday").as("cohort_day_us"), col("n_users"),
+          col("d1_retained"), col("d7_retained"))
+        .orderBy("cohort_day_us")
+    },
+  )
+
+  /** Body of `ev_funnel` over any (user_id, event_type, us) frame — factored
+    * so the planted-sequence spec drives the REAL step-join chain. */
+  private[batch] def funnelDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("vt") && col("us") <= col("vt") + stepUs)
+      .groupBy("user_id").agg(min("us").as("ct"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("ct") && col("us") <= col("ct") + stepUs)
+      .groupBy("user_id").agg(min("us").as("pt"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("vt").as("view_us"), col("ct").as("click_us"),
+        col("pt").as("purchase_us"),
+        expr("CAST(CASE WHEN pt IS NOT NULL THEN 3 WHEN ct IS NOT NULL THEN 2 " +
+          "WHEN vt IS NOT NULL THEN 1 ELSE 0 END AS INT)").as("depth"))
+  }
+}

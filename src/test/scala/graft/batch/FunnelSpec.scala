@@ -1,0 +1,37 @@
+package graft.batch
+
+import graft.SparkSpec
+
+/** Planted-sequence semantics for the ordered funnel: order matters, the
+  * step window binds, and the EARLIEST completion is the one reported. */
+class FunnelSpec extends SparkSpec {
+
+  private val H = 3600L * 1000 * 1000 // one hour in µs
+
+  test("ev_funnel: order, step window, and earliest-completion semantics") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: clean view(1h) -> click(2h) -> purchase(3h) => depth 3
+      (1L, "view", 1 * H), (1L, "click", 2 * H), (1L, "purchase", 3 * H),
+      // user 2: purchase BEFORE view/click never counts => depth 2
+      (2L, "purchase", 1 * H), (2L, "view", 2 * H), (2L, "click", 3 * H),
+      // user 3: click arrives 25h after the first view -> outside the 24h
+      // step window => stuck at depth 1
+      (3L, "view", 1 * H), (3L, "click", 27 * H),
+      // user 4: two funnel completions; the earliest click after the FIRST
+      // view anchors the chain (click@2h, not click@30h)
+      (4L, "view", 1 * H), (4L, "click", 2 * H), (4L, "purchase", 20 * H),
+      (4L, "view", 28 * H), (4L, "click", 30 * H),
+      // user 5: never views => depth 0
+      (5L, "error", 1 * H), (5L, "signup", 2 * H)
+    ).toDF("user_id", "event_type", "us")
+    val out = FunnelQueries.funnelDF(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(out(1L) == ((Some(1 * H), Some(2 * H), Some(3 * H), 3)), s"u1: ${out(1L)}")
+    assert(out(2L)._4 == 2 && out(2L)._3.isEmpty, s"pre-view purchase ignored: ${out(2L)}")
+    assert(out(3L) == ((Some(1 * H), None, None, 1)), s"step window binds: ${out(3L)}")
+    assert(out(4L) == ((Some(1 * H), Some(2 * H), Some(20 * H), 3)),
+      s"earliest chain wins: ${out(4L)}")
+    assert(out(5L) == ((None, None, None, 0)), s"no view => depth 0: ${out(5L)}")
+  }
+}

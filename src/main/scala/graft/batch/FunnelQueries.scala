@@ -23,6 +23,9 @@ object FunnelQueries {
   private val stepUs = 24L * 3600 * 1000 * 1000
   private val dayUs = 24L * 3600 * 1000 * 1000
 
+  /** Session gap: a quiet period this long starts a new session. */
+  private val gapUs = 30L * 60 * 1000 * 1000
+
   val all: Seq[Q] = Seq(
 
     // Ordered-funnel conversion: earliest completion of view -> click ->
@@ -98,7 +101,62 @@ object FunnelQueries {
           col("d1_retained"), col("d7_retained"))
         .orderBy("cohort_day_us")
     },
-  )
+  ) :+ sessionQ
+
+  /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a
+    * separate val only for readability of the two query families. */
+  private[batch] lazy val sessionQ: Q =
+    // Gap-based sessionization with per-session metrics — the batch twin of
+    // the streaming session window (w_session_counts), emitting the full
+    // per-session record (bounds, duration, event count) instead of counts:
+    // the sessionize-then-aggregate shape every engagement pipeline runs.
+    // One user-partitioned sort serves both the lag boundary flags and the
+    // running session-id sum; ties break on event_id in BOTH engines, so
+    // the segmentation is total-order deterministic. Scale: the window
+    // partitions by user (bounded rows per partition at any corpus size —
+    // user activity, not corpus size); the rollup is a (user, session)
+    // map-side-combined aggregate.
+    Q("ev_sessions",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |),
+         |t AS (
+         |  SELECT user_id, us,
+         |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(us) AS start_us, max(us) AS end_us,
+         |  max(us) - min(us) AS duration_us
+         |FROM t GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      sessionsDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
+        .orderBy("user_id", "session_id")
+    }
+
+  /** Body of `ev_sessions` over any (user_id, event_id, us) frame. */
+  private[batch] def sessionsDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
+        max("us").as("end_us"), (max("us") - min("us")).as("duration_us"))
+      .select(col("user_id"), col("sid").cast("long").as("session_id"),
+        col("n_events"), col("start_us"), col("end_us"), col("duration_us"))
+  }
 
   /** Body of `ev_funnel` over any (user_id, event_type, us) frame — factored
     * so the planted-sequence spec drives the REAL step-join chain. */

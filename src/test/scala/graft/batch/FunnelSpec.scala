@@ -34,4 +34,24 @@ class FunnelSpec extends SparkSpec {
       s"earliest chain wins: ${out(4L)}")
     assert(out(5L) == ((None, None, None, 0)), s"no view => depth 0: ${out(5L)}")
   }
+
+  test("ev_sessions: 30-min gaps split sessions; bounds and counts are exact") {
+    import spark.implicits._
+    val M = 60L * 1000 * 1000 // one minute in µs
+    val ev = Seq(
+      // user 1: events at 0, 10, 25 min (one session), then 70, 75 (second:
+      // 45-min gap), then a lone event at 200 (third)
+      (1L, 100L, 0 * M), (1L, 101L, 10 * M), (1L, 102L, 25 * M),
+      (1L, 103L, 70 * M), (1L, 104L, 75 * M), (1L, 105L, 200 * M),
+      // user 2: exactly-30-min spacing does NOT split (gap must exceed)
+      (2L, 200L, 0 * M), (2L, 201L, 30 * M)
+    ).toDF("user_id", "event_id", "us")
+    val out = FunnelQueries.sessionsDF(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)), s"sessions: ${out.keySet}")
+    assert(out((1L, 1L)) == ((3L, 0 * M, 25 * M, 25 * M)), s"s1: ${out((1L, 1L))}")
+    assert(out((1L, 2L)) == ((2L, 70 * M, 75 * M, 5 * M)), s"s2: ${out((1L, 2L))}")
+    assert(out((1L, 3L)) == ((1L, 200 * M, 200 * M, 0L)), s"singleton: ${out((1L, 3L))}")
+    assert(out((2L, 1L)) == ((2L, 0L, 30 * M, 30 * M)), s"boundary gap keeps one session: ${out((2L, 1L))}")
+  }
 }

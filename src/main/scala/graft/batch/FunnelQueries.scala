@@ -160,7 +160,7 @@ object FunnelQueries {
 
   /** Body of `ev_funnel` over any (user_id, event_type, us) frame — factored
     * so the planted-sequence spec drives the REAL step-join chain. */
-  private[batch] def funnelDF(ev: org.apache.spark.sql.DataFrame)
+  private[graft] def funnelDF(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("vt"))

@@ -26,6 +26,10 @@ object FunnelQueries {
   /** Session gap: a quiet period this long starts a new session. */
   private val gapUs = 30L * 60 * 1000 * 1000
 
+  /** Attribution lookback: a purchase attributes to a touch at most this
+    * far before it. */
+  private val attrUs = 7L * 24 * 3600 * 1000 * 1000
+
   val all: Seq[Q] = Seq(
 
     // Ordered-funnel conversion: earliest completion of view -> click ->
@@ -101,6 +105,79 @@ object FunnelQueries {
           col("d1_retained"), col("d7_retained"))
         .orderBy("cohort_day_us")
     },
+    // Last-touch attribution: each purchase attributed to the latest
+    // same-user click at-or-before it within [[attrUs]], else the latest
+    // view, else unattributed — the marketing-analytics as-of join, done as
+    // ONE user-partitioned window pass (running conditional max per touch
+    // type) with purchases filtered AFTER: no join ever carries raw events,
+    // and the only shuffle is the per-user sort sessionization already
+    // pays. Same-µs touches sort before the purchase (k: touches 0,
+    // purchases 1), so a touch at the purchase instant attributes (the
+    // as-of `<=`); the (us, k, event_id) key is a total order, making the
+    // running-max frame deterministic in both engines.
+    Q("ev_attribution",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+         |  FROM events
+         |),
+         |m AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    max(CASE WHEN event_type = 'click' THEN us END) OVER w AS lc,
+         |    max(CASE WHEN event_type = 'view' THEN us END) OVER w AS lv
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, k, event_id
+         |                      ROWS UNBOUNDED PRECEDING)
+         |)
+         |SELECT user_id, event_id, us AS purchase_us,
+         |  CASE WHEN lc IS NOT NULL AND us - lc <= $attrUs THEN 'click'
+         |       WHEN lv IS NOT NULL AND us - lv <= $attrUs THEN 'view'
+         |       ELSE 'none' END AS attributed,
+         |  CASE WHEN lc IS NOT NULL AND us - lc <= $attrUs THEN lc
+         |       WHEN lv IS NOT NULL AND us - lv <= $attrUs THEN lv END AS touch_us,
+         |  us - CASE WHEN lc IS NOT NULL AND us - lc <= $attrUs THEN lc
+         |            WHEN lv IS NOT NULL AND us - lv <= $attrUs THEN lv END AS lag_us
+         |FROM m WHERE event_type = 'purchase'
+         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      attributionDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Session path mining: corpus-wide top-20 consecutive event-type
+    // transitions WITHIN a session (the Markov/path-analysis step after
+    // sessionization — "what do users do next"). Rides the ev_sessions
+    // segmentation: lead() over the same (user, sid) sort the sessionizer
+    // already materialized, then one map-side-combined (step_a, step_b)
+    // count — the result is event-type² sized, so the top-k is driver-
+    // trivial and the (n DESC, step_a, step_b) total order makes LIMIT
+    // deterministic in both engines.
+    Q("ev_paths",
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, us, event_type,
+         |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         |),
+         |t AS (
+         |  SELECT user_id, event_id, us, event_type,
+         |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM s
+         |),
+         |p AS (
+         |  SELECT event_type AS step_a,
+         |    lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS step_b
+         |  FROM t
+         |)
+         |SELECT step_a, step_b, CAST(count(*) AS BIGINT) AS n
+         |FROM p WHERE step_b IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY n DESC, step_a, step_b LIMIT 20""".stripMargin) { (s, d) =>
+      pathsDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type")))
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a
@@ -140,8 +217,10 @@ object FunnelQueries {
         .orderBy("user_id", "session_id")
     }
 
-  /** Body of `ev_sessions` over any (user_id, event_id, us) frame. */
-  private[batch] def sessionsDF(ev: org.apache.spark.sql.DataFrame)
+  /** Gap-segmentation core shared by `ev_sessions` and `ev_paths`: appends
+    * `sid` (1..n per user in (us, event_id) order) to any frame carrying
+    * (user_id, event_id, us); extra columns pass through. */
+  private[batch] def sessionized(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
@@ -151,11 +230,54 @@ object FunnelQueries {
         when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
       .withColumn("sid", sum("ns").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev", "ns")
+  }
+
+  /** Body of `ev_sessions` over any (user_id, event_id, us) frame. */
+  private[graft] def sessionsDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sessionized(ev)
       .groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
         max("us").as("end_us"), (max("us") - min("us")).as("duration_us"))
       .select(col("user_id"), col("sid").cast("long").as("session_id"),
         col("n_events"), col("start_us"), col("end_us"), col("duration_us"))
+
+  /** Body of `ev_attribution` over any (user_id, event_id, event_type, us)
+    * frame — factored so the planted-case spec drives the REAL window
+    * chain. */
+  private[graft] def attributionDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("k"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickOk = col("lc").isNotNull && col("us") - col("lc") <= attrUs
+    val viewOk = col("lv").isNotNull && col("us") - col("lv") <= attrUs
+    ev
+      .withColumn("k", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("lc", max(when(col("event_type") === "click", col("us"))).over(w))
+      .withColumn("lv", max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("purchase_us"),
+        when(clickOk, "click").when(viewOk, "view").otherwise("none").as("attributed"),
+        when(clickOk, col("lc")).when(viewOk, col("lv")).as("touch_us"),
+        (col("us") - when(clickOk, col("lc")).when(viewOk, col("lv"))).as("lag_us"))
+  }
+
+  /** Body of `ev_paths` over any (user_id, event_id, us, event_type)
+    * frame. */
+  private[graft] def pathsDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "sid").orderBy(col("us"), col("event_id"))
+    sessionized(ev)
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("step_a"), col("nxt").as("step_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step_a"), col("step_b"))
+      .limit(20)
   }
 
   /** Body of `ev_funnel` over any (user_id, event_type, us) frame — factored

@@ -54,4 +54,54 @@ class FunnelSpec extends SparkSpec {
     assert(out((1L, 3L)) == ((1L, 200 * M, 200 * M, 0L)), s"singleton: ${out((1L, 3L))}")
     assert(out((2L, 1L)) == ((2L, 0L, 30 * M, 30 * M)), s"boundary gap keeps one session: ${out((2L, 1L))}")
   }
+
+  test("ev_attribution: click beats view, lookback binds, same-instant touch counts") {
+    import spark.implicits._
+    val D = 24L * H
+    val ev = Seq(
+      // user 1: view@1h, click@2h, purchase@3h => click-attributed, lag 1h
+      (1L, 10L, "view", 1 * H), (1L, 11L, "click", 2 * H), (1L, 12L, "purchase", 3 * H),
+      // user 2: view only => view-attributed
+      (2L, 20L, "view", 1 * H), (2L, 21L, "purchase", 2 * H),
+      // user 3: click 8 days before the purchase is OUTSIDE the 7-day
+      // lookback, the view 1 day before is inside => view wins
+      (3L, 30L, "click", 1 * H), (3L, 31L, "view", 7 * D + 1 * H),
+      (3L, 32L, "purchase", 8 * D + 1 * H),
+      // user 4: no touches => none
+      (4L, 40L, "signup", 1 * H), (4L, 41L, "purchase", 2 * H),
+      // user 5: click at the SAME µs as the purchase attributes (<=), and a
+      // second purchase later re-attributes to the same click
+      (5L, 50L, "click", 1 * H), (5L, 51L, "purchase", 1 * H),
+      (5L, 52L, "purchase", 2 * H),
+      // user 6: touch AFTER the purchase never attributes backwards
+      (6L, 60L, "purchase", 1 * H), (6L, 61L, "click", 2 * H)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val out = FunnelQueries.attributionDF(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getString(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(12L) == (("click", Some(2 * H), Some(1 * H))), s"u1: ${out(12L)}")
+    assert(out(21L) == (("view", Some(1 * H), Some(1 * H))), s"u2 view fallback: ${out(21L)}")
+    assert(out(32L) == (("view", Some(7 * D + 1 * H), Some(1 * D))),
+      s"u3 lookback binds: ${out(32L)}")
+    assert(out(41L) == (("none", None, None)), s"u4 unattributed: ${out(41L)}")
+    assert(out(51L) == (("click", Some(1 * H), Some(0L))), s"u5 same-instant: ${out(51L)}")
+    assert(out(52L) == (("click", Some(1 * H), Some(1 * H))), s"u5 re-attribution: ${out(52L)}")
+    assert(out(60L) == (("none", None, None)), s"u6 future touch ignored: ${out(60L)}")
+  }
+
+  test("ev_paths: transitions stay inside session boundaries") {
+    import spark.implicits._
+    val M = 60L * 1000 * 1000
+    val ev = Seq(
+      // session 1: view -> click -> view (transitions view->click, click->view)
+      (1L, 1L, 0 * M, "view"), (1L, 2L, 5 * M, "click"), (1L, 3L, 10 * M, "view"),
+      // 40-min gap — view(10)->view(50) must NOT count as a transition
+      (1L, 4L, 50 * M, "view"), (1L, 5L, 55 * M, "purchase"),
+      // user 2 contributes one more view->click
+      (2L, 6L, 0 * M, "view"), (2L, 7L, 1 * M, "click")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val out = FunnelQueries.pathsDF(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("view", "click") -> 2L, ("click", "view") -> 1L,
+      ("view", "purchase") -> 1L), s"paths: $out")
+  }
 }

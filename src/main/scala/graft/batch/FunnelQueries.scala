@@ -178,6 +178,40 @@ object FunnelQueries {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
           col("event_type")))
     },
+    // Activity-spike anomaly detection: flag (user, day) buckets whose
+    // event count sits more than 3σ ABOVE that user's own daily mean — the
+    // bot/abuse/instrumentation-bug monitor every event pipeline runs. The
+    // z-test is evaluated in EXACT INTEGER arithmetic (z > 3 ⟺
+    // (n·c − s1)² > 9(n·s2 − s1²) over per-user day-count sums), so no
+    // sqrt/float boundary can ever diverge across engines. Scale: two
+    // map-side-combined aggregates (events → (user, day) counts → user
+    // stats); the stats join is user-sized, AQE broadcasts it; raw events
+    // appear only in the first aggregate's scan. Overflow envelope:
+    // |n·c| < ~3e9 per user keeps the square < 2^63 — day counts and day
+    // cardinality are both bounded by user activity, not corpus size.
+    // (Strictness note: one outlier among n−1 identical quiet days has
+    // z² = n−1 exactly, so `>` — not `>=` — is what keeps a 10-day user
+    // with one spike at the z=3 boundary un-flagged in both engines.)
+    Q("ev_anomaly",
+      s"""WITH d AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |),
+         |s AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT d.user_id, d.day_us, d.c AS n_events
+         |FROM d JOIN s USING (user_id)
+         |WHERE s.n >= 3 AND s.n*d.c > s.s1
+         |  AND (s.n*d.c - s.s1)*(s.n*d.c - s.s1) > 9*(s.n*s.s2 - s.s1*s.s1)
+         |ORDER BY user_id, day_us""".stripMargin) { (s, d) =>
+      anomalyDF(Tables.events(s, d)
+        .select(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us")))
+        .orderBy("user_id", "day_us")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a
@@ -263,6 +297,21 @@ object FunnelQueries {
         when(clickOk, "click").when(viewOk, "view").otherwise("none").as("attributed"),
         when(clickOk, col("lc")).when(viewOk, col("lv")).as("touch_us"),
         (col("us") - when(clickOk, col("lc")).when(viewOk, col("lv"))).as("lag_us"))
+  }
+
+  /** Body of `ev_anomaly` over any (user_id, day_us) frame — one row per
+    * EVENT (days repeat); factored so the planted-spike spec drives the
+    * REAL integer z-test. */
+  private[graft] def anomalyDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = ev.groupBy("user_id", "day_us").agg(count(lit(1)).as("c"))
+    val s = d.groupBy("user_id").agg(count(lit(1)).as("n"),
+      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+    val dev = col("n") * col("c") - col("s1")
+    d.join(s, "user_id")
+      .filter(col("n") >= 3 && dev > 0 &&
+        dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("day_us"), col("c").as("n_events"))
   }
 
   /** Body of `ev_paths` over any (user_id, event_id, us, event_type)

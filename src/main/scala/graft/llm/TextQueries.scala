@@ -1280,6 +1280,57 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Mixture APPLY — the sampler that EXECUTES the tx_mix_plan rates,
+    // completing the report → plan → apply family: each doc keeps iff its
+    // content-independent hash key falls under its language's planned rate.
+    // The keep test is INTEGER vs INTEGER — `hash % 1e6 < floor(rate·1e6)`
+    // — so the double rate (a deterministic quotient chain in both
+    // engines) is collapsed through one identical floor before any
+    // comparison; a direct `hash/1e6 < rate` float compare would hinge on
+    // the quotient's last ulp. The max language's rate is exactly 1.0
+    // (its ratio IS maxr), so floor gives the full 1e6 band and that
+    // language keeps everything — pinning the planner's downsample-only
+    // contract in the output. Scale shape: the plan chain is
+    // language-sized and broadcast into the corpus scan; the keep filter
+    // is a row-local free rider on it.
+    Q("tx_mix_apply", {
+      val tgt = "CASE lang WHEN 'de' THEN 250 WHEN 'en' THEN 350 WHEN 'es' THEN 200 WHEN 'fr' THEN 150 ELSE 50 END"
+      val u = s"${duckH("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000"
+      s"""WITH tl AS (
+         |  SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '$tokRegex'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tl),
+         |rt AS (
+         |  SELECT lang, CAST(($tgt) * total AS DOUBLE) / 1000 / n_tokens AS ratio
+         |  FROM tl CROSS JOIN t
+         |),
+         |nm AS (SELECT lang, CAST(floor(ratio / max(ratio) OVER () * 1000000) AS BIGINT) AS band FROM rt)
+         |SELECT d.doc_id, d.lang, CAST($u AS BIGINT) AS mix_key, nm.band
+         |FROM documents d JOIN nm ON nm.lang = d.lang
+         |WHERE $u < nm.band
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val tgt = "CASE lang WHEN 'de' THEN 250 WHEN 'en' THEN 350 WHEN 'es' THEN 200 WHEN 'fr' THEN 150 ELSE 50 END"
+      val tl = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).cast("long")).as("n_tokens"))
+      val t = tl.agg(sum("n_tokens").as("total"))
+      val nm = tl.crossJoin(broadcast(t)) // 1-row total
+        .withColumn("ratio", expr(s"cast(($tgt) * total as double) / 1000 / n_tokens"))
+        .withColumn("band", expr(
+          "cast(floor(ratio / max(ratio) over () * 1000000) as bigint)")) // result-sized frame
+        .select("lang", "band")
+      val u = s"${sparkH("concat('mix:', cast(doc_id as string))")} % 1000000"
+      Tables.documents(s, d)
+        .withColumn("mix_key", expr(u))
+        .join(broadcast(nm), "lang") // language-cardinality rate table
+        .filter(col("mix_key") < col("band"))
+        .select(col("doc_id"), col("lang"), col("mix_key"), col("band"))
+        .orderBy("doc_id")
+    },
+
     // BPE merge training — the actual tokenizer-training step (tx_vocab is
     // its precursor): iteratively find the most frequent adjacent token
     // pair and merge it corpus-wide, emitting the learned merge table.

@@ -88,6 +88,28 @@ class FunnelSpec extends SparkSpec {
     assert(out(60L) == (("none", None, None)), s"u6 future touch ignored: ${out(60L)}")
   }
 
+  test("ev_anomaly: integer z-test flags spikes above the user's own baseline") {
+    import spark.implicits._
+    val DAY = 24L * H
+    def days(u: Long, counts: Seq[Int]): Seq[(Long, Long)] =
+      counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)((u, i * DAY)) }
+    val ev = (
+      // user 1: eleven quiet days (1 event) + one 5-event day => z = sqrt(
+      // n·(c-mean)²/Σ…) clears 3 strictly => flagged
+      days(1L, Seq.fill(11)(1) :+ 5) ++
+      // user 2: nine quiet days + one spike => z² = n−1 = 9 EXACTLY on the
+      // boundary; strict > keeps it unflagged (any c: single-outlier identity)
+      days(2L, Seq.fill(9)(1) :+ 50) ++
+      // user 3: uniform days => zero variance, nothing above the mean
+      days(3L, Seq.fill(5)(4)) ++
+      // user 4: only two active days => n < 3 excluded
+      days(4L, Seq(1, 100))
+    ).toDF("user_id", "day_us")
+    val out = FunnelQueries.anomalyDF(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 11 * DAY, 5L)), s"anomalies: ${out.toSeq}")
+  }
+
   test("ev_paths: transitions stay inside session boundaries") {
     import spark.implicits._
     val M = 60L * 1000 * 1000

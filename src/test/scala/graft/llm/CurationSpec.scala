@@ -26,6 +26,23 @@ class CurationSpec extends SparkSpec {
     assert(out(20L)._1 == 1, "identical vector in ANOTHER cell is untouched")
   }
 
+  test("tx_mix_apply: downsample-only — the max-rate language keeps every doc") {
+    val sfDir = sf("sf0.001")
+    val kept = graft.SparkEntry.queries("tx_mix_apply")(spark, sfDir).cache()
+    val bands = kept.select("lang", "band").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bands.values.forall(_ <= 1000000L), s"band over the full range: $bands")
+    assert(bands.values.exists(_ < 1000000L), s"no language downsampled: $bands")
+    val full = bands.collect { case (l, 1000000L) => l }.toSet
+    assert(full.nonEmpty, s"planner must leave one language at rate 1.0: $bands")
+    // the rate-1.0 language keeps its entire doc population
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("lang").isin(full.toSeq: _*)).count()
+    val keptFull = kept.filter(col("lang").isin(full.toSeq: _*)).count()
+    assert(keptFull == docs, s"rate-1.0 language dropped docs: $keptFull of $docs")
+    kept.unpersist()
+  }
+
   test("tx_pii: injected PII is counted and scrubbed; untouched docs hash to md5(text)") {
     val sfDir = sf("sf0.001")
     val out = graft.SparkEntry.queries("tx_pii")(spark, sfDir)

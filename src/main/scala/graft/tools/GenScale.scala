@@ -3,9 +3,10 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve data generator: writes an N× replica of an existing SF
-  * dir's `documents` + `embeddings` tables (the only inputs of the heavy
-  * bench family) so SCALING.md can cover a third decade without touching
-  * the read-only driver testdata.
+  * dir's `documents` + `embeddings` + `events` tables (the inputs of the
+  * heavy bench family and the ev_* event-analytics family) so SCALING.md
+  * can cover further decades without touching the read-only driver
+  * testdata.
   *
   * Replication must not manufacture a pathological 100%-near-dup corpus:
   * replica r > 0 suffixes every WORD with the replica digit, which shifts
@@ -54,9 +55,24 @@ object GenScale {
     embReps.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: replicas shift user_id (and event_id for uniqueness) but keep
+    // timestamps — growth adds USERS, the realistic scale direction for the
+    // ev_* family (per-user history length is activity-bounded, not
+    // corpus-bounded; a ts-shifted replica would instead grow every user's
+    // history 10× and misrepresent the user-partitioned window cost).
+    val ev = graft.core.Tables.load(spark, src, "events")
+    val evReps = (0 until reps).map { r =>
+      if (r == 0) ev
+      else ev.withColumn("user_id", col("user_id") + lit(r * idShift))
+        .withColumn("event_id", col("event_id") + lit(r * idShift))
+    }
+    evReps.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"[genscale] wrote $out: $nd documents, $ne embeddings ($reps x $src)")
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"[genscale] wrote $out: $nd documents, $ne embeddings, $nv events ($reps x $src)")
     spark.stop()
   }
 }

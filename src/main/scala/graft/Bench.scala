@@ -76,6 +76,17 @@ object Bench {
     // per-query numbers are attributable to plans, not JIT order
     try { runOnce("w1_window_avg"); runOnce("q5_revenue_by_region"); runOnce("dd_jaccard") }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // the component-loop plan shapes (label-propagation joins + pointer
+    // jump) pay ~5s of one-time whole-stage-codegen compilation on their
+    // FIRST execution in a JVM (measured: dd_clusters 12.3s cold vs 6.3s
+    // on every later run in the same JVM) — warm them on the tiny sf0.001
+    // corpus so the measured dd_clusters/dd_split/llm_cluster_stage numbers
+    // are the plan's cost, not the JIT's
+    try {
+      SparkEntry.queries("dd_clusters")(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    } catch { case e: Throwable => System.err.println(s"[bench] loop warmup failed: $e") }
 
     val failed = Seq.newBuilder[String]
     val contaminated = Seq.newBuilder[String]
@@ -132,7 +143,29 @@ object Bench {
     // full-suite runs overwrite it — a filtered local run must not clobber
     // the round artifact — and only CLEAN full-suite runs: a contaminated
     // run must not become the next round's rerun reference.
-    if (only.isEmpty && dirty.isEmpty) {
+    //
+    // AGGREGATE ratchet guard: ambient load that slows every query ~1.5×
+    // trips NO per-query 3× rerun, so a noisy run would silently become
+    // the reference and raise the bar the NEXT noisy run is judged
+    // against (observed: 112s → 124s → 174s across three same-code runs
+    // as machine load rose). A run whose common-query total exceeds the
+    // committed total by >25% does not overwrite — that margin is above
+    // run-to-run plan noise (<15% observed) and far below real
+    // regressions worth recording; a LEGITIMATE whole-suite slowdown
+    // (e.g. regenerated testdata) re-records by deleting the stale file
+    // or setting GRAFT_BENCH_FORCE=1.
+    val ratchetOk = {
+      val (refSf2, refT) = loadCommitted()
+      val common = results.collect {
+        case (n, v, _, _) if v >= 0 && refT.get(n).exists(_ > 0) => (v, refT(n))
+      }
+      sys.env.contains("GRAFT_BENCH_FORCE") || refSf2 != sfDir || common.isEmpty ||
+        common.map(_._1).sum <= common.map(_._2).sum * 1.25
+    }
+    if (only.isEmpty && dirty.isEmpty && !ratchetOk)
+      System.err.println("[bench] aggregate total >1.25x the committed reference — " +
+        "ambient load suspected; BENCH_LOCAL.json NOT updated (GRAFT_BENCH_FORCE=1 overrides)")
+    if (only.isEmpty && dirty.isEmpty && ratchetOk) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }

@@ -332,12 +332,15 @@ object DedupQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val tInit0 = System.nanoTime()
     var labels = sym.select(col("d1").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
+    System.err.println(f"[dd_clusters] init (chain+labels): ${(System.nanoTime() - tInit0) / 1e9}%.2fs")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
+      val tR0 = System.nanoTime()
       val nmin = sym.join(labels, col("d2") === col("node"))
         .groupBy("d1").agg(min("lbl").as("nl"))
       val withNmin = labels.join(nmin, col("node") === col("d1"), "left")
@@ -359,6 +362,7 @@ object DedupQueries {
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("node"), col("nlbl").as("lbl"))
       iter += 1
+      System.err.println(f"[dd_clusters] round $iter: ${(System.nanoTime() - tR0) / 1e9}%.2fs")
     }
     // stderr (never stdout: Bench's contract is one JSON line on stdout)
     System.err.println(s"[dd_clusters] converged in $iter rounds")

@@ -299,20 +299,34 @@ object FunnelQueries {
         (col("us") - when(clickOk, col("lc")).when(viewOk, col("lv"))).as("lag_us"))
   }
 
+  /** Per-user daily-count baseline over any (user_id, day_us) frame (one
+    * row per EVENT): day cardinality `n`, count sum `s1`, count square sum
+    * `s2` — the exact-integer sufficient statistics of the z-test. Shared
+    * with the streaming server, which pins these as its static baseline. */
+  private[graft] def userDayStats(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.groupBy("user_id", "day_us").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+
+  /** The spike predicate over columns (c, n, s1, s2): z > 3 in exact
+    * integer arithmetic — (n·c − s1)² > 9(n·s2 − s1²), above-mean only.
+    * Shared verbatim by the batch query and the streaming server. */
+  private[graft] def spikePred: org.apache.spark.sql.Column = {
+    val dev = col("n") * col("c") - col("s1")
+    col("n") >= 3 && dev > 0 &&
+      dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1"))
+  }
+
   /** Body of `ev_anomaly` over any (user_id, day_us) frame — one row per
     * EVENT (days repeat); factored so the planted-spike spec drives the
     * REAL integer z-test. */
   private[graft] def anomalyDF(ev: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val d = ev.groupBy("user_id", "day_us").agg(count(lit(1)).as("c"))
-    val s = d.groupBy("user_id").agg(count(lit(1)).as("n"),
-      sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
-    val dev = col("n") * col("c") - col("s1")
-    d.join(s, "user_id")
-      .filter(col("n") >= 3 && dev > 0 &&
-        dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      : org.apache.spark.sql.DataFrame =
+    ev.groupBy("user_id", "day_us").agg(count(lit(1)).as("c"))
+      .join(userDayStats(ev), "user_id")
+      .filter(spikePred)
       .select(col("user_id"), col("day_us"), col("c").as("n_events"))
-  }
 
   /** Body of `ev_paths` over any (user_id, event_id, us, event_type)
     * frame. */

@@ -37,6 +37,10 @@ object TextQueries {
   private val stopEs = "'el','la','que','y','en','un','es','se','no','por'"
   private val stopFr = "'le','les','et','un','que','pour','dans','ce','il','au'"
 
+  /** tx_pmi: a pair must occur at least this often to be scored (PMI on
+    * singleton counts is pure noise). */
+  private val pmiMinCount = 5
+
   private[llm] val chunkLen = 500
   private[llm] val chunkStep = 400
   private val gramLen = 8
@@ -1329,6 +1333,71 @@ object TextQueries {
         .filter(col("mix_key") < col("band"))
         .select(col("doc_id"), col("lang"), col("mix_key"), col("band"))
         .orderBy("doc_id")
+    },
+
+    // Collocation mining — corpus-wide top-50 adjacent-token pairs by PMI
+    // (pointwise mutual information), the phrase-vocabulary signal feeding
+    // multi-word tokenizer entries and BPE seeding (tx_bpe ranks pairs by
+    // raw frequency; PMI surfaces pairs frequent RELATIVE to their parts).
+    // Float discipline: the rank key is ln(p(ab)/(p(a)p(b))) computed as
+    // ONE identical double chain from exact integer counts, quantized to a
+    // 6-dp scaled BIGINT (the tx_bm25/tx_lm_score stance) — ranking and
+    // the emitted score both derive from the integer key, never a raw
+    // float boundary. Scale shape: one map-side-combined (pair) count +
+    // one (token) count; the unigram side joins at vocab size (AQE
+    // broadcasts), totals are 1-row aggregates, and the top-50 is a
+    // TakeOrderedAndProject on the min-count survivors.
+    Q("tx_pmi",
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM tk),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+         |bg AS (
+         |  SELECT array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS pair,
+         |    toks[CAST(i AS INT)] AS wa, toks[CAST(i + 1 AS INT)] AS wb
+         |  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2
+         |),
+         |bc AS (SELECT pair, min(wa) AS wa, min(wb) AS wb, CAST(count(*) AS BIGINT) AS cab
+         |       FROM bg GROUP BY pair),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg),
+         |sc AS (
+         |  SELECT bc.pair, bc.cab,
+         |    CAST(round(ln((CAST(bc.cab AS DOUBLE) * nt.n_tok * nt.n_tok) /
+         |                  (CAST(nb.n_big AS DOUBLE) * ua.cw * ub.cw)) * 1000000, 0) AS BIGINT) AS pmi_key
+         |  FROM bc CROSS JOIN nt CROSS JOIN nb
+         |  JOIN uc ua ON ua.w = bc.wa
+         |  JOIN uc ub ON ub.w = bc.wb
+         |  WHERE bc.cab >= $pmiMinCount
+         |)
+         |SELECT pair, cab AS n_pair, CAST(pmi_key AS DOUBLE) / 1000000 AS pmi
+         |FROM sc ORDER BY pmi_key DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val uni = tk.select(explode(col("toks")).as("w"))
+      val uc = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+      val nt = uni.agg(count(lit(1)).as("n_tok"))
+      val bg = tk.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(" +
+            "concat(toks[i-1], ' ', toks[i]) as pair, toks[i-1] as wa, toks[i] as wb))")).as("p"))
+        .select("p.pair", "p.wa", "p.wb")
+      val bc = bg.groupBy("pair")
+        .agg(min("wa").as("wa"), min("wb").as("wb"), count(lit(1)).as("cab"))
+      val nb = bg.agg(count(lit(1)).as("n_big"))
+      bc.filter(col("cab") >= pmiMinCount)
+        .crossJoin(broadcast(nt)) // 1-row totals
+        .crossJoin(broadcast(nb))
+        .join(uc.select(col("w").as("wa"), col("cw").as("ca")), "wa")
+        .join(uc.select(col("w").as("wb"), col("cw").as("cb")), "wb")
+        .withColumn("pmi_key", expr(
+          "cast(round(ln((cast(cab as double) * n_tok * n_tok) / " +
+            "(cast(n_big as double) * ca * cb)) * 1000000, 0) as bigint)"))
+        .orderBy(col("pmi_key").desc, col("pair"))
+        .limit(50)
+        .select(col("pair"), col("cab").as("n_pair"),
+          (col("pmi_key").cast("double") / 1000000).as("pmi"))
     },
 
     // BPE merge training — the actual tokenizer-training step (tx_vocab is

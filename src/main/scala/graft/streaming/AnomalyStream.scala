@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Online activity-spike detection — `ev_anomaly`'s ingest twin and the
+  * behavioral member of the batch-train / stream-serve family
+  * (lmScoreStream's quality cutoffs, lineScrubStream's boilerplate set,
+  * decontamStream's bloom): per-user daily baselines (day cardinality,
+  * count sum, count square sum — the z-test's exact-integer sufficient
+  * statistics) are trained batch-side by `FunnelQueries.userDayStats` and
+  * PINNED as the static join side; incoming events count into 1-day
+  * event-time windows and a (user, day) row is emitted the moment the
+  * watermark closes a spiking day.
+  *
+  * The z > 3 test is the SAME integer predicate the batch query runs
+  * (`FunnelQueries.spikePred` — (n·c − s1)² > 9(n·s2 − s1²)); a stream
+  * can't re-estimate its own baseline without re-flagging the past, so
+  * pinning the batch statistics is the deployable semantics (the lmScore
+  * cutoff-pinning argument). Users absent from the baseline pass through
+  * unflagged (no history → no test).
+  *
+  * Plan shape: stream-static inner join on the user-sized stats table
+  * BEFORE the windowed aggregation (a stream-static join downstream of a
+  * stateful op is unsupported), baseline columns ride the window group as
+  * `min` (constant per user), and the filter is stateless — total state is
+  * the open day windows, bounded by the watermark. */
+object AnomalyStream {
+
+  /** @param stats batch-trained (user_id, n, s1, s2) from
+    *              `FunnelQueries.userDayStats`. */
+  def anomalyStream(events: Dataset[UserEvent], stats: DataFrame,
+      delay: String = "10 seconds"): DataFrame = {
+    events.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", delay)
+      .join(stats, "user_id") // static side: user-sized baseline
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("c"),
+        min("n").as("n"), min("s1").as("s1"), min("s2").as("s2"))
+      .filter(graft.batch.FunnelQueries.spikePred)
+      .select(col("user_id"), unix_micros(col("w.start")).as("day_us"),
+        col("c").as("n_events"))
+  }
+}

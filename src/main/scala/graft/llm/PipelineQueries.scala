@@ -155,6 +155,30 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private val sourceDupOracle =
+    s"""WITH RECURSIVE ${DedupQueries.clusterCtes}
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND c.cluster_id <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL AND c.cluster_id <> c.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Body of `dd_source_dup`: per-source cluster membership / keeper-loss
+    * rollup given a (doc_id, cluster_id) component table. Doc-sized left
+    * join (AQE broadcasts the component side), one map-side-combined
+    * source aggregate. */
+  private def sourceDupDF(docs: DataFrame, comp: DataFrame): DataFrame =
+    docs.select("doc_id", "source")
+      .join(comp, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_rate", expr("cast(n_dropped as double) / n_docs"))
+      .orderBy("source")
+
   val all: Seq[Q] = Seq(
 
     Q("llm_corpus_prep", prepOracle) { (s, d) =>
@@ -189,6 +213,24 @@ object PipelineQueries {
       DedupQueries.splitFromClusters(
           graft.core.Tables.documents(s, d), s.table(stageClusters(s, d)))
         .orderBy("doc_id")
+    },
+
+    // Dedup observability — the dataset-card / crawl-health rollup every
+    // production dedup pipeline publishes: per SOURCE, how many docs sit
+    // in a near-dup cluster and how many would be dropped as non-keepers
+    // (cluster_id = min member = keeper, the dd_clusters contract). A
+    // source with an outlying drop_rate is a scraper bug or a boilerplate
+    // farm — this is the query that finds it. Self-contained (recomputes
+    // the chain, the honest bench price); the staged twin below is the
+    // production shape. drop_rate is an UNROUNDED double quotient of
+    // exact integers (int/int quotients land ON 4-dp rounding ties).
+    Q("dd_source_dup", sourceDupOracle) { (s, d) =>
+      sourceDupDF(Tables.documents(s, d), DedupQueries.clustersDF(s, d))
+    },
+
+    // Same oracle — only `comp`'s provenance changes (bucketed stage).
+    Q("dd_source_dup_staged", sourceDupOracle) { (s, d) =>
+      sourceDupDF(Tables.documents(s, d), s.table(stageClusters(s, d)))
     },
 
     // The corpus-UPDATE prep — the daily-crawl path that completes the

@@ -52,6 +52,12 @@ object SimilarityQueries {
   private val pqK = 16
   private val pqScale = 10000
 
+  /** sim_outlier quantization scale — coarse on purpose: the gate needs the
+    * cell's distance distribution shape, and the coarse grid keeps the
+    * z-test's squared-integer operands far inside the DECIMAL(38,0)
+    * envelope at any cell size. */
+  private val outScale = 100
+
   /** Codegen'd custom Expression (graft.functions.VectorDot): Catalyst's
     * higher-order `aggregate(zip_with(...))` form computes the identical
     * left-to-right sum but runs interpreted (two lambda calls per element,
@@ -761,6 +767,77 @@ object SimilarityQueries {
           expr("vector_l2q(ca, cb)").as("shift_sq"),
           expr(s"sqrt(cast(vector_l2q(ca, cb) as double)) / $pqScale").as("shift"))
         .orderBy("cell")
+    },
+
+    // Embedding-space outlier gate — OOD/garbage-vector detection (the
+    // curation question "which embeddings don't belong to their semantic
+    // cell"): every vector's squared distance to its cell centroid is
+    // scored against that CELL's own distance distribution with the
+    // ev_anomaly integer z-test — (n·d − s1)² > 9(n·s2 − s1²), above-mean
+    // only — so the 3σ gate has no sqrt/float boundary. All distances are
+    // quantized-integer (scale 100 here: an outlier GATE needs the
+    // distribution's shape, not 1e-4 precision) through the codegen
+    // vector_l2q kernel; d² sums and the squared comparison run in
+    // DECIMAL(38,0)/HUGEINT — exact, with headroom to n ~ 1e9 vectors per
+    // cell (operands peak ~1e31 < 1e38). Every vector is emitted with its
+    // distance and flag, so the full chain is hash-gated, not just the
+    // tail. Scale shape: one posexplode centroid aggregate (map-side
+    // combined), k×d centroid broadcast, row-local distances, cell-sized
+    // stats join — raw vectors never shuffle.
+    Q("sim_outlier", {
+      val dN =
+        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $outScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |sums AS (
+         |  SELECT label, u.i,
+         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+         |  GROUP BY label, u.i
+         |),
+         |cent AS (SELECT label, list(cm ORDER BY i) AS carr FROM sums GROUP BY label),
+         |dd AS (
+         |  SELECT x.vec_id, x.label, $dN AS d
+         |  FROM xq x JOIN cent c ON c.label = x.label
+         |),
+         |st AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s1,
+         |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2
+         |  FROM dd GROUP BY label
+         |)
+         |SELECT dd.vec_id, dd.label AS cell, dd.d AS dist,
+         |  CAST(CASE WHEN st.n >= 3 AND CAST(st.n AS HUGEINT) * dd.d > st.s1
+         |    AND (CAST(st.n AS HUGEINT) * dd.d - st.s1) * (CAST(st.n AS HUGEINT) * dd.d - st.s1)
+         |        > 9 * (st.n * st.s2 - CAST(st.s1 AS HUGEINT) * st.s1)
+         |    THEN 1 ELSE 0 END AS INT) AS is_outlier
+         |FROM dd JOIN st USING (label)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(s"vector_quantize(embedding, $outScale)").as("xq"))
+      val cent = xq
+        .select(col("label"), posexplode(col("xq")).as(Seq("i", "v")))
+        .groupBy("label", "i")
+        .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+      val dd = xq.join(broadcast(cent), "label") // k×d centroid table
+        .withColumn("d", expr("vector_l2q(xq, carr)"))
+      val st = dd.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("d").as("s1"),
+          expr("sum(cast(d as decimal(38,0)) * d)").as("s2"))
+      dd.join(st, "label")
+        .select(col("vec_id"), col("label").as("cell"), col("d").as("dist"),
+          expr("""cast(case when n >= 3 and cast(n as decimal(38,0)) * d > s1
+            and (cast(n as decimal(38,0)) * d - s1) * (cast(n as decimal(38,0)) * d - s1)
+                > 9 * (cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
+            then 1 else 0 end as int)""").as("is_outlier"))
+        .orderBy("vec_id")
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

@@ -57,6 +57,63 @@ class HostileInputSpec extends SparkSpec {
     assert(pairs.contains((3L, 6L)), s"identical mega-docs must band-collide: $pairs")
   }
 
+  test("newest queries end-to-end on a planted degenerate table dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hostile_sf")
+    dir.toFile.deleteOnExit()
+    // documents: the hostile set + a planted frequent pair so tx_pmi has
+    // exactly one survivor of its min-count floor
+    hostileDocs
+      .withColumn("lang", expr("CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)).cast("long"))
+      .union(Seq((6L, (0 until 6).map(i => s"alpha beta u$i").mkString(" "), "en", "s1", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: a zero-variance cell (identical vectors), an n<3 cell,
+    // and a 4-vector cell with one far-off member
+    val base = Array.fill(64)(0.5f)
+    val far = Array.fill(64)(5.0f)
+    (Seq((10L, base, 0), (11L, base, 0), (12L, base, 0), (13L, base, 0),
+      (20L, base, 1), (21L, far, 1),
+      (30L, base, 2), (31L, base, 2), (32L, base, 2), (33L, far, 2)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: EMPTY — every ev_* query must yield empty, not throw
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "tsl", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("tsl"))).drop("tsl")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val q = graft.SparkEntry.queries
+    // PMI: only the planted pair clears the floor, with its exact count
+    val pmi = q("tx_pmi")(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(pmi.toSeq == Seq("alpha beta" -> 6L), s"pmi: ${pmi.toSeq}")
+    // outliers: zero-variance and n<3 cells flag nothing; and in the
+    // 4-vector cell the far member is a single outlier among identical
+    // peers, so z² = n−1 = 3 < 9 — the single-outlier identity (the
+    // ev_anomaly boundary) says even it must NOT flag
+    val ol = q("sim_outlier")(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    assert(ol.length == 10, s"all vectors emitted: ${ol.length}")
+    assert(ol.forall(_._2 == 0), s"no cell can clear z>3 here: ${ol.filter(_._2 == 1).toSeq}")
+    // empty events: every event-analytics query is empty, none throws
+    for (name <- Seq("ev_funnel", "ev_retention", "ev_sessions", "ev_attribution",
+        "ev_paths", "ev_anomaly"))
+      assert(q(name)(spark, dir.toString).collect().isEmpty, s"$name not empty")
+    // mixture apply: the keep decision is a pure doc_id-hash-vs-band rule
+    // (text-independent — a NULL-text doc keeps iff its key clears its
+    // language's band, same as the oracle); nothing throws, and every
+    // kept row is self-consistent with its band
+    val mix = q("tx_mix_apply")(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(mix.nonEmpty, "tokened languages must produce bands")
+    assert(mix.forall { case (_, key, band) => key < band && band <= 1000000L },
+      s"kept rows must clear their band: ${mix.toSeq}")
+  }
+
   test("bm25 and BPE bodies survive a hostile corpus incl. an empty query doc") {
     // doc 0 (the only query doc) is EMPTY: zero query terms, so bm25
     // must return zero rows rather than throw

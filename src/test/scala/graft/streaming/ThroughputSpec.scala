@@ -27,6 +27,45 @@ import graft.SparkSpec
   */
 class ThroughputSpec extends SparkSpec {
 
+  /** Shared measurement harness: run `q` until ≥11 s of post-warmup
+    * progress, compute sustained rows/s(/partition), write the artifact,
+    * assert the 100 rec/s/partition floor. */
+  private def measureRate(q: org.apache.spark.sql.streaming.StreamingQuery,
+      numPartitions: Int, offeredPerSec: Int, pipeline: String,
+      artifact: String): Unit =
+    try {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      def dataProgress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      def spanSec(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Double =
+        if (ps.size < 2) 0.0
+        else (Instant.parse(ps.last.timestamp).toEpochMilli -
+          Instant.parse(ps.head.timestamp).toEpochMilli) / 1000.0
+      while (spanSec(dataProgress.drop(1)) < 11.0 && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      val steady = dataProgress.drop(1) // entry 0 pays codegen/state warmup
+      val span = spanSec(steady)
+      assert(span >= 10.0, s"never reached 10s of steady-state progress (got $span s)")
+      // each entry's rows arrived between its predecessor's timestamp and
+      // its own, so count rows of entries after the first steady entry
+      val totalRows = steady.drop(1).map(_.numInputRows).sum
+      val rate = totalRows / span
+      val perPartition = rate / numPartitions
+      val json =
+        s"""{"pipeline":"$pipeline",
+           |"partitions":$numPartitions,"offered_rows_per_sec":$offeredPerSec,
+           |"measured_rows_per_sec":${"%.1f".format(rate)},
+           |"measured_rows_per_sec_per_partition":${"%.1f".format(perPartition)},
+           |"target_rows_per_sec_per_partition":100,
+           |"steady_state_sec":${"%.1f".format(span)},"total_rows":$totalRows}"""
+          .stripMargin.replaceAll("\n", "")
+      Files.write(Paths.get(artifact), (json + "\n").getBytes("UTF-8"))
+      info(s"sustained $rate rows/s over $span s ($perPartition rows/s/partition)")
+      assert(perPartition >= 100.0,
+        s"sustained $perPartition rec/s/partition < 100 target (total $totalRows rows in $span s)")
+    } finally {
+      q.stop()
+    }
+
   test("W1 pipeline sustains >=100 rec/s/partition over >=10s (measured)") {
     val numPartitions = 4
     val perPartitionRate = 2500 // 25x the 100 rec/s/partition target
@@ -40,42 +79,9 @@ class ThroughputSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .start()
-    try {
-      // run until the post-warmup progress span covers >= 11s (deadline 90s)
-      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
-      def dataProgress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      def spanSec(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Double =
-        if (ps.size < 2) 0.0
-        else (Instant.parse(ps.last.timestamp).toEpochMilli -
-          Instant.parse(ps.head.timestamp).toEpochMilli) / 1000.0
-      while (spanSec(dataProgress.drop(1)) < 11.0 && System.nanoTime() < deadline)
-        Thread.sleep(500)
-      val steady = dataProgress.drop(1) // entry 0 pays codegen/state warmup
-      val span = spanSec(steady)
-      assert(span >= 10.0, s"never reached 10s of steady-state progress (got $span s)")
-      // rows counted over [first.timestamp, last.timestamp): the last
-      // entry's rows arrived before its own timestamp, so include them and
-      // measure to the batch AFTER the window... simplest exact form: drop
-      // the first steady entry's timestamp as t0, count rows of entries
-      // AFTER it (each entry's rows arrived between its predecessor and it)
-      val totalRows = steady.drop(1).map(_.numInputRows).sum
-      val rate = totalRows / span
-      val perPartition = rate / numPartitions
-      val json =
-        s"""{"pipeline":"sensor rate source -> 5s watermark -> 1s tumbling windows -> memory sink (update)",
-           |"partitions":$numPartitions,"offered_rows_per_sec":${perPartitionRate * numPartitions},
-           |"measured_rows_per_sec":${"%.1f".format(rate)},
-           |"measured_rows_per_sec_per_partition":${"%.1f".format(perPartition)},
-           |"target_rows_per_sec_per_partition":100,
-           |"steady_state_sec":${"%.1f".format(span)},"total_rows":$totalRows}"""
-          .stripMargin.replaceAll("\n", "")
-      Files.write(Paths.get("STREAM_RATE.json"), (json + "\n").getBytes("UTF-8"))
-      info(s"sustained $rate rows/s over $span s ($perPartition rows/s/partition)")
-      assert(perPartition >= 100.0,
-        s"sustained $perPartition rec/s/partition < 100 target (total $totalRows rows in $span s)")
-    } finally {
-      q.stop()
-    }
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "sensor rate source -> 5s watermark -> 1s tumbling windows -> memory sink (update)",
+      "STREAM_RATE.json")
   }
 
   test("LM gate sustains >=100 docs/s/partition over >=10s (measured)") {
@@ -109,35 +115,35 @@ class ThroughputSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .start()
-    try {
-      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
-      def dataProgress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      def spanSec(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]): Double =
-        if (ps.size < 2) 0.0
-        else (Instant.parse(ps.last.timestamp).toEpochMilli -
-          Instant.parse(ps.head.timestamp).toEpochMilli) / 1000.0
-      while (spanSec(dataProgress.drop(1)) < 11.0 && System.nanoTime() < deadline)
-        Thread.sleep(500)
-      val steady = dataProgress.drop(1)
-      val span = spanSec(steady)
-      assert(span >= 10.0, s"never reached 10s of steady-state progress (got $span s)")
-      val totalRows = steady.drop(1).map(_.numInputRows).sum
-      val rate = totalRows / span
-      val perPartition = rate / numPartitions
-      val json =
-        s"""{"pipeline":"doc rate source -> tokenize -> static model join -> 5s watermark -> windowed rebuild -> memory sink (append)",
-           |"partitions":$numPartitions,"offered_rows_per_sec":${perPartitionRate * numPartitions},
-           |"measured_rows_per_sec":${"%.1f".format(rate)},
-           |"measured_rows_per_sec_per_partition":${"%.1f".format(perPartition)},
-           |"target_rows_per_sec_per_partition":100,
-           |"steady_state_sec":${"%.1f".format(span)},"total_rows":$totalRows}"""
-          .stripMargin.replaceAll("\n", "")
-      Files.write(Paths.get("STREAM_RATE_LM.json"), (json + "\n").getBytes("UTF-8"))
-      info(s"LM gate sustained $rate docs/s over $span s ($perPartition docs/s/partition)")
-      assert(perPartition >= 100.0,
-        s"sustained $perPartition docs/s/partition < 100 target (total $totalRows in $span s)")
-    } finally {
-      q.stop()
-    }
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "doc rate source -> tokenize -> static model join -> 5s watermark -> windowed rebuild -> memory sink (append)",
+      "STREAM_RATE_LM.json")
+  }
+
+  test("sessionizer sustains >=100 events/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 1000 // 10x the 100 rec/s/partition target
+    // 1000 concurrent users: keyed-state fan-out is realistic, and every
+    // event lands in an open session (the watermark keeps them buffered ~5s
+    // — the stateful hot path, not the empty-state path)
+    val events = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select((col("value") % 1000).as("user_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        lit("view").as("event_type"))
+      .as[UserEvent]
+    val ckpt = Files.createTempDirectory("rate_sess_ckpt").toString
+    val q = SessionStream.sessionStream(events, delay = "5 seconds")
+      .writeStream.format("memory").queryName("rate_sess")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "event rate source -> 5s watermark -> keyed session machine (1000 users) -> memory sink (append)",
+      "STREAM_RATE_SESSIONS.json")
   }
 }

@@ -1353,12 +1353,12 @@ object TextQueries {
          |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM uni GROUP BY w),
          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
          |bg AS (
-         |  SELECT array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS pair,
-         |    toks[CAST(i AS INT)] AS wa, toks[CAST(i + 1 AS INT)] AS wb
+         |  SELECT array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS pair
          |  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
          |  WHERE len(toks) >= 2
          |),
-         |bc AS (SELECT pair, min(wa) AS wa, min(wb) AS wb, CAST(count(*) AS BIGINT) AS cab
+         |bc AS (SELECT pair, split_part(pair, ' ', 1) AS wa, split_part(pair, ' ', 2) AS wb,
+         |         CAST(count(*) AS BIGINT) AS cab
          |       FROM bg GROUP BY pair),
          |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg),
          |sc AS (
@@ -1380,11 +1380,14 @@ object TextQueries {
       val nt = uni.agg(count(lit(1)).as("n_tok"))
       val bg = tk.filter(size(col("toks")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(" +
-            "concat(toks[i-1], ' ', toks[i]) as pair, toks[i-1] as wa, toks[i] as wb))")).as("p"))
-        .select("p.pair", "p.wa", "p.wb")
-      val bc = bg.groupBy("pair")
-        .agg(min("wa").as("wa"), min("wb").as("wb"), count(lit(1)).as("cab"))
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("pair"))
+      // unigrams re-derive from the pair AFTER grouping: a min(string)
+      // aggregate is var-length → SortAggregate + an extra sort; count
+      // alone keeps the pair rollup on the fast hash-agg path
+      val bc = bg.groupBy("pair").agg(count(lit(1)).as("cab"))
+        .withColumn("wa", expr("split(pair, ' ')[0]"))
+        .withColumn("wb", expr("split(pair, ' ')[1]"))
       val nb = bg.agg(count(lit(1)).as("n_big"))
       bc.filter(col("cab") >= pmiMinCount)
         .crossJoin(broadcast(nt)) // 1-row totals

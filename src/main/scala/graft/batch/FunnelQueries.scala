@@ -178,6 +178,40 @@ object FunnelQueries {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
           col("event_type")))
     },
+    // Conversion labeling — the FORWARD as-of twin of ev_attribution: each
+    // exposure (view or click) labeled with the user's EARLIEST purchase
+    // at-or-after it within the lookahead window, plus time-to-convert —
+    // the query that builds supervised conversion-model training labels.
+    // Same one-window-pass shape, mirrored: a running conditional MIN over
+    // the frame from the current row to the partition end. Purchases sort
+    // AFTER exposures at equal µs (k: exposures 0, purchases 1 — the same
+    // key as attribution, because the frame now OPENS at the current row),
+    // so a same-instant purchase is inside the exposure's frame and
+    // converts (the `<=` mirror of attribution's same-instant touch).
+    Q("ev_conversion",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+         |  FROM events
+         |),
+         |m AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER w AS np
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, k, event_id
+         |                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT user_id, event_id, event_type AS exposure, us AS exposure_us,
+         |  CAST(CASE WHEN np IS NOT NULL AND np - us <= $attrUs THEN 1 ELSE 0 END AS INT) AS converted,
+         |  CASE WHEN np IS NOT NULL AND np - us <= $attrUs THEN np END AS purchase_us,
+         |  CASE WHEN np IS NOT NULL AND np - us <= $attrUs THEN np - us END AS lag_us
+         |FROM m WHERE event_type IN ('view', 'click')
+         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      conversionDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")))
+        .orderBy("user_id", "event_id")
+    },
+
     // Activity-spike anomaly detection: flag (user, day) buckets whose
     // event count sits more than 3σ ABOVE that user's own daily mean — the
     // bot/abuse/instrumentation-bug monitor every event pipeline runs. The
@@ -297,6 +331,26 @@ object FunnelQueries {
         when(clickOk, "click").when(viewOk, "view").otherwise("none").as("attributed"),
         when(clickOk, col("lc")).when(viewOk, col("lv")).as("touch_us"),
         (col("us") - when(clickOk, col("lc")).when(viewOk, col("lv"))).as("lag_us"))
+  }
+
+  /** Body of `ev_conversion` over any (user_id, event_id, event_type, us)
+    * frame — the forward mirror of [[attributionDF]]. */
+  private[graft] def conversionDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("k"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val conv = col("np").isNotNull && col("np") - col("us") <= attrUs
+    ev
+      .withColumn("k", when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("np", min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type").as("exposure"),
+        col("us").as("exposure_us"),
+        when(conv, 1).otherwise(0).cast("int").as("converted"),
+        when(conv, col("np")).as("purchase_us"),
+        when(conv, col("np") - col("us")).as("lag_us"))
   }
 
   /** Per-user daily-count baseline over any (user_id, day_us) frame (one

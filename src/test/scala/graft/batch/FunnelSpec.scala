@@ -88,6 +88,27 @@ class FunnelSpec extends SparkSpec {
     assert(out(60L) == (("none", None, None)), s"u6 future touch ignored: ${out(60L)}")
   }
 
+  test("ev_conversion: earliest future purchase labels, lookahead binds, same-instant converts") {
+    import spark.implicits._
+    val D = 24L * H
+    val ev = Seq(
+      // u1: view@1h -> purchases @3h and @5h => earliest (3h) labels, lag 2h
+      (1L, 10L, "view", 1 * H), (1L, 11L, "purchase", 3 * H), (1L, 12L, "purchase", 5 * H),
+      // u2: purchase 8 days after the click is outside the 7-day lookahead
+      (2L, 20L, "click", 1 * H), (2L, 21L, "purchase", 8 * D + 1 * H),
+      // u3: purchase BEFORE the view never labels backwards
+      (3L, 30L, "purchase", 1 * H), (3L, 31L, "view", 2 * H),
+      // u4: purchase at the SAME µs as the click converts (lag 0)
+      (4L, 40L, "click", 1 * H), (4L, 41L, "purchase", 1 * H)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val out = FunnelQueries.conversionDF(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getInt(4), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(out(10L) == ((1, Some(3 * H), Some(2 * H))), s"u1 earliest wins: ${out(10L)}")
+    assert(out(20L) == ((0, None, None)), s"u2 lookahead binds: ${out(20L)}")
+    assert(out(31L) == ((0, None, None)), s"u3 past purchase ignored: ${out(31L)}")
+    assert(out(40L) == ((1, Some(1 * H), Some(0L))), s"u4 same-instant converts: ${out(40L)}")
+  }
+
   test("ev_anomaly: integer z-test flags spikes above the user's own baseline") {
     import spark.implicits._
     val DAY = 24L * H

@@ -52,6 +52,9 @@ object SimilarityQueries {
   private val pqK = 16
   private val pqScale = 10000
 
+  /** sim_knn_graph: neighbors kept per vector. */
+  private val knnK = 3
+
   /** sim_outlier quantization scale — coarse on purpose: the gate needs the
     * cell's distance distribution shape, and the coarse grid keeps the
     * z-test's squared-integer operands far inside the DECIMAL(38,0)
@@ -838,6 +841,53 @@ object SimilarityQueries {
                 > 9 * (cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
             then 1 else 0 end as int)""").as("is_outlier"))
         .orderBy("vec_id")
+    },
+
+    // kNN-graph construction — the neighbor-graph precursor of SemDeDup /
+    // graph clustering / diversity analysis: every vector's top-3 nearest
+    // same-cell neighbors by quantized-integer L2 (codegen vector_l2q),
+    // ranked with (dist, neighbor_id) total order so the graph is
+    // hash-exact. Scale shape: the pair join is hash-partitioned on the
+    // CELL and never all-pairs — per-cell work is O(|cell|²), and the
+    // published SemDeDup regime (k ∝ N) keeps cells ~constant as the
+    // corpus grows; the rank window partitions by vec_id (bounded by cell
+    // size). Raw vectors ride exactly two narrow self-join sides.
+    Q("sim_knn_graph", {
+      val dN =
+        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
+         |  FROM xq a JOIN xq b ON b.label = a.label AND b.vec_id <> a.vec_id
+         |),
+         |rk AS (
+         |  SELECT vec_id, neighbor_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT vec_id, neighbor_id, rank, dist FROM rk WHERE rank <= $knnK
+         |ORDER BY vec_id, rank""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
+      val pairs = xq.select(col("label"), col("vec_id"), col("xq"))
+        .join(xq.select(col("label"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+          "label") // hash-partitioned on the cell — never all-pairs
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          expr("vector_l2q(xq, xqb)").as("dist"))
+      pairs
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+          .cast("int"))
+        .filter(col("rank") <= knnK)
+        .orderBy("vec_id", "rank")
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

@@ -19,7 +19,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (dedup/BPE/bm25 chains) must
-      // not accumulate cached RDDs across an 88-query session (the Bench
+      // not accumulate cached RDDs across a 100+-query session (the Bench
       // contract, same reason)
       spark.catalog.clearCache()
     }

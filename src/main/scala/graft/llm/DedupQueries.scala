@@ -557,6 +557,53 @@ object DedupQueries {
       graft.functions.GraftFunctions.register(s)
       splitDF(s, d).orderBy("doc_id")
     },
+
+    // Crawl-over-crawl snapshot diff — the corpus-versioning audit every
+    // recurring-crawl pipeline needs before reprocessing: classify every
+    // doc_id across two snapshots as added / removed / changed / unchanged
+    // by content hash. The fixture derives both snapshots from the one
+    // documents table (old = doc_id % 10 <> 7, new = doc_id % 10 <> 3 with
+    // a deterministic ' [rev2]' edit on doc_id % 5 = 0) — in production
+    // they are two crawl partitions and the query is unchanged.
+    //
+    // Scale shape: each side reduces to (doc_id, source, 32-byte md5) in
+    // the scan projection, so the full-outer join co-partitions on doc_id
+    // and shuffles three narrow columns — document text NEVER shuffles.
+    // The class decision is a row-local CASE after the join. At 100 TB
+    // both crawls would be date-partitioned parquet; the join is the only
+    // exchange and AQE handles the (rare) hot doc_id skew.
+    Q("dd_corpus_diff",
+      s"""WITH snap_a AS (
+         |  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+         |),
+         |snap_b AS (
+         |  SELECT doc_id, source,
+         |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+         |  FROM documents WHERE doc_id % 10 <> 3
+         |)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  coalesce(b.source, a.source) AS source,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END AS change_class
+         |FROM snap_a a FULL OUTER JOIN snap_b b ON b.doc_id = a.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val snapA = base.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val snapB = base.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source"),
+          md5(expr("CASE WHEN doc_id % 5 = 0 THEN concat(text, ' [rev2]') ELSE text END")).as("h"))
+      snapA.as("a").join(snapB.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+        .select(
+          coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+          coalesce(col("b.source"), col("a.source")).as("source"),
+          expr("""CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END""")
+            .as("change_class"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared oracle for `dd_split` and its staged twin — both must produce

@@ -55,6 +55,55 @@ object SimilarityQueries {
   /** sim_knn_graph: neighbors kept per vector. */
   private val knnK = 3
 
+  /** sim_pagerank: power-iteration rounds (unrolled identically in the
+    * oracle CTE chain). */
+  private val prIters = 5
+
+  /** Shared CTE chain ending in `knn(vec_id, neighbor_id, rank, dist)` —
+    * the per-cell top-[[knnK]] neighbor graph over [[pqScale]]-quantized
+    * vectors; consumed by sim_knn_graph (verbatim dump) and sim_pagerank
+    * (edge input). Also exposes `xq` (the quantized vector table). */
+  private lazy val knnCtes: String = {
+    val dN =
+      s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+    s"""xq AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
+       |  FROM xq a JOIN xq b ON b.label = a.label AND b.vec_id <> a.vec_id
+       |),
+       |rk AS (
+       |  SELECT vec_id, neighbor_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
+       |  FROM pairs
+       |),
+       |knn AS (SELECT vec_id, neighbor_id, rank, dist FROM rk WHERE rank <= $knnK)""".stripMargin
+  }
+
+  /** Spark twin of [[knnCtes]]'s `knn`: per-cell top-[[knnK]] neighbors by
+    * quantized L2 (codegen vector_l2q), (dist, neighbor_id)-total-ordered.
+    * UNORDERED — callers sort. The pair join is hash-partitioned on the
+    * cell label, never all-pairs. */
+  private def knnGraphDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
+    xq.select(col("label"), col("vec_id"), col("xq"))
+      .join(xq.select(col("label"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+        "label") // hash-partitioned on the cell — never all-pairs
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("vector_l2q(xq, xqb)").as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+        .cast("int"))
+      .filter(col("rank") <= knnK)
+  }
+
   /** sim_outlier quantization scale — coarse on purpose: the gate needs the
     * cell's distance distribution shape, and the coarse grid keeps the
     * z-test's squared-integer operands far inside the DECIMAL(38,0)
@@ -852,42 +901,68 @@ object SimilarityQueries {
     // published SemDeDup regime (k ∝ N) keeps cells ~constant as the
     // corpus grows; the rank window partitions by vec_id (bounded by cell
     // size). Raw vectors ride exactly two narrow self-join sides.
-    Q("sim_knn_graph", {
-      val dN =
-        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
-      s"""WITH xq AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
-         |  FROM embeddings
-         |),
-         |pairs AS (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
-         |  FROM xq a JOIN xq b ON b.label = a.label AND b.vec_id <> a.vec_id
-         |),
-         |rk AS (
-         |  SELECT vec_id, neighbor_id, dist,
-         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
-         |  FROM pairs
-         |)
-         |SELECT vec_id, neighbor_id, rank, dist FROM rk WHERE rank <= $knnK
-         |ORDER BY vec_id, rank""".stripMargin
+    Q("sim_knn_graph",
+      s"""WITH $knnCtes
+         |SELECT vec_id, neighbor_id, rank, dist FROM knn
+         |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      knnGraphDF(s, d).orderBy("vec_id", "rank")
+    },
+
+    // PageRank over the kNN graph — the importance/centrality layer on top
+    // of sim_knn_graph: which vectors sit at the semantic CORE of their
+    // cell (high in-link mass from mutual nearest neighbors) vs the
+    // periphery. Feeds coverage-weighted sampling and diverse-subset
+    // selection (keep the periphery, downweight the redundant core).
+    // Exact INTEGER power iteration so both engines agree bitwise: ranks
+    // are permicro longs (node mass 1e6), each of the $prIters rounds is
+    //   r'(v) = 150000 + Σ_{u→v} (r(u)·850) intdiv (1000·outdeg(u))
+    // — damping 0.85 with floor division on both sides (positive operands,
+    // so Spark's truncating `div` and DuckDB's flooring `//` agree);
+    // dangling-node mass is dropped identically in both engines.
+    //
+    // Scale shape: one edge table (|V|·k rows of three longs) persisted
+    // with its out-degree join; each round is a hash join on src + a
+    // map-side-combined sum on dst + a node-sized left join — O(E) per
+    // round, raw vectors touched only in the one-time kNN build. Rank
+    // values stay < 1e6·|V|·0.85, so r·850 fits a long through |V| ~ 1e9.
+    Q("sim_pagerank", {
+      val iters = (1 to prIters).map { i =>
+        s"""c$i AS (
+           |  SELECT e.neighbor_id AS vec_id,
+           |    CAST(sum((r.r * 850) // (1000 * dg.deg)) AS BIGINT) AS contrib
+           |  FROM knn e JOIN deg dg ON dg.src = e.vec_id JOIN r${i - 1} r ON r.vec_id = e.vec_id
+           |  GROUP BY e.neighbor_id
+           |),
+           |r$i AS (
+           |  SELECT n.vec_id, CAST(150000 + coalesce(c.contrib, 0) AS BIGINT) AS r
+           |  FROM n0 n LEFT JOIN c$i c ON c.vec_id = n.vec_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $knnCtes,
+         |deg AS (SELECT vec_id AS src, CAST(count(*) AS BIGINT) AS deg FROM knn GROUP BY vec_id),
+         |n0 AS (SELECT vec_id FROM xq),
+         |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n0),
+         |$iters
+         |SELECT vec_id, r AS pagerank FROM r$prIters ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val xq = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
-      val pairs = xq.select(col("label"), col("vec_id"), col("xq"))
-        .join(xq.select(col("label"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
-          "label") // hash-partitioned on the cell — never all-pairs
-        .filter(col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          expr("vector_l2q(xq, xqb)").as("dist"))
-      pairs
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
-          .cast("int"))
-        .filter(col("rank") <= knnK)
-        .orderBy("vec_id", "rank")
+      val edges = knnGraphDF(s, d).select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg) — the loop's constant operand; persisted so the 5
+      // rounds re-read three longs per edge, not the kNN build chain
+      val esd = edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = Tables.embeddings(s, d).select("vec_id")
+      var r = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to prIters) {
+        val contrib = esd
+          .join(r.select(col("vec_id").as("src"), col("r").as("rs")), "src")
+          .select(col("dst").as("vec_id"), expr("(rs * 850) div (1000 * deg)").as("c"))
+          .groupBy("vec_id").agg(sum("c").as("contrib"))
+        r = nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(150000L) + coalesce(col("contrib"), lit(0L))).as("r"))
+      }
+      r.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

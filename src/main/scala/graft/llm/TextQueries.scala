@@ -1812,6 +1812,57 @@ object TextQueries {
     }) { (s, d) =>
       lmScoreDF(Tables.documents(s, d)).orderBy("doc_id")
     },
+
+    // Per-document n-gram NOVELTY — the content-contribution audit behind
+    // "does this source add anything?" decisions: a doc's novelty is the
+    // share of its distinct word-3-grams that it OWNS, where a gram's
+    // owner is the lowest doc_id containing it (first-seen-wins, the
+    // dd_incremental arrival order stance). Boilerplate-heavy docs score
+    // near 0; unique content scores near 1000 permille. The permille is
+    // floor(1000·owned/distinct) — integer on both sides.
+    //
+    // Scale shape: grams shuffle as 60-bit md5 folds, never strings — one
+    // distinct over (gram-hash, doc_id), then a map-side-combined min per
+    // gram and two doc-sized count aggregates; the final join is doc-
+    // level (AQE broadcasts the smaller side). No self-join, no explode
+    // beyond the per-doc gram stream; hash collisions (P = 2^60) affect
+    // both engines identically so the result stays hash-exact.
+    Q("tx_novelty",
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${duckH("array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')")} AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+         |  WHERE len(toks) >= 3
+         |),
+         |own AS (SELECT gh, CAST(min(doc_id) AS BIGINT) AS owner FROM g GROUP BY gh),
+         |novel AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM own GROUP BY owner),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, coalesce(nv.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+         |  CAST(floor(coalesce(nv.n_novel, 0) * 1000.0 / t.n_grams) AS BIGINT) AS novelty_permille
+         |FROM tot t LEFT JOIN novel nv ON nv.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+          .as("gram"))
+        .select(col("doc_id"), expr(sparkH("gram")).as("gh"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // owner min + per-doc count both read it
+      val novel = g.groupBy("gh").agg(min("doc_id").as("owner"))
+        .groupBy("owner").agg(count(lit(1)).as("n_novel"))
+        .select(col("owner").as("doc_id"), col("n_novel"))
+      val tot = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      tot.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          expr("cast(floor(coalesce(n_novel, 0) * 1000.0 / n_grams) as bigint)")
+            .as("novelty_permille"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Quantized per-token -ln(p) contribution under add-1/2 smoothing, as a

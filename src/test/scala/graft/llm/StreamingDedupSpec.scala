@@ -66,4 +66,68 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(ids == Set(1L, 3L), s"near-identical doc 2 must be suppressed: $ids")
   }
+
+  test("diffStream's last emission per key equals the batch dd_corpus_diff classes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // synthetic corpus following the batch fixture's derivation rules
+    val n = 40
+    def text(i: Int) = s"document body number $i with unique content token ${i * 7}"
+    val tmp = java.nio.file.Files.createTempDirectory("diff_twin").toString
+    (0 until n).map(i => (i.toLong, text(i), "en", s"src${i % 3}", text(i).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batch = graft.SparkEntry.queries("dd_corpus_diff")(spark, tmp)
+      .select("doc_id", "change_class").as[(Long, String)].collect().toMap
+
+    // replay: snapshot A (ts 1000) then snapshot B (ts 2000, rev2 edits on
+    // doc_id % 5 = 0, tombstones for B's deletions doc_id % 10 = 3)
+    val mem = MemoryStream[DocUpsert]
+    val q = StreamingDedup.diffStream(mem.toDS())
+      .writeStream.format("memory").queryName("diff_twin_out").outputMode("append").start()
+    mem.addData((0 until n).filter(_ % 10 != 7)
+      .map(i => DocUpsert(i.toLong, 1000L, Some(text(i)))): _*)
+    q.processAllAvailable()
+    mem.addData((0 until n).map { i =>
+      if (i % 10 == 3) DocUpsert(i.toLong, 2000L, None)
+      else DocUpsert(i.toLong, 2000L,
+        Some(if (i % 5 == 0) text(i) + " [rev2]" else text(i)))
+    }: _*)
+    q.processAllAvailable()
+    val last = spark.table("diff_twin_out").as[DiffEvent].collect()
+      .groupBy(_.doc_id).map { case (id, evs) => id -> evs.maxBy(_.timestamp).change_class }
+    q.stop()
+    assert(last == batch,
+      s"stream's final classification must equal the batch snapshot diff\n" +
+        s"only-in-stream: ${(last.toSet -- batch.toSet).toSeq.sortBy(_._1)}\n" +
+        s"only-in-batch:  ${(batch.toSet -- last.toSet).toSeq.sortBy(_._1)}")
+  }
+
+  test("diffStream TTL evicts idle keys (re-crawl classifies as added); unknown tombstones are silent") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocUpsert]
+    val q = StreamingDedup.diffStream(mem.toDS(), ttlMs = 5000L, watermarkDelay = "2 seconds")
+      .writeStream.format("memory").queryName("diff_ttl_out").outputMode("append").start()
+    mem.addData(
+      DocUpsert(1L, 1000L, Some("alpha")),
+      DocUpsert(9L, 1000L, None)) // tombstone for a never-seen doc: no emission
+    q.processAllAvailable()
+    mem.addData(DocUpsert(1L, 2000L, Some("alpha beta"))) // changed
+    q.processAllAvailable()
+    // advance event time far past 2000 + ttl: key 1 evicted by its timer
+    mem.addData(DocUpsert(2L, 60000L, Some("advance")))
+    q.processAllAvailable()
+    mem.addData(DocUpsert(3L, 61000L, Some("advance2"))) // extra batch applies the watermark
+    q.processAllAvailable()
+    mem.addData(DocUpsert(1L, 62000L, Some("alpha beta"))) // same content, but state evicted
+    q.processAllAvailable()
+    val evs = spark.table("diff_ttl_out").as[DiffEvent].collect()
+      .map(e => (e.doc_id, e.timestamp, e.change_class)).toSet
+    q.stop()
+    assert(!evs.exists(_._1 == 9L), s"unknown tombstone must emit nothing: $evs")
+    assert(evs.contains((1L, 1000L, "added")) && evs.contains((1L, 2000L, "changed")), s"$evs")
+    assert(evs.contains((1L, 62000L, "added")),
+      s"post-TTL re-crawl must classify as added (state evicted), got: $evs")
+  }
 }

@@ -281,5 +281,84 @@ object PipelineQueries {
           expr(s"md5(substring(text, pos, ${TextQueries.chunkLen}))").as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
     },
+
+    // Dataset card — the per-source summary report a corpus RELEASE ships
+    // with (and the first thing a consumer reads): doc and token volumes,
+    // language spread with the dominant language, exact-duplicate exposure,
+    // and quality-gate pass counts, one row per source. Composes the
+    // existing signal chains (tokenize, content hash, the shared
+    // `qualityCtes` gate) rather than re-specifying them, so the card can
+    // never drift from the operators it summarizes.
+    //
+    // Scale shape: ONE corpus scan produces the narrow per-doc frame
+    // (source, lang, token count, md5) with the quality gate riding the
+    // same projection pass; the dup table is a content-hash groupBy
+    // (hash-partitioned, map-side combined) joined back on the hash; all
+    // remaining aggregates are source- or (source, lang)-sized. Rates are
+    // unrounded exact-integer quotients (one double division on identical
+    // longs — bit-identical across engines, the dd_source_dup stance).
+    Q("llm_dataset_card",
+      s"""WITH ${TextQueries.qualityCtes},
+         |tok AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextQueries.tokRegex}')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h
+         |  FROM documents
+         |),
+         |dup AS (SELECT h FROM tok GROUP BY h HAVING count(*) >= 2),
+         |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |top AS (
+         |  SELECT source, lang AS top_lang FROM lc
+         |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1
+         |),
+         |card AS (
+         |  SELECT t.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(coalesce(t.n_tok, 0)) AS BIGINT) AS total_tokens,
+         |    CAST(count(d.h) AS BIGINT) AS exact_dup_docs,
+         |    CAST(sum(q.keep) AS BIGINT) AS quality_pass_docs
+         |  FROM tok t
+         |  LEFT JOIN dup d ON d.h = t.h
+         |  JOIN qual q ON q.doc_id = t.doc_id
+         |  GROUP BY t.source
+         |)
+         |SELECT c.source, n_docs, n_langs, top.top_lang, total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+         |  exact_dup_docs, quality_pass_docs,
+         |  CAST(quality_pass_docs AS DOUBLE) / n_docs AS quality_pass_rate
+         |FROM card c JOIN top ON top.source = c.source
+         |ORDER BY c.source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr(s"cast(size(regexp_extract_all(lower(text), '${TextQueries.tokRegex}', 0)) as bigint)")
+            .as("n_tok"),
+          md5(col("text")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // dup agg + lang counts + card agg
+      val dup = tok.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2).select(col("h"), lit(1).as("isdup"))
+      val top = tok.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val card = tok
+        .join(dup, Seq("h"), "left") // hash-partitioned; null hashes never match (both engines)
+        .join(TextQueries.qualityKeepDF(s, d), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum(coalesce(col("n_tok"), lit(0L))).as("total_tokens"),
+          count(col("isdup")).as("exact_dup_docs"),
+          sum("keep").as("quality_pass_docs"))
+      card.join(top, "source") // source-sized both sides
+        .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+          col("total_tokens"),
+          expr("cast(total_tokens as double) / n_docs").as("avg_doc_tokens"),
+          col("exact_dup_docs"), col("quality_pass_docs"),
+          expr("cast(quality_pass_docs as double) / n_docs").as("quality_pass_rate"))
+        .orderBy("source")
+    },
   )
 }

@@ -28,7 +28,7 @@ import LlmHash._
   */
 object TextQueries {
 
-  private val tokRegex = "[a-z0-9]+"
+  private[llm] val tokRegex = "[a-z0-9]+"
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
     * symbol. Disjoint branches → identical matches in Java and RE2. */
   private val pieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -45,6 +45,9 @@ object TextQueries {
   private[llm] val chunkStep = 400
   private val gramLen = 8
   private val winLen = 16 // winnowing window: min over this many k-gram hashes
+  /** dd_contain: fingerprints in more than this many docs are corpus-wide
+    * boilerplate — excluded from containment pairing (cap stance). */
+  private val containCap = 64
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
   // Gopher-style composite gate thresholds (Rae et al. repetition rules,
@@ -657,6 +660,64 @@ object TextQueries {
         .select(col("doc_id"), col("n_fp"), col("n_shared"),
           expr("n_shared * 1.0D / n_fp").as("shared_frac"))
         .orderBy("doc_id")
+    },
+
+    // Doc-in-doc CONTAINMENT detection — the asymmetric near-dup class
+    // symmetric Jaccard misses: a short doc quoted wholesale inside a
+    // longer aggregator page has low Jaccard (the union is big) but high
+    // containment |fp(A) ∩ fp(B)| / |fp(A)|. Emits directed pairs where
+    // ≥ 4/5 of the contained doc's winnowed fingerprints appear in the
+    // container (mutual pairs = near-dups, one-way pairs = quotes /
+    // scraped inclusions). The threshold is the INTEGER cross-product
+    // 5·shared ≥ 4·n_fp — a quotient-vs-0.8 compare would sit on exact
+    // ties (4/5 grams shared is common). Fingerprints appearing in more
+    // than [[containCap]] docs are dropped from pairing on BOTH sides
+    // (corpus-wide boilerplate spans are not evidence of A-inside-B, and
+    // their buckets would go quadratic — the dd_minhash_lsh cap stance);
+    // the denominator stays the doc's TRUE fingerprint count.
+    //
+    // Scale shape: fingerprints are the row-local winnow projection
+    // (shared with dd_spans, zero shuffle to build); the pair generator is
+    // a self-join on the fp hash with every bucket capped at O(cap²); the
+    // per-pair count is map-side combined and the size join is doc-sized.
+    Q("dd_contain",
+      s"""WITH $rollingFpCtes,
+         |okf AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $containCap),
+         |f AS (SELECT fps.* FROM fps JOIN okf USING (fp)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM f a JOIN f b ON b.fp = a.fp AND b.doc_id <> a.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.contained_doc, pr.container_doc, pr.n_shared,
+         |  sz.n_fp AS n_fp_contained,
+         |  pr.n_shared * 1.0 / sz.n_fp AS containment
+         |FROM pr JOIN sz ON sz.doc_id = pr.contained_doc
+         |WHERE pr.n_shared >= 2 AND 5 * pr.n_shared >= 4 * sz.n_fp
+         |ORDER BY contained_doc, container_doc""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val fps = Tables.documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          explode(expr(s"winnow(rolling_hash(text, 8), $winLen)")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // cap agg + both join sides + sizes
+      val okf = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= containCap).select("fp")
+      val f = fps.join(okf, Seq("fp"), "left_semi")
+      val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      f.select(col("fp"), col("doc_id").as("contained_doc"))
+        .join(f.select(col("fp"), col("doc_id").as("container_doc")), "fp")
+        .filter(col("contained_doc") =!= col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sz.select(col("doc_id").as("contained_doc"), col("n_fp")), "contained_doc")
+        .filter(col("n_shared") >= 2 && lit(5) * col("n_shared") >= lit(4) * col("n_fp"))
+        .select(col("contained_doc"), col("container_doc"), col("n_shared"),
+          col("n_fp").as("n_fp_contained"),
+          expr("n_shared * 1.0D / n_fp").as("containment"))
+        .orderBy("contained_doc", "container_doc")
     },
 
     // Benchmark decontamination — the gate every training corpus runs

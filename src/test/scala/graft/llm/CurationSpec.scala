@@ -26,6 +26,33 @@ class CurationSpec extends SparkSpec {
     assert(out(20L)._1 == 1, "identical vector in ANOTHER cell is untouched")
   }
 
+  test("dd_contain: a quoted doc pairs one-way into its container; unrelated docs do not") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("contain_sf")
+    dir.toFile.deleteOnExit()
+    def sent(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed}x$i token${seed * 31 + i}").mkString(" ")
+    val quoted = sent(1, 40)                          // the short source doc
+    val container = sent(2, 30) + " " + quoted + " " + sent(3, 30) // quotes it wholesale
+    val unrelated = sent(4, 60)
+    Seq((1L, quoted), (2L, container), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("dd_contain")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.contains((1L, 2L)),
+      s"the quoted doc must be detected inside its container: ${pairs.toSeq}")
+    assert(byPair((1L, 2L)) >= 0.8, s"containment must clear the 4/5 gate: ${pairs.toSeq}")
+    assert(!byPair.contains((2L, 1L)),
+      s"the container is NOT contained in the (much shorter) quote: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc pairs with nothing: ${pairs.toSeq}")
+  }
+
   test("tx_mix_apply: downsample-only — the max-rate language keeps every doc") {
     val sfDir = sf("sf0.001")
     val kept = graft.SparkEntry.queries("tx_mix_apply")(spark, sfDir).cache()

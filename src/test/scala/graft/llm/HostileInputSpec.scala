@@ -114,6 +114,50 @@ class HostileInputSpec extends SparkSpec {
       s"kept rows must clear their band: ${mix.toSeq}")
   }
 
+  test("snapshot diff, novelty, and pagerank survive the degenerate corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hostile_sf2")
+    dir.toFile.deleteOnExit()
+    hostileDocs
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = Array.fill(64)(0.5f)
+    val far = Array.fill(64)(5.0f)
+    (Seq((10L, base, 0), (11L, base, 0), (12L, base, 0), (13L, base, 0), // zero-variance cell
+      (20L, base, 1), (21L, far, 1),                                     // 2-vector cell
+      (40L, base, 3)))                                                   // SINGLETON cell: no edges
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q = graft.SparkEntry.queries
+
+    // diff: doc 3 is the removed slot; empty-text doc 0 (doc_id % 5 = 0)
+    // picks up the rev2 edit -> changed; NULL text hashes to NULL on both
+    // snapshots, and NULL <> NULL is NULL -> the CASE falls through to
+    // 'unchanged' (absent-doc semantics, same in both engines)
+    val diff = q("dd_corpus_diff")(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(diff.size == 6, s"every doc classified: $diff")
+    assert(diff(3L) == "removed" && diff(0L) == "changed" && diff(5L) == "unchanged", s"$diff")
+
+    // novelty: only docs with >= 3 tokens appear; their grams are unique
+    // here so each scores the full 1000 permille
+    val nov = q("tx_novelty")(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(nov.keySet == Set(2L, 4L), s"degenerate docs drop out of novelty: $nov")
+    assert(nov.values.forall(_ == 1000L), s"all-unique grams score 1000: $nov")
+
+    // pagerank: every vector emitted incl. the singleton (dangling node at
+    // the 150000 base after round 1 — no in-edges can ever reach it);
+    // total mass never exceeds the initial 1e6 per node
+    val pr = q("sim_pagerank")(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 7, s"all vectors ranked: $pr")
+    assert(pr(40L) == 150000L, s"singleton cell settles at the teleport base: ${pr(40L)}")
+    assert(pr.values.forall(_ >= 150000L) && pr.values.sum <= 7L * 1000000L, s"$pr")
+  }
+
   test("bm25 and BPE bodies survive a hostile corpus incl. an empty query doc") {
     // doc 0 (the only query doc) is EMPTY: zero query terms, so bm25
     // must return zero rows rather than throw

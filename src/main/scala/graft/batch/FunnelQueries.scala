@@ -246,6 +246,39 @@ object FunnelQueries {
         .select(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us")))
         .orderBy("user_id", "day_us")
     },
+
+    // Log2 value histogram per event type — the distribution-shape monitor
+    // (metric observability / payload sanity) a histogram sketch serves at
+    // scale: events bucketed by floor(log2(cent_value)) with per-bucket
+    // count and exact min/max. The bucket is computed in EXACT INTEGER
+    // logic — cents = floor(value·100) (one identical double chain on
+    // both engines), bucket = length(bin(cents)) = floor(log2) + 1 via
+    // the binary-string length, never a float log whose last ulp could
+    // flip a power-of-two boundary. Scale shape: one pushdown scan into a
+    // map-side-combined (type, bucket) aggregate — the output is
+    // |types|·64 rows max, and the shuffle carries only the rollup.
+    Q("ev_histogram",
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(length(bin(greatest(CAST(floor(value * 100) AS BIGINT), 1))) AS BIGINT) AS bucket,
+         |    CAST(greatest(CAST(floor(value * 100) AS BIGINT), 1) AS BIGINT) AS cents
+         |  FROM events
+         |)
+         |SELECT event_type, bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(cents) AS BIGINT) AS min_cents,
+         |  CAST(max(cents) AS BIGINT) AS max_cents
+         |FROM b GROUP BY 1, 2
+         |ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("greatest(cast(floor(value * 100) as bigint), 1)").as("cents"))
+        .select(col("event_type"), expr("cast(length(bin(cents)) as bigint)").as("bucket"),
+          col("cents"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("event_type", "bucket")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

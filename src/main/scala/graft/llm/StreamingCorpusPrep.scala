@@ -152,4 +152,43 @@ object StreamingCorpusPrep {
       .select(col("doc_id"), col("timestamp"), col("n_hits").cast("long").as("n_hits"),
         (col("n_hits") > 0).as("quarantine"))
   }
+
+  /** Streaming novelty gate — tx_novelty's ingest twin in the
+    * batch-train/stream-serve family (the decontamStream shape pointed the
+    * other way): the CORPUS's distinct word-3-gram universe rides along as
+    * a serialized bloom (built batch-side from
+    * `TextQueries.wordGramHashes`), and each incoming doc is scored in its
+    * own row — distinct grams probed in one projection, novelty = the
+    * share that MISS. Zero state, zero shuffle, no watermark.
+    *
+    * Contract: bloom false positives make a truly-novel gram look known,
+    * so the estimate is a LOWER bound on novelty (conservative for a
+    * "only ingest novel content" gate: it admits slightly less, never
+    * garbage); novelty_permille = 1000 is definitive (every gram missed —
+    * blooms have no false negatives), and a doc already in the corpus
+    * scores exactly 0. Docs under 3 tokens score 0 over 0 grams. */
+  def noveltyStream(docs: Dataset[DocEvent], bloomBytes: Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val probeFn = "graft_stream_novelty_probe_" +
+      (java.util.Arrays.hashCode(bloomBytes) & Int.MaxValue)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      probeFn,
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        exprs.head),
+      "built-in")
+    docs.toDF()
+      .withColumn("toks", expr(s"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("ghs", expr(
+        s"""array_distinct(transform(
+           |  CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) ELSE array() END,
+           |  i -> ${LlmHash.sparkH("array_join(slice(toks, i, 3), ' ')")}))""".stripMargin))
+      .withColumn("n_grams", expr("cast(size(ghs) as bigint)"))
+      .withColumn("n_novel", expr(s"cast(size(filter(ghs, gh -> NOT $probeFn(gh))) as bigint)"))
+      .select(col("doc_id"), col("timestamp"), col("n_grams"), col("n_novel"),
+        expr("cast(floor(n_novel * 1000.0D / greatest(n_grams, 1)) as bigint)")
+          .as("novelty_permille"))
+  }
 }

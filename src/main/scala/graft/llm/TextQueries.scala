@@ -48,6 +48,22 @@ object TextQueries {
   /** dd_contain: fingerprints in more than this many docs are corpus-wide
     * boilerplate — excluded from containment pairing (cap stance). */
   private val containCap = 64
+
+  /** Distinct (doc_id, gh) word-3-gram 60-bit hashes over any (doc_id,
+    * text) frame — tx_novelty's gram universe, also the build side of the
+    * streaming novelty gate's bloom (StreamingCorpusPrep.noveltyStream).
+    * Codegen explode + md5 projection; the hash is applied BEFORE the
+    * distinct so only 8-byte keys shuffle. */
+  private[llm] def wordGramHashes(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+        .as("gram"))
+      .select(col("doc_id"), expr(sparkH("gram")).as("gh"))
+      .distinct()
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
   // Gopher-style composite gate thresholds (Rae et al. repetition rules,
@@ -1904,14 +1920,7 @@ object TextQueries {
          |FROM tot t LEFT JOIN novel nv ON nv.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
-          .as("gram"))
-        .select(col("doc_id"), expr(sparkH("gram")).as("gh"))
-        .distinct()
+      val g = wordGramHashes(Tables.documents(s, d))
         .persist(StorageLevel.MEMORY_AND_DISK) // owner min + per-doc count both read it
       val novel = g.groupBy("gh").agg(min("doc_id").as("owner"))
         .groupBy("owner").agg(count(lit(1)).as("n_novel"))

@@ -142,4 +142,39 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(rows(2L)._2 && rows(2L)._1 >= 1, s"leaking doc quarantined: $rows")
     assert(!rows(3L)._2, s"sub-gram doc is definitively clean: $rows")
   }
+
+  test("streaming novelty gate: corpus docs score 0, new content scores high, quotes in between") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val corpusText = (0 until 30).map(i => s"known$i corpus$i fact$i").mkString(" ")
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    // batch-side bloom over the corpus's distinct word-3-gram universe
+    // (tiny fpp so the fully-novel doc can't collide in this spec)
+    val bloom = TextQueries.wordGramHashes(corpus).stat.bloomFilter("gh", 1000L, 0.0001)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+
+    val novelText = (0 until 30).map(i => s"fresh$i unseen$i idea$i").mkString(" ")
+    // half corpus quote, half new content
+    val mixedText = corpusText.split(" ").take(45).mkString(" ") + " " +
+      novelText.split(" ").take(45).mkString(" ")
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingCorpusPrep.noveltyStream(mem.toDS(), bytes)
+      .writeStream.format("memory").queryName("nv_out").outputMode("append").start()
+    mem.addData(
+      DocEvent(1L, 1000L, corpusText), // verbatim corpus doc
+      DocEvent(2L, 1100L, novelText),  // fully new content
+      DocEvent(3L, 1200L, mixedText),  // half-quoted
+      DocEvent(4L, 1300L, "two words")) // under 3 tokens: 0 grams
+    q.processAllAvailable()
+    val rows = spark.table("nv_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    q.stop()
+    assert(rows(1L)._3 == 0L, s"a doc already in the corpus scores exactly 0: $rows")
+    assert(rows(2L)._3 == 1000L,
+      s"fully new content misses every probe (no false negatives => definitive): $rows")
+    assert(rows(3L)._3 > 200L && rows(3L)._3 < 800L,
+      s"half-quoted doc lands between: $rows")
+    assert(rows(4L)._1 == 0L && rows(4L)._3 == 0L, s"sub-gram doc: 0 over 0 grams: $rows")
+  }
 }

@@ -279,6 +279,52 @@ object FunnelQueries {
         .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("event_type", "bucket")
     },
+
+    // Active-user engagement: DAU, trailing-7-day WAU, and stickiness
+    // (DAU/WAU — the engagement ratio every growth dashboard leads with)
+    // per day. The trailing-window distinct does NOT use a range join
+    // (which would plan as a broadcast nested loop): each (day, user) row
+    // REPLICATES to the ≤7 future days it serves, then a plain hash
+    // count-distinct per day — the standard sliding-window-as-offset
+    // decomposition, all hash-partitioned aggregates. Day-grain frames
+    // are date-cardinality-sized; the only corpus-sized pass is the
+    // initial (day, user) distinct. Stickiness is the unrounded
+    // exact-integer quotient (the dd_spans stance).
+    Q("ev_active_users",
+      s"""WITH du AS (
+         |  SELECT DISTINCT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, user_id
+         |  FROM events
+         |),
+         |days AS (SELECT DISTINCT day_us FROM du),
+         |dau AS (SELECT day_us, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+         |wdu AS (
+         |  SELECT du.day_us + k * $dayUs AS day_us, du.user_id
+         |  FROM du, unnest(generate_series(0, 6)) AS t(k)
+         |),
+         |wau AS (
+         |  SELECT w.day_us, CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
+         |  FROM wdu w JOIN days d ON d.day_us = w.day_us
+         |  GROUP BY 1
+         |)
+         |SELECT d.day_us, dau.dau, wau.wau, dau.dau * 1.0 / wau.wau AS stickiness
+         |FROM days d JOIN dau ON dau.day_us = d.day_us JOIN wau ON wau.day_us = d.day_us
+         |ORDER BY d.day_us""".stripMargin) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // days + dau + wdu
+      val days = du.select("day_us").distinct()
+      val dau = du.groupBy("day_us").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(expr("sequence(0, 6)")).as("k"), col("day_us"), col("user_id"))
+        .select((col("day_us") + col("k") * lit(dayUs)).as("day_us"), col("user_id"))
+        .join(days, Seq("day_us"), "left_semi") // day-grain, result-sized
+        .groupBy("day_us").agg(countDistinct("user_id").as("wau"))
+      days.join(dau, "day_us").join(wau, "day_us")
+        .select(col("day_us"), col("dau"), col("wau"),
+          expr("dau * 1.0D / wau").as("stickiness"))
+        .orderBy("day_us")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

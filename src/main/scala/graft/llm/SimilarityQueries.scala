@@ -83,6 +83,52 @@ object SimilarityQueries {
        |knn AS (SELECT vec_id, neighbor_id, rank, dist FROM rk WHERE rank <= $knnK)""".stripMargin
   }
 
+  /** Shared CTE chain ending in `dd(vec_id, label, d)` — every vector's
+    * quantized-integer squared distance to its cell centroid (the
+    * [[outScale]] grid); consumed by sim_outlier (z-test gate) and
+    * sim_coverage (cluster-quality report). Also exposes `xq`/`cent`. */
+  private lazy val cellDistCtes: String = {
+    val dN =
+      s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT)"
+    s"""xq AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $outScale, 0) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |),
+       |sums AS (
+       |  SELECT label, u.i,
+       |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+       |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+       |  GROUP BY label, u.i
+       |),
+       |cent AS (SELECT label, list(cm ORDER BY i) AS carr FROM sums GROUP BY label),
+       |dd AS (
+       |  SELECT x.vec_id, x.label, $dN AS d
+       |  FROM xq x JOIN cent c ON c.label = x.label
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[cellDistCtes]]'s `dd`: (vec_id, label, d) with d the
+    * codegen vector_l2q distance to the cell's rounded-mean centroid.
+    * UNORDERED. One posexplode centroid aggregate (map-side combined),
+    * k×d centroid broadcast, row-local distances — raw vectors never
+    * shuffle. */
+  private def cellDistDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr(s"vector_quantize(embedding, $outScale)").as("xq"))
+    val cent = xq
+      .select(col("label"), posexplode(col("xq")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    xq.join(broadcast(cent), "label") // k×d centroid table
+      .withColumn("d", expr("vector_l2q(xq, carr)"))
+      .select(col("vec_id"), col("label"), col("d"))
+  }
+
   /** Spark twin of [[knnCtes]]'s `knn`: per-cell top-[[knnK]] neighbors by
     * quantized L2 (codegen vector_l2q), (dist, neighbor_id)-total-ordered.
     * UNORDERED — callers sort. The pair join is hash-partitioned on the
@@ -837,24 +883,7 @@ object SimilarityQueries {
     // combined), k×d centroid broadcast, row-local distances, cell-sized
     // stats join — raw vectors never shuffle.
     Q("sim_outlier", {
-      val dN =
-        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT)"
-      s"""WITH xq AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $outScale, 0) AS BIGINT)) AS xq
-         |  FROM embeddings
-         |),
-         |sums AS (
-         |  SELECT label, u.i,
-         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
-         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
-         |  GROUP BY label, u.i
-         |),
-         |cent AS (SELECT label, list(cm ORDER BY i) AS carr FROM sums GROUP BY label),
-         |dd AS (
-         |  SELECT x.vec_id, x.label, $dN AS d
-         |  FROM xq x JOIN cent c ON c.label = x.label
-         |),
+      s"""WITH $cellDistCtes,
          |st AS (
          |  SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s1,
          |    CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS s2
@@ -868,18 +897,7 @@ object SimilarityQueries {
          |FROM dd JOIN st USING (label)
          |ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
-      graft.functions.GraftFunctions.register(s)
-      val xq = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr(s"vector_quantize(embedding, $outScale)").as("xq"))
-      val cent = xq
-        .select(col("label"), posexplode(col("xq")).as(Seq("i", "v")))
-        .groupBy("label", "i")
-        .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
-      val dd = xq.join(broadcast(cent), "label") // k×d centroid table
-        .withColumn("d", expr("vector_l2q(xq, carr)"))
+      val dd = cellDistDF(s, d)
       val st = dd.groupBy("label")
         .agg(count(lit(1)).as("n"), sum("d").as("s1"),
           expr("sum(cast(d as decimal(38,0)) * d)").as("s2"))
@@ -890,6 +908,34 @@ object SimilarityQueries {
                 > 9 * (cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
             then 1 else 0 end as int)""").as("is_outlier"))
         .orderBy("vec_id")
+    },
+
+    // Cluster-coverage report — the per-cell quality summary behind "are
+    // these clusters any good?" decisions (re-cluster triggers, cell-size
+    // rebalancing, IVF nprobe tuning): each cell's population, its
+    // distance floor/radius (min/max quantized-integer distance to the
+    // centroid), total distortion (the k-means objective, exact integer
+    // sum), and mean distortion as the one unrounded quotient. Rides the
+    // shared cell-distance chain (sim_outlier's); everything after is a
+    // cell-sized aggregate, so the report costs one centroid pass + one
+    // row-local distance projection at any corpus size.
+    Q("sim_coverage",
+      s"""WITH $cellDistCtes
+         |SELECT label AS cell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(d) AS BIGINT) AS min_d,
+         |  CAST(max(d) AS BIGINT) AS radius,
+         |  CAST(sum(d) AS BIGINT) AS distortion,
+         |  sum(d) * 1.0 / count(*) AS mean_d
+         |FROM dd GROUP BY label
+         |ORDER BY cell""".stripMargin) { (s, d) =>
+      cellDistDF(s, d)
+        .groupBy(col("label").as("cell"))
+        .agg(count(lit(1)).as("n"), min("d").as("min_d"), max("d").as("radius"),
+          sum("d").as("distortion"))
+        .select(col("cell"), col("n"), col("min_d"), col("radius"), col("distortion"),
+          expr("distortion * 1.0D / n").as("mean_d"))
+        .orderBy("cell")
     },
 
     // kNN-graph construction — the neighbor-graph precursor of SemDeDup /

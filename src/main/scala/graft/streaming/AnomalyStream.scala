@@ -42,4 +42,30 @@ object AnomalyStream {
       .select(col("user_id"), unix_micros(col("w.start")).as("day_us"),
         col("c").as("n_events"))
   }
+
+  /** Online value histogram — `ev_histogram`'s ingest twin (the
+    * observability pair's streaming half): per event-time window, the same
+    * EXACT-INTEGER log2 bucketing (cents = floor(value·100), bucket =
+    * length(bin(cents))) aggregated per (window, type, bucket) and emitted
+    * when the watermark closes the window. The bucket projection is
+    * stateless and byte-identical to the batch query's, so a closed
+    * window's histogram equals the batch bucketing of the same rows
+    * (spec-pinned). State = open windows × (types·64) buckets — bounded
+    * by the watermark, independent of event volume. */
+  def histogramStream(events: Dataset[ValueEvent], windowLen: String = "1 hour",
+      delay: String = "10 seconds"): DataFrame = {
+    events.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", delay)
+      .withColumn("cents", expr("greatest(cast(floor(value * 100) as bigint), 1)"))
+      .withColumn("bucket", expr("cast(length(bin(cents)) as bigint)"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .select(unix_millis(col("w.start")).as("window_start"),
+        col("event_type"), col("bucket"), col("n"), col("min_cents"), col("max_cents"))
+  }
 }
+
+/** A valued event on the metrics ingest stream (epoch-millis timestamp). */
+case class ValueEvent(event_id: Long, timestamp: Long, event_type: String, value: Double)

@@ -51,4 +51,50 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(want == Set((1L, (B + 11 * DAY) * 1000L, 5L)), s"batch oracle sanity: $want")
     assert(got == want, s"stream: $got, batch: $want")
   }
+
+  test("histogramStream: a closed window's histogram equals the batch bucketing of the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val HOUR = 3600L * 1000
+    // two hours of valued events, shuffled across two micro-batches;
+    // values straddle power-of-two cent boundaries (1.27/1.28, 0.01)
+    val events = Seq(
+      ValueEvent(1L, 0L, "purchase", 1.27),         // 127 cents -> bucket 7
+      ValueEvent(2L, 1000L, "purchase", 1.28),      // 128 cents -> bucket 8
+      ValueEvent(3L, 2000L, "purchase", 0.01),      // 1 cent    -> bucket 1
+      ValueEvent(4L, 3000L, "view", 250.0),         // 25000     -> bucket 15
+      ValueEvent(5L, HOUR + 1000L, "purchase", 63.99), // 6399   -> bucket 13 (window 2)
+      ValueEvent(6L, HOUR + 2000L, "purchase", 64.0))  // 6400   -> bucket 13
+    val shuffled = events.sortBy(-_.timestamp)
+    val (b1, b2) = shuffled.splitAt(3)
+    val mem = MemoryStream[ValueEvent]
+    // delay covers the full reverse-order spread so no row is watermark-late
+    val q = AnomalyStream.histogramStream(mem.toDS(), windowLen = "1 hour", delay = "2 hours")
+      .writeStream.format("memory").queryName("hist_out").outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // advance the watermark far past both windows so they close and emit
+    mem.addData(ValueEvent(99L, 10 * HOUR, "view", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("hist_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    q.stop()
+    // batch twin: the identical projection + rollup on the same rows
+    val want = events.toDF("event_id", "timestamp", "event_type", "value")
+      .withColumn("window_start", expr(s"(timestamp div $HOUR) * $HOUR"))
+      .withColumn("cents", expr("greatest(cast(floor(value * 100) as bigint), 1)"))
+      .withColumn("bucket", expr("cast(length(bin(cents)) as bigint)"))
+      .groupBy("window_start", "event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(want.exists(w => w._2 == "purchase" && w._3 == 7L) &&
+      want.exists(w => w._2 == "purchase" && w._3 == 8L),
+      s"boundary cents 127/128 land in adjacent buckets: $want")
+    assert(got == want, s"stream: $got\nbatch: $want")
+  }
 }

@@ -30,10 +30,14 @@ package graft
   *    a load far above it).
   */
 object Bench {
-  /** Rerun threshold vs the committed per-query reference. 3× is far above
-    * run-to-run plan noise (<1.5× observed across rounds) and far below the
-    * 10–20× distortions ambient load produced in the r4 artifact. */
-  val RerunFactor = 3.0
+  /** Rerun threshold vs the committed per-query reference. Run-to-run plan
+    * noise is <1.5× (observed across rounds); the machine's PULSING
+    * background load inflates the heavy cluster-chain queries ~2–2.5×
+    * (measured round 5: the same build swung 7.9s ↔ 18.8s on
+    * llm_corpus_prep across back-to-back runs), so 3× let contaminated
+    * readings through — 2× catches the burst pattern while still never
+    * firing on plan noise. */
+  val RerunFactor = 2.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,7 +116,9 @@ object Bench {
         val ref = prev.get(name).filter(_ > 0)
         def suspect = ref.map(r => sec > RerunFactor * r)
           .getOrElse(runs < 2) // no reference → always min-of-2
-        while (suspect && runs < 3 && sec >= 0) attempt()
+        // up to 3 retries: the round-5 burst pattern can span two
+        // consecutive attempts of a heavy query
+        while (suspect && runs < 4 && sec >= 0) attempt()
         if (ref.exists(r => sec > RerunFactor * r)) {
           contaminated += name
           System.err.println(f"[bench] $name still $sec%.2fs after ${runs - 1} rerun(s) " +

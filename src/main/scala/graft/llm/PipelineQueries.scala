@@ -37,16 +37,15 @@ object PipelineQueries {
   /** sfDir → staged cluster table, scoped to this JVM — the first consumer
     * in a process validates (or stages) once; later consumers skip even
     * the validation scan. */
-  private val stagedTables = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Test hook: number of actual clustering computations this JVM ran —
-    * the cross-session reuse spec asserts a valid stage does NOT bump it. */
-  private[llm] var stagingsComputed: Int = 0
+  /** Test hook: number of actual staging builds this JVM ran (shared
+    * counter with every StagedTable kind — the reuse specs assert
+    * RELATIVE increments). */
+  private[llm] def stagingsComputed: Int = graft.core.StagedTable.stagingsComputed
 
   /** Test hook: forget the per-JVM stage cache, simulating a fresh process
     * (the disk state — table files, fingerprint sidecar, catalog entries —
     * is deliberately left as-is). */
-  private[llm] def resetStageCache(): Unit = stagedTables.clear()
+  private[llm] def resetStageCache(): Unit = graft.core.StagedTable.resetCache()
 
   /** Fingerprint of everything the staged cluster table is a function of:
     * the clustering constants ([[DedupQueries.algoFingerprint]]) and the
@@ -75,44 +74,20 @@ object PipelineQueries {
     * "N consumers × 1 pass" claim across driver restarts, not just within
     * one. Any mismatch (changed constants, changed corpus) recomputes. */
   private def stageClusters(s: SparkSession, d: String): String =
-    stagedTables.getOrElseUpdate(d, {
-      val table = "graft_clusters_" + math.abs(d.hashCode).toString
-      val loc = java.nio.file.Paths.get(
-        java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
-      val fpFile = loc.resolve("_graft_fingerprint")
-      val fp = stageFingerprint(s, d)
-      val reusable = java.nio.file.Files.exists(fpFile) &&
-        new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8") == fp
-      if (reusable) {
-        // a previous process staged this exact corpus under this exact
-        // code: adopt the bucketed files as an external table (bucket spec
-        // restated so joins still skip the exchange)
-        if (!s.catalog.tableExists(table))
-          s.sql(s"""CREATE TABLE $table (doc_id BIGINT, cluster_id BIGINT) USING parquet
-                   |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 16 BUCKETS
-                   |LOCATION '${loc.toUri}'""".stripMargin)
-        table
-      } else {
-        // stale or absent: drop both catalog entry and location, recompute
-        s.sql(s"DROP TABLE IF EXISTS $table")
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-        // external (explicit path): the stage belongs to the warehouse dir,
-        // not to any one session's catalog — a later DROP TABLE (catalog
-        // cleanup, process death) must not delete the shared files
-        DedupQueries.clustersDF(s, d)
-          .write.mode("overwrite")
-          .option("path", loc.toUri.toString)
-          .bucketBy(16, "doc_id").sortBy("doc_id")
-          .saveAsTable(table)
-        stagingsComputed += 1
-        java.nio.file.Files.write(fpFile, fp.getBytes("UTF-8"))
-        table
-      }
-    })
+    graft.core.StagedTable.getOrStage(s,
+      "graft_clusters_" + math.abs(d.hashCode).toString, stageFingerprint(s, d)) {
+      // adopt: restate the bucket spec so joins still skip the exchange
+      (table, loc) =>
+        s.sql(s"""CREATE TABLE $table (doc_id BIGINT, cluster_id BIGINT) USING parquet
+                 |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 16 BUCKETS
+                 |LOCATION '$loc'""".stripMargin)
+    } { (table, loc) =>
+      DedupQueries.clustersDF(s, d)
+        .write.mode("overwrite")
+        .option("path", loc.toString)
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+    }
 
   private val prepOracle =
     s"""WITH RECURSIVE ${DedupQueries.clusterCtes},

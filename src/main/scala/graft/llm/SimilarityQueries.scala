@@ -204,16 +204,19 @@ object SimilarityQueries {
     * round to 4dp so parallel partial-avg order can't leak into the
     * oracle compare. */
   private def ivfLayer(s: org.apache.spark.sql.SparkSession,
-      d: String, nprobe: Int = 1): (DataFrame, DataFrame) = {
+      d: String, nprobe: Int = 1,
+      centOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
     val n = e.withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
-    val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-    val cent = ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
+    val cent = centOpt.getOrElse {
+      val ex = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      ex.groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
+    }
     val asgW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("probe_label"))
     val asg = n.filter(expr(querySel))
@@ -225,6 +228,57 @@ object SimilarityQueries {
       .filter(col("rn") <= nprobe)
       .select("query_id", "qv", "qn", "probe_label")
     (n, asg)
+  }
+
+  /** Shared sim_ivf / sim_ivf_staged oracle: nprobe=1 routing + probed-cell
+    * scoring + per-query top-k. */
+  private lazy val ivfOracle: String =
+    s"""WITH ${ivfRoutingCtes()},
+       |s AS (
+       |  SELECT a.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(a.qv, c.v) / (a.qn * c.nrm) AS cos
+       |  FROM asg a JOIN n c ON c.label = a.probe_label AND c.vec_id <> a.query_id
+       |)
+       |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
+       |FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** Probed-cell scoring + top-k over an [[ivfLayer]] pair — the sim_ivf
+    * body, shared with the staged-index variant. */
+  private def ivfTopk(n: DataFrame, asg: DataFrame): DataFrame = {
+    val scored = n.join(broadcast(asg),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+    topkOut(scored)
+  }
+
+  /** Stage the IVF centroid table (label, c DOUBLE[]) cross-session under
+    * a fingerprint of the routing constants + embedding content; returns
+    * the catalog table name. `private[llm]` for the reuse spec. */
+  private[llm] def stageIvfCentroids(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+        .head
+      s"ivf-v1;dims=${LlmHash.dims};round=4;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_ivf_cent_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (label INT, c ARRAY<DOUBLE>) USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(round(avg("x"), 4).as("cm"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("c"))
+        .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+    }
   }
 
   /** The sim_ivf centroid/routing CTEs, shared with sim_twostage_ann
@@ -338,23 +392,25 @@ object SimilarityQueries {
     // |corpus|/cells vectors instead of |corpus|. Centroid components are
     // rounded to 4dp so parallel partial-avg summation order can't leak
     // into the oracle compare.
-    Q("sim_ivf",
-      s"""WITH ${ivfRoutingCtes()},
-         |s AS (
-         |  SELECT a.query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(a.qv, c.v) / (a.qn * c.nrm) AS cos
-         |  FROM asg a JOIN n c ON c.label = a.probe_label AND c.vec_id <> a.query_id
-         |)
-         |SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim
-         |FROM s
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
-         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+    Q("sim_ivf", ivfOracle) { (s, d) =>
       val (n, asg) = ivfLayer(s, d)
-      val scored = n.join(broadcast(asg),
-          col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
-      topkOut(scored)
+      ivfTopk(n, asg)
+    },
+
+    // IVF serving with a PERSISTED index — the deployment shape: the
+    // centroid table (the IVF "index" — k×d, built in one corpus pass) is
+    // staged cross-session under a content fingerprint (the L73 staged-
+    // cluster machinery, generalized in graft.core.StagedTable), so a
+    // fresh driver adopts the index files and pays ZERO corpus passes to
+    // start routing queries. Identical results to sim_ivf by construction
+    // — the SAME oracle gates both; a changed corpus invalidates the
+    // fingerprint and rebuilds. At 100 TB this is the difference between
+    // "every serving job re-aggregates the corpus" and "the index is
+    // built once per corpus version".
+    Q("sim_ivf_staged", ivfOracle) { (s, d) =>
+      val cent = s.table(stageIvfCentroids(s, d))
+      val (n, asg) = ivfLayer(s, d, 1, Some(cent))
+      ivfTopk(n, asg)
     },
 
     // Embedding-cosine near-dup (the dedup family's vector method): pairs
@@ -991,7 +1047,10 @@ object SimilarityQueries {
          |$iters
          |SELECT vec_id, r AS pagerank FROM r$prIters ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
+      // persist the edge list FIRST: the out-degree aggregate and the join
+      // probe side would otherwise each replay the kNN build chain
       val edges = knnGraphDF(s, d).select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg) — the loop's constant operand; persisted so the 5
       // rounds re-read three longs per edge, not the kNN build chain

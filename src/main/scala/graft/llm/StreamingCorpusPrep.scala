@@ -191,4 +191,31 @@ object StreamingCorpusPrep {
         expr("cast(floor(n_novel * 1000.0D / greatest(n_grams, 1)) as bigint)")
           .as("novelty_permille"))
   }
+
+  /** Streaming dataset-card counters — the live half of `llm_dataset_card`
+    * (L103): per-source running doc count, token total, and quality-gate
+    * pass count, refined every micro-batch in UPDATE mode. The quality
+    * gate and token count are the batch card's own projections
+    * (`withQualityKeep`, the shared tokenizer regex), so the counters a
+    * closed stream reports equal the batch card's columns on the same
+    * rows (spec-pinned).
+    *
+    * State = one row of three longs per SOURCE — source-cardinality
+    * bounded, no watermark needed (a card is a running total, not a
+    * window). The batch card's language spread and exact-dup exposure are
+    * deliberately absent: dup tracking needs per-content-hash state (the
+    * dedup streams' job) and top-language is a rank over completed
+    * counts; the streaming card serves the monotone counters a live
+    * ingest dashboard polls. */
+  def cardStream(docs: Dataset[SourceDocEvent]): DataFrame =
+    TextQueries.withQualityKeep(docs.toDF())
+      .withColumn("n_tok",
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_tok"), lit(0L))).as("total_tokens"),
+        sum("keep").as("quality_pass_docs"))
 }
+
+/** Source-tagged document ingest event (the dataset-card stream shape). */
+case class SourceDocEvent(doc_id: Long, timestamp: Long, source: String, text: String)

@@ -84,4 +84,46 @@ class StageReuseSpec extends SparkSpec {
       "recompute rewrites the current fingerprint")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("IVF centroid index: fingerprint match adopts across sessions; vector change invalidates") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_ivf")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val table = "graft_ivf_cent_" + math.abs(corpus.hashCode).toString
+    def cents() = spark.table(SimilarityQueries.stageIvfCentroids(spark, corpus))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+
+    val base = PipelineQueries.stagingsComputed
+    val c1 = cents()
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call builds the index")
+    assert(c1.nonEmpty && c1.values.forall(_.nonEmpty))
+
+    // "new process": memo gone, catalog entry gone, files + sidecar on disk
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val c2 = cents()
+    assert(PipelineQueries.stagingsComputed == base + 1,
+      "matching fingerprint adopts the index without a corpus pass")
+    assert(c2 == c1, "adopted index is identical")
+
+    // vector change: one embedding perturbed -> fingerprint mismatch -> rebuild
+    val emb = spark.read.parquet(s"$corpus/embeddings.parquet")
+    emb.withColumn("embedding",
+        org.apache.spark.sql.functions.when(col("vec_id") === 0,
+          org.apache.spark.sql.functions.expr("transform(embedding, x -> x + 1.0F)"))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"${dir}2.parquet")
+    // rewrite in place (overwrite of the read source needs a staging copy)
+    spark.read.parquet(s"${dir}2.parquet").write.mode("overwrite")
+      .parquet(s"$corpus/embeddings.parquet")
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    cents()
+    assert(PipelineQueries.stagingsComputed == base + 2,
+      "changed vectors invalidate the staged index and rebuild")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

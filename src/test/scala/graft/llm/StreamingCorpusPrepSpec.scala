@@ -177,4 +177,42 @@ class StreamingCorpusPrepSpec extends SparkSpec {
       s"half-quoted doc lands between: $rows")
     assert(rows(4L)._1 == 0L && rows(4L)._3 == 0L, s"sub-gram doc: 0 over 0 grams: $rows")
   }
+
+  test("streaming card counters equal the batch card's columns on the same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // a passing doc (>= 10 diverse tokens) and a failing one per source
+    def good(i: Int) = (0 until 15).map(j => s"alpha$i$j beta$i$j").mkString(" ")
+    val docs = Seq(
+      SourceDocEvent(1L, 1000L, "s0", good(1)),
+      SourceDocEvent(2L, 1100L, "s0", "too short"),
+      SourceDocEvent(3L, 1200L, "s1", good(3)),
+      SourceDocEvent(4L, 1300L, "s1", good(4)),
+      SourceDocEvent(5L, 1400L, "s1", "tiny"))
+    val mem = MemoryStream[SourceDocEvent]
+    val q = StreamingCorpusPrep.cardStream(mem.toDS())
+      .writeStream.format("memory").queryName("card_out").outputMode("update").start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    // update mode re-emits refined rows; the LAST row per source is current
+    val last = spark.table("card_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (s, rows) => s -> rows.last }
+    q.stop()
+    val want = docs.toDF("doc_id", "timestamp", "source", "text")
+      .transform(TextQueries.withQualityKeep)
+      .withColumn("n_tok",
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        sum("keep").as("quality_pass_docs"))
+      .collect().map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(last == want, s"stream: $last\nbatch: $want")
+    assert(last("s0")._2 == 2 && last("s1")._2 == 3, s"doc counts: $last")
+    assert(last("s0")._4 == 1 && last("s1")._4 == 2, s"quality pass counts: $last")
+  }
 }

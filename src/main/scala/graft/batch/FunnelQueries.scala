@@ -325,6 +325,47 @@ object FunnelQueries {
           expr("dau * 1.0D / wau").as("stickiness"))
         .orderBy("day_us")
     },
+
+    // Full cohort-retention matrix — ev_retention generalized from the
+    // +1/+7 spot checks to every (cohort day, day offset) cell: the
+    // triangle heatmap a retention dashboard renders. Offsets are exact
+    // integer division of day-truncated epoch-µs (both engines floor on
+    // positives); retention is the unrounded exact-integer quotient.
+    // Scale shape: one (user, day) distinct + a user-sized first-seen
+    // aggregate; the matrix join is user-grain and rolls up map-side to
+    // days² cells — the output is date-cardinality², never user-sized.
+    Q("ev_cohort_matrix",
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us
+         |  FROM events
+         |),
+         |coh AS (SELECT user_id, min(day_us) AS cday FROM ud GROUP BY 1),
+         |siz AS (SELECT cday, CAST(count(*) AS BIGINT) AS n_users FROM coh GROUP BY 1),
+         |act AS (
+         |  SELECT coh.cday, (ud.day_us - coh.cday) // $dayUs AS offset_days,
+         |    CAST(count(*) AS BIGINT) AS n_active
+         |  FROM coh JOIN ud ON ud.user_id = coh.user_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT act.cday AS cohort_day_us, act.offset_days, act.n_active, siz.n_users,
+         |  act.n_active * 1.0 / siz.n_users AS retention
+         |FROM act JOIN siz ON siz.cday = act.cday
+         |ORDER BY cohort_day_us, offset_days""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // cohort min + matrix join
+      val coh = ud.groupBy("user_id").agg(min("day_us").as("cday"))
+      val siz = coh.groupBy("cday").agg(count(lit(1)).as("n_users"))
+      coh.join(ud, "user_id")
+        .select(col("cday"), expr(s"(day_us - cday) div $dayUs").as("offset_days"))
+        .groupBy("cday", "offset_days").agg(count(lit(1)).as("n_active"))
+        .join(siz, "cday") // day-grain both sides
+        .select(col("cday").as("cohort_day_us"), col("offset_days"), col("n_active"),
+          col("n_users"), expr("n_active * 1.0D / n_users").as("retention"))
+        .orderBy("cohort_day_us", "offset_days")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

@@ -1209,6 +1209,54 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Source-balanced deterministic interleave — the training-ORDER
+    // operator completing tx_shuffle (which randomizes) and tx_mix_apply
+    // (which subsamples): assign every doc a stride key so that reading
+    // in key order interleaves sources proportionally to their size (no
+    // long single-source runs — the data-ordering property sequential
+    // ingestion of per-source files destroys). Within a source, docs
+    // order by their content-independent hash (reproducible shuffle);
+    // the stride key r·total intdiv n_source spaces source ranks evenly
+    // across the global range — pure integer math on both engines.
+    //
+    // Scale shape: the rank window partitions by SOURCE (bounded by the
+    // largest source, the tx_source_cap stance); the stride key is a
+    // row-local expression against broadcast source sizes + a 1-row
+    // total. The GLOBAL position is deliberately not materialized — the
+    // key IS the order, and the consumer writes range-partitioned sorted
+    // by (stride_key, source, doc_id), which Spark does without a single-
+    // partition sort.
+    Q("tx_interleave", {
+      val k = duckH("'il:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH keyed AS (SELECT doc_id, source, $k AS k FROM documents),
+         |rk AS (
+         |  SELECT doc_id, source, k,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS BIGINT) AS src_rank
+         |  FROM keyed
+         |),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM keyed GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM keyed)
+         |SELECT rk.doc_id, rk.source, rk.src_rank,
+         |  (rk.src_rank * tot.n_tot) // sz.n_src AS stride_key
+         |FROM rk JOIN sz ON sz.source = rk.source CROSS JOIN tot
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr(sparkH("concat('il:', cast(doc_id as string))")).as("k"))
+      val rk = keyed.withColumn("src_rank",
+        row_number().over(Window.partitionBy("source").orderBy(col("k"), col("doc_id")))
+          .cast("long"))
+      val sz = keyed.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val tot = keyed.agg(count(lit(1)).as("n_tot"))
+      rk.join(sz, "source") // source-cardinality table
+        .crossJoin(broadcast(tot)) // 1-row total
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          expr("(src_rank * n_tot) div n_src").as("stride_key"))
+        .orderBy("doc_id")
+    },
+
     // Blocklist filter — the C4-style "bad words" gate: flag documents
     // containing blocklisted terms, with per-doc match counts and the
     // first matched term as the drop reason. The list here is corpus

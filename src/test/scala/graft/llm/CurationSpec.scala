@@ -53,6 +53,32 @@ class CurationSpec extends SparkSpec {
       s"unrelated doc pairs with nothing: ${pairs.toSeq}")
   }
 
+  test("tx_interleave: every stride-order prefix holds each source near its proportional share") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("interleave_sf")
+    dir.toFile.deleteOnExit()
+    // 30 docs from s_big, 10 from s_small — proportional interleave should
+    // hold s_small near m/4 in every prefix of length m
+    val docs = (0 until 30).map(i => (i.toLong, s"big doc $i", "s_big")) ++
+      (0 until 10).map(i => (100L + i, s"small doc $i", "s_small"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ordered = graft.SparkEntry.queries("tx_interleave")(spark, dir.toString)
+      .orderBy("stride_key", "source", "doc_id")
+      .collect().map(_.getString(1))
+    assert(ordered.length == 40)
+    for (m <- 4 to 40) {
+      val small = ordered.take(m).count(_ == "s_small")
+      val ideal = m / 4.0
+      assert(math.abs(small - ideal) <= 1.5,
+        s"prefix $m: s_small share $small vs ideal $ideal — a run of one source leaked through")
+    }
+  }
+
   test("tx_mix_apply: downsample-only — the max-rate language keeps every doc") {
     val sfDir = sf("sf0.001")
     val kept = graft.SparkEntry.queries("tx_mix_apply")(spark, sfDir).cache()

@@ -366,6 +366,61 @@ object FunnelQueries {
           col("n_users"), expr("n_active * 1.0D / n_users").as("retention"))
         .orderBy("cohort_day_us", "offset_days")
     },
+
+    // Activity concentration — "what share of events comes from the top
+    // X% of users" (the Lorenz-curve readout behind bot screening and
+    // power-user analysis). Computed WITHOUT ranking users: a per-user
+    // count rolls up to a count-of-counts histogram (distinct-activity-
+    // level-sized — tiny), the prefix sums run over THAT bounded frame,
+    // and each percentile's coverage is exact integer arithmetic: events
+    // from levels strictly above the marginal level plus (k − users
+    // above) · marginal level. Tie-agnostic by construction (any top-k
+    // choice within the marginal level has the same sum). The top-k cut
+    // k = max(U·pct intdiv 100, 1) floors identically in both engines;
+    // coverage is the unrounded exact-integer quotient.
+    Q("ev_concentration",
+      s"""WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS u, CAST(sum(c) AS BIGINT) AS e FROM uc),
+         |cc AS (SELECT c, CAST(count(*) AS BIGINT) AS nu FROM uc GROUP BY 1),
+         |cum AS (
+         |  SELECT c, nu,
+         |    CAST(coalesce(sum(nu) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ua,
+         |    CAST(coalesce(sum(nu * c) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ea
+         |  FROM cc
+         |),
+         |p AS (SELECT unnest([1, 5, 10, 50, 100]) AS pct),
+         |k AS (SELECT pct, greatest((tot.u * pct) // 100, 1) AS k, tot.u, tot.e FROM p CROSS JOIN tot),
+         |sel AS (
+         |  SELECT k.pct, k.k, k.u, k.e, cum.ua, cum.ea, cum.c
+         |  FROM k JOIN cum ON cum.ua < k.k AND cum.ua + cum.nu >= k.k
+         |)
+         |SELECT CAST(pct AS BIGINT) AS pct, k AS k_users, u AS total_users,
+         |  ea + (k - ua) * c AS events_covered, e AS total_events,
+         |  (ea + (k - ua) * c) * 1.0 / e AS coverage
+         |FROM sel ORDER BY pct""".stripMargin) { (s, d) =>
+      val uc = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+      val tot = uc.agg(count(lit(1)).as("u"), sum("c").as("e"))
+      val cc = uc.groupBy("c").agg(count(lit(1)).as("nu"))
+      // prefix sums over the activity-level histogram — a bounded frame
+      // (distinct per-user counts), the documented constant-partition case
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = cc
+        .withColumn("ua", coalesce(sum("nu").over(w), lit(0L)))
+        .withColumn("ea", coalesce(sum(col("nu") * col("c")).over(w), lit(0L)))
+      val p = s.range(0, 5).select(expr("element_at(array(1, 5, 10, 50, 100), cast(id + 1 as int))").as("pct"))
+      val k = p.crossJoin(broadcast(tot)) // 1-row totals
+        .select(col("pct"), greatest(expr("(u * pct) div 100"), lit(1L)).as("k"),
+          col("u"), col("e"))
+      k.join(cum, col("ua") < col("k") && col("ua") + col("nu") >= col("k"))
+        .select(col("pct").cast("long").as("pct"), col("k").as("k_users"),
+          col("u").as("total_users"),
+          (col("ea") + (col("k") - col("ua")) * col("c")).as("events_covered"),
+          col("e").as("total_events"),
+          expr("(ea + (k - ua) * c) * 1.0D / e").as("coverage"))
+        .orderBy("pct")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

@@ -441,6 +441,66 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Language confusion matrix — the corpus-level rollup of tx_langid's
+    // per-doc verdicts: (declared, predicted, n, share-of-declared), the
+    // audit that catches mislabeled sources and a weak classifier in one
+    // table. Identical stopword scoring + argmax CASE as tx_langid; the
+    // rollup is langs²-sized and map-side combined, the share an
+    // unrounded exact-integer quotient against the declared-language
+    // total carried through a lang-sized join.
+    Q("tx_lang_confusion",
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopEn], x))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopDe], x))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopEs], x))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(toks, x -> list_contains([$stopFr], x))) AS BIGINT) AS s_fr
+         |  FROM t
+         |),
+         |pred AS (
+         |  SELECT lang AS declared_lang,
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS predicted_lang
+         |  FROM sc
+         |),
+         |cm AS (
+         |  SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |),
+         |dt AS (SELECT declared_lang, CAST(sum(n) AS BIGINT) AS n_declared FROM cm GROUP BY 1)
+         |SELECT cm.declared_lang, cm.predicted_lang, cm.n, dt.n_declared,
+         |  cm.n * 1.0 / dt.n_declared AS share
+         |FROM cm JOIN dt ON dt.declared_lang = cm.declared_lang
+         |ORDER BY cm.declared_lang, cm.predicted_lang""".stripMargin) { (s, d) =>
+      val pred = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("t"))
+        .groupBy("doc_id", "lang")
+        .agg(
+          expr(s"sum(CASE WHEN t IN ($stopEn) THEN 1 ELSE 0 END)").as("s_en"),
+          expr(s"sum(CASE WHEN t IN ($stopDe) THEN 1 ELSE 0 END)").as("s_de"),
+          expr(s"sum(CASE WHEN t IN ($stopEs) THEN 1 ELSE 0 END)").as("s_es"),
+          expr(s"sum(CASE WHEN t IN ($stopFr) THEN 1 ELSE 0 END)").as("s_fr"))
+        // docs with zero tokens score (0,0,0,0) in the oracle's list_filter
+        // form but drop out of the explode — restore them via the doc base
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id", "lang"), "right")
+        .na.fill(0L, Seq("s_en", "s_de", "s_es", "s_fr"))
+        .select(col("lang").as("declared_lang"),
+          expr("""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 |     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin)
+            .as("predicted_lang"))
+      val cm = pred.groupBy("declared_lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      val dt = cm.groupBy("declared_lang").agg(sum("n").as("n_declared"))
+      cm.join(dt, "declared_lang") // langs-sized both sides
+        .select(col("declared_lang"), col("predicted_lang"), col("n"), col("n_declared"),
+          expr("n * 1.0D / n_declared").as("share"))
+        .orderBy("declared_lang", "predicted_lang")
+    },
+
     Q("tx_chunks",
       s"""SELECT doc_id,
          |  CAST((pos - 1) // $chunkStep AS BIGINT) AS chunk_idx,

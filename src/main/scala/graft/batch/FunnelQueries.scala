@@ -421,6 +421,84 @@ object FunnelQueries {
           expr("(ea + (k - ua) * c) * 1.0D / e").as("coverage"))
         .orderBy("pct")
     },
+
+    // A/B significance readout — the two-proportion z-test every
+    // experimentation platform runs, per event type: users split by id
+    // parity (the assignment stand-in), "converted" = emitted the type at
+    // least 3 times (heavy usage — mere presence is near-universal on
+    // this fixture and degenerates the test). The 95% significance GATE
+    // is exact integer arithmetic in DECIMAL(38,0)/HUGEINT —
+    //   10000·diff²·N > 38415·n_a·n_b·C·(N−C), diff = c_a·n_b − c_b·n_a
+    // — no float boundary; the reported z² is one identical double chain
+    // from the same exact longs (NULL when C is 0 or N — the test is
+    // undefined). Scale shape: one (user, type) count rollup + a 2-row
+    // group-size aggregate; everything after is type-cardinality-sized.
+    Q("ev_ab_test",
+      s"""WITH ug AS (SELECT DISTINCT user_id, user_id % 2 AS grp FROM events),
+         |gs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM ug GROUP BY 1),
+         |ut AS (
+         |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ne
+         |  FROM events GROUP BY 1, 2
+         |),
+         |cg AS (
+         |  SELECT ut.event_type, ut.user_id % 2 AS grp
+         |  FROM ut WHERE ut.ne >= 3
+         |),
+         |w AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM cg GROUP BY 1
+         |),
+         |g AS (
+         |  SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+         |    max(CASE WHEN grp = 1 THEN n END) AS n_b
+         |  FROM gs
+         |)
+         |SELECT event_type, g.n_a, w.c_a, g.n_b, w.c_b,
+         |  w.c_a * 1.0 / g.n_a AS rate_a, w.c_b * 1.0 / g.n_b AS rate_b,
+         |  CASE WHEN w.c_a + w.c_b = 0 OR w.c_a + w.c_b = g.n_a + g.n_b THEN NULL
+         |    ELSE CAST(w.c_a * g.n_b - w.c_b * g.n_a AS DOUBLE)
+         |       * CAST(w.c_a * g.n_b - w.c_b * g.n_a AS DOUBLE) * (g.n_a + g.n_b)
+         |       / (CAST(g.n_a AS DOUBLE) * g.n_b * (w.c_a + w.c_b)
+         |          * (g.n_a + g.n_b - w.c_a - w.c_b)) END AS z2,
+         |  CAST(CASE WHEN w.c_a + w.c_b > 0 AND w.c_a + w.c_b < g.n_a + g.n_b
+         |    AND CAST(10000 AS HUGEINT) * (w.c_a * g.n_b - w.c_b * g.n_a)
+         |        * (w.c_a * g.n_b - w.c_b * g.n_a) * (g.n_a + g.n_b)
+         |      > CAST(38415 AS HUGEINT) * g.n_a * g.n_b * (w.c_a + w.c_b)
+         |        * (g.n_a + g.n_b - w.c_a - w.c_b)
+         |    THEN 1 ELSE 0 END AS INT) AS significant
+         |FROM w CROSS JOIN g ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ug = Tables.events(s, d)
+        .select(col("user_id"), (col("user_id") % 2).as("grp")).distinct()
+      val gs = ug.groupBy("grp").agg(count(lit(1)).as("n"))
+      val g = gs.agg(
+        max(when(col("grp") === 0, col("n"))).as("n_a"),
+        max(when(col("grp") === 1, col("n"))).as("n_b"))
+      val w = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("ne"))
+        .filter(col("ne") >= 3)
+        .select(col("event_type"), (col("user_id") % 2).as("grp"))
+        .groupBy("event_type")
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c_b"))
+      w.crossJoin(broadcast(g)) // 1-row group sizes
+        .select(col("event_type"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          expr("c_a * 1.0D / n_a").as("rate_a"),
+          expr("c_b * 1.0D / n_b").as("rate_b"),
+          expr("""CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                 |  ELSE CAST(c_a * n_b - c_b * n_a AS DOUBLE)
+                 |     * CAST(c_a * n_b - c_b * n_a AS DOUBLE) * (n_a + n_b)
+                 |     / (CAST(n_a AS DOUBLE) * n_b * (c_a + c_b)
+                 |        * (n_a + n_b - c_a - c_b)) END""".stripMargin).as("z2"),
+          expr("""CAST(CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+                 |  AND CAST(10000 AS DECIMAL(38,0)) * (c_a * n_b - c_b * n_a)
+                 |      * (c_a * n_b - c_b * n_a) * (n_a + n_b)
+                 |    > CAST(38415 AS DECIMAL(38,0)) * n_a * n_b * (c_a + c_b)
+                 |      * (n_a + n_b - c_a - c_b)
+                 |  THEN 1 ELSE 0 END AS INT)""".stripMargin).as("significant"))
+        .orderBy("event_type")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

@@ -132,4 +132,58 @@ object Multimodal {
       }
     }
   }
+
+  /** A 64-bit perceptual average-hash split into two 32-bit halves (bit 63
+    * of a packed BIGINT would collide with the sign in SQL engines). */
+  case class ImageHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Integer-exact 8×8 average-hash (aHash) of a decoded image: pixel
+    * (x, y) lands in cell (x·8 intdiv w, y·8 intdiv h); a cell's bit is set
+    * iff its mean gray (r+g+b) is at least the image's global mean,
+    * compared as the integer cross-product s_cell·N_tot ≥ S_tot·n_cell —
+    * no division, so an SQL twin over the generation formula reproduces
+    * every bit (the mm_phash oracle). Cell c < 32 → hash_hi bit c, else
+    * hash_lo bit c−32. */
+  def ahash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val s = new Array[Long](64); val n = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = by * 8 + x * 8 / w
+        val rgb = img.getRGB(x, y)
+        s(c) += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+        n(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val st = s.sum; val nt = n.sum
+    var hi = 0L; var lo = 0L
+    var c = 0
+    while (c < 64) {
+      if (n(c) > 0 && s(c) * nt >= st * n(c)) {
+        if (c < 32) hi |= 1L << c else lo |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (hi, lo)
+  }
+
+  /** Perceptual hashes via the REAL ImageIO decode — the image-near-dup
+    * signature builder (the multimodal analog of `simhash_sig`). Same
+    * mapPartitions batch contract as [[decodeImages]]. */
+  def imageHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+        require(img != null, s"ImageIO could not decode payload for doc ${a.doc_id}")
+        val (hi, lo) = ahash(img)
+        ImageHash(a.doc_id, hi, lo)
+      }
+    }
+  }
 }

@@ -141,5 +141,68 @@ object MultimodalQueries {
         .orderBy("doc_id")
         .select("doc_id", "width", "height", "pixel_sum")
     },
+
+    // Perceptual image hashing through the REAL decoder — the image
+    // near-dup signature (the multimodal simhash): each generated BMP is
+    // decoded by javax.imageio, then average-hashed with INTEGER-exact
+    // 8×8 cell math (bit = s_cell·N_tot ≥ S_tot·n_cell — cross-products,
+    // no division, split into two 32-bit halves to stay clear of the
+    // BIGINT sign). The oracle recomputes every bit from the generation
+    // formula alone, so a decoder mis-parse OR an arithmetic drift in the
+    // hash flips the gate. Downstream pairing rides the dd_simhash band
+    // pattern (16-bit chunks of the halves) — spec-gated with planted
+    // near-identical images (MultimodalSpec), since the fixture's random
+    // seeds make real collisions vanishingly rare.
+    //
+    // Scale shape: decode + hash are one mapPartitions pass (codec init
+    // amortized per partition, no shuffle); the hash table is two longs
+    // per image.
+    Q("mm_phash",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+         |    CAST(8 + h % 6 AS BIGINT) AS ht, h % 65536 AS seed
+         |  FROM m
+         |),
+         |px AS (
+         |  SELECT doc_id,
+         |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
+         |    (seed + 31 * xx.x + 7 * yy.y) % 256
+         |      + (seed + 13 * xx.x + 3 * yy.y) % 256
+         |      + (seed + 5 * xx.x + 11 * yy.y) % 256 AS gray
+         |  FROM g,
+         |    unnest(generate_series(0, w - 1)) AS xx(x),
+         |    unnest(generate_series(0, ht - 1)) AS yy(y)
+         |),
+         |cells AS (
+         |  SELECT doc_id, c, CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |  FROM px GROUP BY 1, 2
+         |),
+         |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+         |bits AS (
+         |  SELECT cells.doc_id, c,
+         |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
+         |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
+         |  CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+          expr("cast(8 + h % 6 as int)").as("ht"), expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Long)]
+      val assets = spec.map { case (id, w, ht, seed) =>
+        MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
+      Multimodal.imageHashes(assets)
+        .toDF()
+        .select("doc_id", "hash_hi", "hash_lo")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -58,4 +58,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == ((3L, 2L, expectedSum(3, 2, 10L))))
     assert(got(2L) == ((4L, 3L, expectedSum(4, 3, 0L))))
   }
+
+  test("perceptual hash: a locally-edited copy stays within small Hamming; different images do not") {
+    import spark.implicits._
+    val base = Multimodal.makeBmp(16, 16, 42L)
+    // local edit: blank one pixel's three channels in the pixel-data area
+    // (offset 54) — a watermark-sized change, not a re-render
+    val edited = base.clone()
+    edited(54) = 0; edited(55) = 0; edited(56) = 0
+    val other = Multimodal.makeBmp(16, 16, 17341L)
+    val hashes = Multimodal.imageHashes(Seq(
+        MediaAsset(1L, base), MediaAsset(2L, edited), MediaAsset(3L, other)).toDS())
+      .collect().map(h => h.doc_id -> ((h.hash_hi, h.hash_lo))).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(hamming(hashes(1L), hashes(2L)) <= 4,
+      s"one-pixel edit must stay within the near-dup radius: ${hashes(1L)} vs ${hashes(2L)}")
+    assert(hamming(hashes(1L), hashes(3L)) > 4,
+      s"a different image must not collide: ${hashes(1L)} vs ${hashes(3L)}")
+    // halves stay inside 32 bits (the SQL-sign-safety contract)
+    assert(hashes.values.forall(h =>
+      h._1 >= 0 && h._1 < (1L << 32) && h._2 >= 0 && h._2 < (1L << 32)))
+  }
 }

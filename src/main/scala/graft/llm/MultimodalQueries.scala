@@ -158,51 +158,122 @@ object MultimodalQueries {
     // amortized per partition, no shuffle); the hash table is two longs
     // per image.
     Q("mm_phash",
-      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
-         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
-         |g AS (
-         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
-         |    CAST(8 + h % 6 AS BIGINT) AS ht, h % 65536 AS seed
-         |  FROM m
+      s"""WITH $phashCtes
+         |SELECT doc_id, hash_hi, hash_lo FROM hashes ORDER BY doc_id""".stripMargin) {
+      (s, d) => phashDF(s, d).orderBy("doc_id")
+    },
+
+    // Image NEAR-DUP pairing over the perceptual hashes — the multimodal
+    // dd_simhash: candidate pairs meet on a 16-bit band chunk of the
+    // 64-bit aHash (4 bands across the two halves), verified by total
+    // Hamming ≤ 6. Never all-pairs, and band buckets above 64 images drop
+    // on both sides (the dd_minhash_lsh cap stance) — the fixture's
+    // gradient BMPs form DENSE hash families (thousands of structurally
+    // similar images share band chunks), exactly the skew the cap bounds;
+    // a true near-dup pair keeps 4 independent band chances, and the
+    // planted-pair recall lives in MultimodalSpec. Bands ride the hash
+    // table (two longs/image); every bucket self-join is O(cap²).
+    Q("mm_phash_pairs",
+      s"""WITH $phashCtes,
+         |bands0 AS (
+         |  SELECT doc_id, hash_hi, hash_lo, b,
+         |    (CASE WHEN b < 2 THEN hash_hi >> (16 * b)
+         |          ELSE hash_lo >> (16 * (b - 2)) END) & 65535 AS chunk
+         |  FROM hashes, unnest([0, 1, 2, 3]) AS u(b)
          |),
-         |px AS (
-         |  SELECT doc_id,
-         |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
-         |    (seed + 31 * xx.x + 7 * yy.y) % 256
-         |      + (seed + 13 * xx.x + 3 * yy.y) % 256
-         |      + (seed + 5 * xx.x + 11 * yy.y) % 256 AS gray
-         |  FROM g,
-         |    unnest(generate_series(0, w - 1)) AS xx(x),
-         |    unnest(generate_series(0, ht - 1)) AS yy(y)
-         |),
-         |cells AS (
-         |  SELECT doc_id, c, CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-         |  FROM px GROUP BY 1, 2
-         |),
-         |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
-         |bits AS (
-         |  SELECT cells.doc_id, c,
-         |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
-         |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
-         |)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
-         |  CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val spec = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("checksum"))
-        .withColumn("h", expr(sparkH("checksum")))
-        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
-          expr("cast(8 + h % 6 as int)").as("ht"), expr("h % 65536").as("seed"))
-        .as[(Long, Int, Int, Long)]
-      val assets = spec.map { case (id, w, ht, seed) =>
-        MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
-      Multimodal.imageHashes(assets)
-        .toDF()
-        .select("doc_id", "hash_hi", "hash_lo")
-        .orderBy("doc_id")
+         |okb AS (SELECT b, chunk FROM bands0 GROUP BY b, chunk HAVING count(*) <= 64),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (b, chunk))
+         |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |  CAST(bit_count(xor(x.hash_hi, y.hash_hi))
+         |     + bit_count(xor(x.hash_lo, y.hash_lo)) AS BIGINT) AS hamming
+         |FROM bands x JOIN bands y
+         |  ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+         |    + bit_count(xor(x.hash_lo, y.hash_lo)) <= 6
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val hashes = phashDF(s, d)
+      val bandStructs = (0 until 4).map { b =>
+        val src = if (b < 2) s"shiftright(hash_hi, ${16 * b})"
+          else s"shiftright(hash_lo, ${16 * (b - 2)})"
+        struct(lit(b).as("b"), expr(s"$src & 65535").as("chunk"))
+      }
+      val bands0 = hashes
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+          explode(array(bandStructs: _*)).as("bc"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+          col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // cap agg + join sides
+      val okb = bands0.groupBy("b", "chunk").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= 64).select("b", "chunk")
+      val bands = bands0.join(okb, Seq("b", "chunk"), "left_semi")
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          expr("""CAST(bit_count(x.hash_hi ^ y.hash_hi)
+                 |   + bit_count(x.hash_lo ^ y.hash_lo) AS BIGINT)""".stripMargin)
+            .as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy("d1", "d2")
     },
   )
+
+  /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the
+    * generation-formula recomputation of the integer aHash; shared by
+    * mm_phash and mm_phash_pairs. */
+  private lazy val phashCtes: String =
+    s"""b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+       |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+       |g AS (
+       |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+       |    CAST(8 + h % 6 AS BIGINT) AS ht, h % 65536 AS seed
+       |  FROM m
+       |),
+       |px AS (
+       |  SELECT doc_id,
+       |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
+       |    (seed + 31 * xx.x + 7 * yy.y) % 256
+       |      + (seed + 13 * xx.x + 3 * yy.y) % 256
+       |      + (seed + 5 * xx.x + 11 * yy.y) % 256 AS gray
+       |  FROM g,
+       |    unnest(generate_series(0, w - 1)) AS xx(x),
+       |    unnest(generate_series(0, ht - 1)) AS yy(y)
+       |),
+       |cells AS (
+       |  SELECT doc_id, c, CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM px GROUP BY 1, 2
+       |),
+       |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
+       |bits AS (
+       |  SELECT cells.doc_id, c,
+       |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
+       |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+       |),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
+       |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Spark twin of [[phashCtes]]'s `hashes`: generate each doc's BMP,
+    * decode with ImageIO, integer-aHash (Multimodal.imageHashes).
+    * UNORDERED. */
+  private def phashDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val spec = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("checksum"))
+      .withColumn("h", expr(sparkH("checksum")))
+      .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+        expr("cast(8 + h % 6 as int)").as("ht"), expr("h % 65536").as("seed"))
+      .as[(Long, Int, Int, Long)]
+    val assets = spec.map { case (id, w, ht, seed) =>
+      MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
+    Multimodal.imageHashes(assets).toDF()
+      .select("doc_id", "hash_hi", "hash_lo")
+  }
 }

@@ -558,6 +558,32 @@ object DedupQueries {
       splitDF(s, d).orderBy("doc_id")
     },
 
+    // Dedup threshold curve — the sensitivity sweep behind "is 0.8 the
+    // right dup cutoff for THIS corpus": verified-pair counts at five
+    // Jaccard thresholds in one pass over the exact-verify chain. A cliff
+    // between two thresholds means the corpus has a near-dup band the
+    // cutoff choice is slicing through; flat means the choice is safe.
+    // Scale shape: all cost is the shared dd_jaccard chain; the sweep is
+    // a 5-literal-row theta join against the (candidate-sized) verified
+    // pair table, counted map-side. Thresholds compare against the SAME
+    // 4-dp-rounded jaccard both engines already hash-agree on.
+    Q("dd_threshold_curve",
+      s"""WITH $jacCtes,
+         |t AS (SELECT unnest([50, 60, 70, 80, 90]) AS thr)
+         |SELECT CAST(t.thr AS BIGINT) AS thr_pct, CAST(count(j.d1) AS BIGINT) AS n_pairs
+         |FROM t LEFT JOIN jac j ON j.jaccard >= t.thr / 100.0
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      // literal frame (LocalTableScan) — provably constant to the plan
+      // audit, so the 5×pairs theta join needs no BNLJ declaration
+      val thr = Seq(50, 60, 70, 80, 90).toDF("thr")
+      thr.join(jaccardDF(s, d), expr("jaccard >= thr / 100.0D"), "left")
+        .groupBy(col("thr").cast("long").as("thr_pct"))
+        .agg(count(col("d1")).as("n_pairs"))
+        .orderBy("thr_pct")
+    },
+
     // Crawl-over-crawl snapshot diff — the corpus-versioning audit every
     // recurring-crawl pipeline needs before reprocessing: classify every
     // doc_id across two snapshots as added / removed / changed / unchanged

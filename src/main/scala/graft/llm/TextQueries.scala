@@ -1998,6 +1998,102 @@ object TextQueries {
       lmScoreDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // BIGRAM-interpolated LM scoring — the perplexity upgrade over
+    // tx_lm_score's unigram model: each adjacent-pair transition scores
+    //   p(b|a) = 0.7·c2(ab)/cs(a) + 0.3·(c1(b)+0.5)/(n+0.5v)
+    // (interpolated backoff to the smoothed unigram; unseen context falls
+    // back entirely). Float discipline: every ratio is INTEGER/INTEGER
+    // double division — 0.7·c2/cs is written (7·c2)/(10·cs) and the
+    // smoothed term 3·(2·c1b+1)/(10·(2n+v)) — because a 0.7 decimal
+    // literal rounds differently through DuckDB's exact-decimal multiply
+    // than through a double multiply; each distinct (lang, a, b) then
+    // quantizes its −ln to ONE 6-dp scaled long (the tx_lm_score stance),
+    // and per-doc sums are pure long arithmetic — order-free.
+    //
+    // Scale shape: the bigram model is one map-side-combined
+    // (lang, a, b) rollup of the SAME pair frame the scorer consumes
+    // (single tokenize); context totals aggregate FROM the model (no
+    // second corpus pass); scoring joins hash-partition on the pair/
+    // context/token keys. Docs under 2 tokens are unscoreable and
+    // excluded on both sides.
+    Q("tx_lm2_score", {
+      val q = "CAST(round(-ln(" +
+        "(CASE WHEN cs IS NOT NULL THEN (7 * coalesce(c2, 0)) / (10 * cs) ELSE 0 END)" +
+        " + (3 * (2 * coalesce(c1b, 0) + 1)) / (10 * (2 * n + v))" +
+        ") * 1000000, 0) AS BIGINT)"
+      s"""WITH tk AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, toks[CAST(i AS INT)] AS a, toks[CAST(i + 1 AS INT)] AS b,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+         |  WHERE len(toks) >= 2
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |m2 AS (SELECT lang, a, b, CAST(sum(tf) AS BIGINT) AS c2 FROM bg WHERE doc_id % $evalMod <> 0 GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, a, CAST(sum(c2) AS BIGINT) AS cs FROM m2 GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT lang, t AS tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS t FROM documents)
+         |  WHERE doc_id % $evalMod <> 0 GROUP BY 1, 2
+         |),
+         |st AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni GROUP BY 1),
+         |sc AS (
+         |  SELECT bg.doc_id, bg.lang,
+         |    CAST(sum(bg.tf) AS BIGINT) AS n_pairs,
+         |    CAST(sum(bg.tf * $q) AS BIGINT) AS sq
+         |  FROM bg
+         |  JOIN st ON st.lang = bg.lang
+         |  LEFT JOIN ctx ON ctx.lang = bg.lang AND ctx.a = bg.a
+         |  LEFT JOIN m2 ON m2.lang = bg.lang AND m2.a = bg.a AND m2.b = bg.b
+         |  LEFT JOIN uni u1 ON u1.lang = bg.lang AND u1.tok = bg.b
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, lang, n_pairs, CAST(sq AS DOUBLE) / (1e6 * n_pairs) AS nll2
+         |FROM sc ORDER BY doc_id""".stripMargin
+      // `c1b` is aliased in via u1.c1 — restated below for the Spark twin
+        .replace("coalesce(c1b, 0)", "coalesce(u1.c1, 0)")
+        .replace("(2 * n + v)", "(2 * st.n + st.v)")
+        .replace("WHEN cs IS", "WHEN ctx.cs IS")
+        .replace("(10 * cs)", "(10 * ctx.cs)")
+        .replace("coalesce(c2, 0)", "coalesce(m2.c2, 0)")
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bg = docs
+        .select(col("doc_id"), col("lang"),
+          expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] as a, toks[i] as b))"))
+          .as("p"))
+        .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("doc_id", "lang", "a", "b").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // model build + scoring read it
+      val m2 = bg.filter(col("doc_id") % evalMod =!= 0)
+        .groupBy("lang", "a", "b").agg(sum("tf").as("c2"))
+      val ctx = m2.groupBy("lang", "a").agg(sum("c2").as("cs"))
+      val uni = docs
+        .select(col("doc_id"), col("lang"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("t"))
+        .filter(col("doc_id") % evalMod =!= 0)
+        .groupBy(col("lang"), col("t").as("tok")).agg(count(lit(1)).as("c1"))
+      val st = uni.groupBy("lang").agg(sum("c1").as("n"), count(lit(1)).as("v"))
+      val q = "CAST(round(-ln(" +
+        "(CASE WHEN cs IS NOT NULL THEN (7 * coalesce(c2, 0)) / (10 * cs) ELSE 0 END)" +
+        " + (3 * (2 * coalesce(c1b, 0) + 1)) / (10 * (2 * n + v))" +
+        ") * 1000000, 0) AS BIGINT)"
+      bg
+        .join(st, "lang")
+        .join(ctx, Seq("lang", "a"), "left")
+        .join(m2, Seq("lang", "a", "b"), "left")
+        .join(uni.select(col("lang"), col("tok").as("b"), col("c1").as("c1b")),
+          Seq("lang", "b"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(sum("tf").as("n_pairs"), sum(expr(s"tf * $q")).as("sq"))
+        .select(col("doc_id"), col("lang"), col("n_pairs"),
+          expr("cast(sq as double) / (1e6 * n_pairs)").as("nll2"))
+        .orderBy("doc_id")
+    },
+
     // Per-document n-gram NOVELTY — the content-contribution audit behind
     // "does this source add anything?" decisions: a doc's novelty is the
     // share of its distinct word-3-grams that it OWNS, where a gram's

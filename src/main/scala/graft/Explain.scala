@@ -47,6 +47,7 @@ object Explain {
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
     "sim_ivfpq" -> 1, "sim_kmeans" -> 2, "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
+    "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,
     // the marginal-bucket theta join probes the count-of-counts histogram
     // — bounded by DISTINCT per-user activity levels (≤ max events/user),
     // a data statistic no static plan walk can see

@@ -499,6 +499,52 @@ object FunnelQueries {
                  |  THEN 1 ELSE 0 END AS INT)""".stripMargin).as("significant"))
         .orderBy("event_type")
     },
+
+    // Daily-volume trend per event type: least-squares slope of daily
+    // counts over epoch-day index — the capacity-planning / drift-alarm
+    // fit every metrics pipeline runs. All four regression moments
+    // (n, Σx, Σy, Σxy, Σxx) accumulate as EXACT BIGINTs over the day-grain
+    // rollup (epoch-day ~2e4, counts bounded — far inside long range), so
+    // partial-agg order can't flip a bit; slope and mean are then single
+    // deterministic double divisions on exact integers (the ev_ab_test
+    // stance). Scale shape: one pushdown scan → map-side-combined
+    // (type, day) rollup → |types|·|days| rows → a types-sized second
+    // aggregate. Nothing corpus-sized ever shuffles twice.
+    Q("ev_trend",
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(day_idx) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         |    CAST(sum(day_idx * c) AS BIGINT) AS sxy,
+         |    CAST(sum(day_idx * day_idx) AS BIGINT) AS sxx
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT event_type, n_days, sy AS total_cnt,
+         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+         |    / (n_days * sxx - sx * sx), 4) AS slope_per_day,
+         |  round(CAST(sy AS DOUBLE) / n_days, 4) AS avg_per_day
+         |FROM m WHERE n_days >= 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"))
+        .groupBy("event_type", "day_idx").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("day_idx").as("sx"), sum("c").as("sy"),
+          sum(expr("day_idx * c")).as("sxy"),
+          sum(expr("day_idx * day_idx")).as("sxx"))
+        .filter(col("n_days") >= 2)
+        .select(col("event_type"), col("n_days"), col("sy").as("total_cnt"),
+          expr("round(cast(n_days * sxy - sx * sy as double) / (n_days * sxx - sx * sx), 4)")
+            .as("slope_per_day"),
+          expr("round(cast(sy as double) / n_days, 4)").as("avg_per_day"))
+        .orderBy("event_type")
+    },
   ) :+ sessionQ
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

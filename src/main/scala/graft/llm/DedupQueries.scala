@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.batch.Q
@@ -629,6 +630,43 @@ object DedupQueries {
                        WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END""")
             .as("change_class"))
         .orderBy("doc_id")
+    },
+
+    // Quality-aware canonical selection — the step after clustering that
+    // dd_clusters' "keeper = min doc_id" deliberately doesn't do: per
+    // near-dup cluster, KEEP THE BEST member (longest n_chars, doc_id
+    // tiebreak), the policy real corpus prep wants when duplicates differ
+    // in truncation or boilerplate. Composes the full
+    // shingle→MinHash→LSH→verify→components chain with one cluster-
+    // partitioned argmax. Scale shape: the chain is the audited
+    // dd_clusters plan; the added work is a doc-level join (AQE picks the
+    // build side) plus a window over CLUSTERS — partition cardinality =
+    // cluster size, bounded by the dedup radius, never corpus-sized.
+    Q("dd_best_of_cluster",
+      s"""WITH RECURSIVE $clusterCtes,
+         |mem AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+         |),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM mem
+         |)
+         |SELECT cluster_id, keep_doc_id, keep_n_chars, n_members
+         |FROM best WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val mem = clustersDF(s, d)
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+      val wC = Window.partitionBy("cluster_id")
+      val wR = wC.orderBy(col("n_chars").desc, col("doc_id"))
+      mem
+        .withColumn("n_members", count(lit(1)).over(wC))
+        .withColumn("rn", row_number().over(wR))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("n_chars").as("keep_n_chars"), col("n_members"))
+        .orderBy("cluster_id")
     },
   )
 

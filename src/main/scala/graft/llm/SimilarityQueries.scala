@@ -32,6 +32,8 @@ import LlmHash._
 object SimilarityQueries {
 
   private val topK = 5
+  /** sim_diverse_topk per-label-cell result cap (the diversity knob). */
+  private val divCap = 2
   /** every 50th vector is a "query" — a deterministic stand-in for a query
     * batch arriving from upstream */
   private val querySel = "vec_id % 50 = 0"
@@ -1113,6 +1115,100 @@ object SimilarityQueries {
         .select(col("query_id"), col("n_hit"), col("k"),
           expr("round(n_hit * 1.0D / k, 4)").as("recall"))
         .orderBy("query_id")
+    },
+
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the top-k most-similar vectors carrying a DIFFERENT
+    // label (same-label neighbors are positives; the near-miss negatives
+    // are what embedding training wants). Exact brute force is the
+    // correctness baseline, same stance as sim_topk_cosine: one corpus
+    // scan per query batch with the query side broadcast (a query BATCH is
+    // constant-bounded — this is the allowed broadcast kind), ranking
+    // windowed per query. Production serves candidates from the IVF route
+    // (sim_ivf) with the label filter applied post-probe; recall of that
+    // swap is gated by the sim_ann_recall harness pattern.
+    Q("sim_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS neg_label,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+         |  WHERE q.$querySel
+         |)
+         |SELECT query_id, neighbor_id, neg_label, round(cos, 4) AS cos_sim
+         |FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+      val q = n.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val scored = n.join(broadcast(q),
+          col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label"),
+          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
+    },
+
+    // Diversity-capped retrieval (MMR-lite): top-k per query with at most
+    // `divCap` results from any one label cell — the cheap deterministic
+    // stand-in for maximal-marginal-relevance reranking (greedy MMR is
+    // sequential per query; the per-cell cap keeps the whole op two window
+    // ranks, embarrassingly parallel across queries, and ORDER-exact for
+    // the oracle). Scale shape: both windows partition by (query[, label])
+    // — parallelism grows with the query batch, and the corpus-sized scan
+    // is the same single broadcast-join pass as sim_topk_cosine; at 100 TB
+    // stage-1 candidates come from the ANN route instead, cap unchanged.
+    Q("sim_diverse_topk",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    c.label AS cell,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |  WHERE q.$querySel
+         |),
+         |capped AS (
+         |  SELECT * FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY query_id, cell ORDER BY cos DESC, neighbor_id) <= $divCap
+         |)
+         |SELECT query_id, neighbor_id, cell, round(cos, 4) AS cos_sim
+         |FROM capped
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val n = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+      val scored = n.join(broadcast(
+          n.filter(expr(querySel)).select(col("vec_id").as("query_id"),
+            col("v").as("qv"), col("nrm").as("qn"))),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("label").as("cell"),
+          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wCell = Window.partitionBy("query_id", "cell")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val wQ = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      scored
+        .withColumn("rc", row_number().over(wCell)).filter(col("rc") <= divCap)
+        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= topK)
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("query_id", "neighbor_id")
     },
   )
 }

@@ -64,6 +64,9 @@ object TextQueries {
         .as("gram"))
       .select(col("doc_id"), expr(sparkH("gram")).as("gh"))
       .distinct()
+  private val kmvK = 64 // KMV sketch size (bottom-k minimum hash values)
+  private val kmvSalts = 8 // level-1 fan-out for the skew-safe bottom-k
+  private val stratSalts = 8 // per-stratum allocation cells for tx_stratified_sample
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
   // Gopher-style composite gate thresholds (Rae et al. repetition rules,
@@ -2135,6 +2138,105 @@ object TextQueries {
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
           expr("cast(floor(coalesce(n_novel, 0) * 1000.0 / n_grams) as bigint)")
             .as("novelty_permille"))
+        .orderBy("doc_id")
+    },
+
+    // KMV (k-minimum-values) distinct-token sketch per language, reported
+    // NEXT TO the exact count it estimates — the cardinality-sketch
+    // counterpart of the spec-gated streaming HLL. The estimator is the
+    // classic (k-1)·D/h_k (D = 2^60, the md5_long60 domain): the k-th
+    // smallest hash of a set of n uniform draws sits near k·D/n. Both
+    // engines hash identically, so kth_min, the estimate, and the
+    // error-permille audit column are all hash-exact.
+    //
+    // Scale shape: tokens shuffle once as 60-bit folds for the distinct;
+    // the bottom-k never orders a whole language in one partition — a
+    // hash-derived salt fans each language across $kmvSalts cells, each
+    // cell keeps its own k smallest (rank ≤ k), and only salts·k
+    // survivors meet the final per-language rank. The exact count is a
+    // map-side-combined rollup of the same distinct frame (persisted,
+    // read twice). At 100 TB the exact column drops and the sketch IS
+    // the answer — k·langs rows of state, one shuffle.
+    Q("tx_kmv_distinct", {
+      val d = "1152921504606846976.0" // 2^60, the hash domain size
+      s"""WITH tk AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS tok FROM documents),
+         |di AS (SELECT DISTINCT lang, ${duckH("'kmv:' || tok")} AS h FROM tk),
+         |rk AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM di
+         |),
+         |kth AS (SELECT lang, max(h) AS kth_min FROM rk WHERE rn <= $kmvK GROUP BY lang),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM di GROUP BY lang),
+         |est AS (
+         |  SELECT k.lang, e.n_exact, k.kth_min,
+         |    CAST(round(($kmvK - 1) * $d / k.kth_min, 0) AS BIGINT) AS est_distinct
+         |  FROM kth k JOIN ex e ON e.lang = k.lang
+         |)
+         |SELECT lang, n_exact, kth_min, est_distinct,
+         |  CAST(floor(abs(est_distinct - n_exact) * 1000.0 / n_exact) AS BIGINT) AS err_permille
+         |FROM est ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val dom = "1152921504606846976.0D"
+      val di = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
+        .select(col("lang"), expr(sparkH("concat('kmv:', tok)")).as("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK) // bottom-k + exact count both read it
+      val w1 = Window.partitionBy("lang", "salt").orderBy("h")
+      val w2 = Window.partitionBy("lang").orderBy("h")
+      val kth = di
+        .withColumn("salt", pmod(col("h"), lit(kmvSalts)))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= kmvK)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= kmvK)
+        .groupBy("lang").agg(max("h").as("kth_min"))
+      val ex = di.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      kth.join(ex, "lang")
+        .withColumn("est_distinct",
+          expr(s"cast(round((${kmvK - 1}) * $dom / kth_min, 0) as bigint)"))
+        .select(col("lang"), col("n_exact"), col("kth_min"), col("est_distinct"),
+          expr("cast(floor(abs(est_distinct - n_exact) * 1000.0 / n_exact) as bigint)")
+            .as("err_permille"))
+        .orderBy("lang")
+    },
+
+    // Exact-allocation stratified sampling — the mixture-construction
+    // primitive tx_sample (hash-Bernoulli) can't give: each (lang, source)
+    // stratum contributes EXACTLY ceil(10%) of itself, in deterministic
+    // hash order. The allocation runs per (stratum, salt) cell, not per
+    // stratum: each of the $stratSalts hash-derived cells samples ceil(10%)
+    // of its own rows, so the per-partition sort never sees a whole
+    // stratum (the tx_source_cap skew stance, adapted to fractional take —
+    // a fixed per-salt cap can't express "10% of n", a per-cell ceil can).
+    // Total take per stratum is within +$stratSalts of the exact ceil,
+    // bias-free, and both engines compute the identical cell membership.
+    Q("tx_stratified_sample", {
+      val h = duckH("'strat:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (SELECT doc_id, lang, source, $h AS h FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang, source, h % $stratSalts ORDER BY h, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang, source, h % $stratSalts) AS n_cell
+         |  FROM b
+         |)
+         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS cell_rank
+         |FROM r WHERE rk <= (n_cell + 9) // 10
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val h = sparkH("concat('strat:', cast(doc_id as string))")
+      val b = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), expr(h).as("h"),
+          pmod(expr(h), lit(stratSalts)).as("salt"))
+      val w = Window.partitionBy("lang", "source", "salt").orderBy(col("h"), col("doc_id"))
+      b.withColumn("rk", row_number().over(w))
+        .withColumn("n_cell", count(lit(1)).over(
+          Window.partitionBy("lang", "source", "salt")))
+        .filter(col("rk") <= expr("(n_cell + 9) div 10"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rk").cast("long").as("cell_rank"))
         .orderBy("doc_id")
     },
   )

@@ -529,20 +529,9 @@ object FunnelQueries {
          |    / (n_days * sxx - sx * sx), 4) AS slope_per_day,
          |  round(CAST(sy AS DOUBLE) / n_days, 4) AS avg_per_day
          |FROM m WHERE n_days >= 2 ORDER BY event_type""".stripMargin) { (s, d) =>
-      Tables.events(s, d)
+      trendDF(Tables.events(s, d)
         .select(col("event_type"),
-          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"))
-        .groupBy("event_type", "day_idx").agg(count(lit(1)).as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum("day_idx").as("sx"), sum("c").as("sy"),
-          sum(expr("day_idx * c")).as("sxy"),
-          sum(expr("day_idx * day_idx")).as("sxx"))
-        .filter(col("n_days") >= 2)
-        .select(col("event_type"), col("n_days"), col("sy").as("total_cnt"),
-          expr("round(cast(n_days * sxy - sx * sy as double) / (n_days * sxx - sx * sx), 4)")
-            .as("slope_per_day"),
-          expr("round(cast(sy as double) / n_days, 4)").as("avg_per_day"))
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
         .orderBy("event_type")
     },
   ) :+ sessionQ
@@ -583,6 +572,23 @@ object FunnelQueries {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
         .orderBy("user_id", "session_id")
     }
+
+  /** Body of `ev_trend` over any (event_type, day_idx) frame — factored so
+    * the planted-series spec drives the real moment accumulation. */
+  private[graft] def trendDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev
+      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("day_idx").as("sx"), sum("c").as("sy"),
+        sum(expr("day_idx * c")).as("sxy"),
+        sum(expr("day_idx * day_idx")).as("sxx"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"), col("sy").as("total_cnt"),
+        expr("round(cast(n_days * sxy - sx * sy as double) / (n_days * sxx - sx * sx), 4)")
+          .as("slope_per_day"),
+        expr("round(cast(sy as double) / n_days, 4)").as("avg_per_day"))
 
   /** Gap-segmentation core shared by `ev_sessions` and `ev_paths`: appends
     * `sid` (1..n per user in (us, event_id) order) to any frame carrying

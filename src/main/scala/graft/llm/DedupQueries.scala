@@ -656,19 +656,26 @@ object DedupQueries {
          |)
          |SELECT cluster_id, keep_doc_id, keep_n_chars, n_members
          |FROM best WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
-      val mem = clustersDF(s, d)
-        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
-      val wC = Window.partitionBy("cluster_id")
-      val wR = wC.orderBy(col("n_chars").desc, col("doc_id"))
-      mem
-        .withColumn("n_members", count(lit(1)).over(wC))
-        .withColumn("rn", row_number().over(wR))
-        .filter(col("rn") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
-          col("n_chars").as("keep_n_chars"), col("n_members"))
+      bestOfClusterDF(clustersDF(s, d),
+        Tables.documents(s, d).select("doc_id", "n_chars"))
         .orderBy("cluster_id")
     },
   )
+
+  /** dd_best_of_cluster selection over any (doc_id, cluster_id) components
+    * frame + (doc_id, n_chars) quality frame — factored so the planted-
+    * cluster spec drives the real argmax. */
+  private[llm] def bestOfClusterDF(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val mem = clusters.join(docs, "doc_id")
+    val wC = Window.partitionBy("cluster_id")
+    val wR = wC.orderBy(col("n_chars").desc, col("doc_id"))
+    mem
+      .withColumn("n_members", count(lit(1)).over(wC))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("n_chars").as("keep_n_chars"), col("n_members"))
+  }
 
   /** Shared oracle for `dd_split` and its staged twin — both must produce
     * the identical split, whatever produced the component table. */

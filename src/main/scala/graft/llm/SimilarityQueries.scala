@@ -1142,23 +1142,7 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val n = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
-      val q = n.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-          col("v").as("qv"), col("nrm").as("qn"))
-      val scored = n.join(broadcast(q),
-          col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("label").as("neg_label"),
-          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
-        .select(col("query_id"), col("neighbor_id"), col("neg_label"),
-          round(col("cos"), 4).as("cos_sim"))
-        .orderBy("query_id", "neighbor_id")
+      hardNegativesDF(Tables.embeddings(s, d)).orderBy("query_id", "neighbor_id")
     },
 
     // Diversity-capped retrieval (MMR-lite): top-k per query with at most
@@ -1189,26 +1173,54 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $topK
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val n = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
-      val scored = n.join(broadcast(
-          n.filter(expr(querySel)).select(col("vec_id").as("query_id"),
-            col("v").as("qv"), col("nrm").as("qn"))),
-          col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("label").as("cell"),
-          (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
-      val wCell = Window.partitionBy("query_id", "cell")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val wQ = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      scored
-        .withColumn("rc", row_number().over(wCell)).filter(col("rc") <= divCap)
-        .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= topK)
-        .select(col("query_id"), col("neighbor_id"), col("cell"),
-          round(col("cos"), 4).as("cos_sim"))
-        .orderBy("query_id", "neighbor_id")
+      diverseTopkDF(Tables.embeddings(s, d)).orderBy("query_id", "neighbor_id")
     },
   )
+
+  /** sim_hard_negatives body over any (vec_id, embedding, label) frame —
+    * factored so the planted-negative spec drives the real chain. Requires
+    * GraftFunctions registered. */
+  private[llm] def hardNegativesDF(emb: DataFrame): DataFrame = {
+    val n = emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+    val q = n.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** sim_diverse_topk body over any (vec_id, embedding, label) frame —
+    * factored so the cap spec drives the real two-rank chain. Requires
+    * GraftFunctions registered. */
+  private[llm] def diverseTopkDF(emb: DataFrame): DataFrame = {
+    val n = emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${sparkDot("v", "v")})"))
+    val scored = n.join(broadcast(
+        n.filter(expr(querySel)).select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qn"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("cell"),
+        (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos"))
+    val wCell = Window.partitionBy("query_id", "cell")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wQ = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rc", row_number().over(wCell)).filter(col("rc") <= divCap)
+      .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
 }

@@ -2178,28 +2178,7 @@ object TextQueries {
          |FROM est ORDER BY lang""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val dom = "1152921504606846976.0D"
-      val di = Tables.documents(s, d)
-        .select(col("lang"),
-          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
-        .select(col("lang"), expr(sparkH("concat('kmv:', tok)")).as("h"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK) // bottom-k + exact count both read it
-      val w1 = Window.partitionBy("lang", "salt").orderBy("h")
-      val w2 = Window.partitionBy("lang").orderBy("h")
-      val kth = di
-        .withColumn("salt", pmod(col("h"), lit(kmvSalts)))
-        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= kmvK)
-        .withColumn("rn", row_number().over(w2)).filter(col("rn") <= kmvK)
-        .groupBy("lang").agg(max("h").as("kth_min"))
-      val ex = di.groupBy("lang").agg(count(lit(1)).as("n_exact"))
-      kth.join(ex, "lang")
-        .withColumn("est_distinct",
-          expr(s"cast(round((${kmvK - 1}) * $dom / kth_min, 0) as bigint)"))
-        .select(col("lang"), col("n_exact"), col("kth_min"), col("est_distinct"),
-          expr("cast(floor(abs(est_distinct - n_exact) * 1000.0 / n_exact) as bigint)")
-            .as("err_permille"))
-        .orderBy("lang")
+      kmvDistinctDF(Tables.documents(s, d)).orderBy("lang")
     },
 
     // Exact-allocation stratified sampling — the mixture-construction
@@ -2226,20 +2205,55 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val h = sparkH("concat('strat:', cast(doc_id as string))")
-      val b = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), expr(h).as("h"),
-          pmod(expr(h), lit(stratSalts)).as("salt"))
-      val w = Window.partitionBy("lang", "source", "salt").orderBy(col("h"), col("doc_id"))
-      b.withColumn("rk", row_number().over(w))
-        .withColumn("n_cell", count(lit(1)).over(
-          Window.partitionBy("lang", "source", "salt")))
-        .filter(col("rk") <= expr("(n_cell + 9) div 10"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("rk").cast("long").as("cell_rank"))
-        .orderBy("doc_id")
+      stratifiedSampleDF(Tables.documents(s, d)).orderBy("doc_id")
     },
   )
+
+  /** tx_kmv_distinct body over any (lang, text) frame — factored so the
+    * estimator-envelope spec drives the real salted bottom-k chain.
+    * Requires GraftFunctions registered. */
+  private[llm] def kmvDistinctDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dom = "1152921504606846976.0D" // 2^60, the hash domain size
+    val di = docs
+      .select(col("lang"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
+      .select(col("lang"), expr(sparkH("concat('kmv:', tok)")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // bottom-k + exact count both read it
+    val w1 = Window.partitionBy("lang", "salt").orderBy("h")
+    val w2 = Window.partitionBy("lang").orderBy("h")
+    val kth = di
+      .withColumn("salt", pmod(col("h"), lit(kmvSalts)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= kmvK)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= kmvK)
+      .groupBy("lang").agg(max("h").as("kth_min"))
+    val ex = di.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    kth.join(ex, "lang")
+      .withColumn("est_distinct",
+        expr(s"cast(round((${kmvK - 1}) * $dom / kth_min, 0) as bigint)"))
+      .select(col("lang"), col("n_exact"), col("kth_min"), col("est_distinct"),
+        expr("cast(floor(abs(est_distinct - n_exact) * 1000.0 / n_exact) as bigint)")
+          .as("err_permille"))
+  }
+
+  /** tx_stratified_sample body over any (doc_id, lang, source) frame —
+    * factored so the allocation spec drives the real per-cell chain.
+    * Requires GraftFunctions registered. */
+  private[llm] def stratifiedSampleDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = sparkH("concat('strat:', cast(doc_id as string))")
+    val b = docs
+      .select(col("doc_id"), col("lang"), col("source"), expr(h).as("h"),
+        pmod(expr(h), lit(stratSalts)).as("salt"))
+    val w = Window.partitionBy("lang", "source", "salt").orderBy(col("h"), col("doc_id"))
+    b.withColumn("rk", row_number().over(w))
+      .withColumn("n_cell", count(lit(1)).over(
+        Window.partitionBy("lang", "source", "salt")))
+      .filter(col("rk") <= expr("(n_cell + 9) div 10"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("cell_rank"))
+  }
 
   /** Quantized per-token -ln(p) contribution under add-1/2 smoothing, as a
     * SQL fragment over columns `mc` (model count, null = OOV), `n`, `v`

@@ -1,0 +1,118 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-case specs for the round-5 mining/sketch/sampling operators —
+  * each drives the REAL factored query body (not a re-implementation), so
+  * a regression in the production chain fails here before the oracle runs.
+  */
+class MiningSpec extends SparkSpec {
+
+  import spark.implicits._
+  graft.functions.GraftFunctions.register(spark)
+
+  private def vec(base: Float, jitter: Float = 0f): Array[Float] =
+    Array.tabulate(8)(i => base + i * 0.5f + (if (i == 0) jitter else 0f))
+
+  test("sim_hard_negatives: same-label near-dup excluded, different-label near-dup ranks first") {
+    // query 0 (label 0): vec_id % 50 = 0 selects it. Neighbor 1 is an
+    // almost-identical SAME-label vector (a positive — must never appear);
+    // neighbor 2 is an almost-identical DIFFERENT-label vector (the hard
+    // negative — must rank first); neighbor 3 is a far different-label one.
+    val emb = Seq(
+      (0L, vec(1f), 0),
+      (1L, vec(1f, 0.01f), 0),
+      (2L, vec(1f, 0.02f), 1),
+      (3L, Array.tabulate(8)(i => (if (i % 2 == 0) 5f else -3f)), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityQueries.hardNegativesDF(emb)
+      .filter(col("query_id") === 0L)
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      .collect()
+    assert(!out.map(_.getLong(1)).contains(1L), "same-label neighbor is a positive, not a negative")
+    assert(out.head.getLong(1) == 2L, "the near-identical different-label vector is the top hard negative")
+    assert(out.map(_.getLong(1)).toSet == Set(2L, 3L))
+    assert(out.head.getInt(2) == 1, "neg_label carries the negative's cell")
+  }
+
+  test("sim_diverse_topk: per-cell cap binds, freed slots go to the next cell") {
+    // query 0 (label 9). Cell 1 holds FOUR near-identical top matches —
+    // without the cap all of top-4 would come from cell 1; with divCap=2
+    // exactly two survive and cells 2/3 fill the remaining topK slots.
+    val emb = Seq(
+      (0L, vec(1f), 9),
+      (1L, vec(1f, 0.01f), 1), (2L, vec(1f, 0.02f), 1),
+      (3L, vec(1f, 0.03f), 1), (4L, vec(1f, 0.04f), 1),
+      (5L, vec(2f), 2), (6L, vec(2f, 0.1f), 2),
+      (7L, vec(4f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityQueries.diverseTopkDF(emb)
+      .filter(col("query_id") === 0L).collect()
+    val byCell = out.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(byCell.getOrElse(1, 0) == 2, s"cell 1 capped at divCap=2, got $byCell")
+    assert(out.length == 5, "freed slots fill from other cells up to topK")
+    assert(byCell.getOrElse(2, 0) == 2 && byCell.getOrElse(3, 0) == 1)
+  }
+
+  test("tx_kmv_distinct: exact count exact, estimate inside the k=64 sketch envelope") {
+    // 40 docs x 25 disjoint tokens = exactly 1000 distinct tokens.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 25).map(j => s"tok${i}x$j").mkString(" "), "aa")
+    }.toDF("doc_id", "text", "lang")
+    val out = TextQueries.kmvDistinctDF(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_exact")) == 1000L)
+    val est = r.getLong(r.fieldIndex("est_distinct"))
+    // KMV relative std ~ 1/sqrt(k-1) = 12.6%; 50% is a regression gate,
+    // not a statistics claim (the value itself is deterministic).
+    assert(est > 500 && est < 2000, s"estimate $est outside the sanity envelope")
+    assert(r.getLong(r.fieldIndex("err_permille")) < 500)
+  }
+
+  test("tx_stratified_sample: per-stratum take within [ceil(10%), ceil(10%)+salts]; repartition-stable") {
+    val docs = ((0 until 100).map(i => (i.toLong, "en", "web")) ++
+      (100 until 107).map(i => (i.toLong, "de", "book")))
+      .toDF("doc_id", "lang", "source")
+      .withColumn("text", lit("x")) // unused by the body; schema parity
+      .select("doc_id", "lang", "source")
+    val out = TextQueries.stratifiedSampleDF(docs).collect()
+    val takes = out.groupBy(r => (r.getString(1), r.getString(2))).view.mapValues(_.length).toMap
+    def ceil10(n: Int) = (n + 9) / 10
+    val en = takes(("en", "web")); val de = takes(("de", "book"))
+    assert(en >= ceil10(100) && en <= ceil10(100) + 8, s"en take $en")
+    assert(de >= ceil10(7) && de <= ceil10(7) + 8, s"de take $de")
+    val again = TextQueries.stratifiedSampleDF(docs.repartition(13))
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.map(_.getLong(0)).sorted),
+      "the sample is a pure function of the doc set, not of partitioning")
+  }
+
+  test("ev_trend: planted linear series recovers the exact slope; single-day type filtered") {
+    // type "up": day d has 5 + 3d events (d = 0..9) -> slope exactly 3.0,
+    // mean exactly 18.5. type "one": a single day, below the n_days floor.
+    val rows =
+      (for { d <- 0 until 10; _ <- 0 until (5 + 3 * d) } yield ("up", d.toLong)) ++
+        Seq.fill(4)(("one", 3L))
+    val out = graft.batch.FunnelQueries.trendDF(rows.toDF("event_type", "day_idx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("one"), "n_days >= 2 floor")
+    val up = out("up")
+    assert(up.getLong(up.fieldIndex("n_days")) == 10L)
+    assert(up.getLong(up.fieldIndex("total_cnt")) == (0 until 10).map(5 + 3 * _).sum)
+    assert(up.getDouble(up.fieldIndex("slope_per_day")) == 3.0)
+    assert(up.getDouble(up.fieldIndex("avg_per_day")) == 18.5)
+  }
+
+  test("dd_best_of_cluster: longest member kept, doc_id breaks length ties") {
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((10L, 100L), (11L, 300L), (12L, 300L), (20L, 50L), (21L, 50L))
+      .toDF("doc_id", "n_chars")
+    val out = DedupQueries.bestOfClusterDF(clusters, docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((11L, 300L, 3L)), "longest wins; equal lengths -> lower doc_id")
+    assert(out(20L) == ((20L, 50L, 2L)))
+  }
+}

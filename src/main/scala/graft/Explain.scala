@@ -48,6 +48,7 @@ object Explain {
     "sim_ivfpq" -> 1, "sim_kmeans" -> 2, "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,
+    "sim_recall_curve" -> 1,
     // the marginal-bucket theta join probes the count-of-counts histogram
     // — bounded by DISTINCT per-user activity levels (≤ max events/user),
     // a data statistic no static plan walk can see
@@ -124,6 +125,9 @@ object Explain {
     case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
     case _: GlobalLimitExec | _: LocalLimitExec => true
     case _: LocalTableScanExec => true
+    // a reused broadcast of a provably-constant exchange is constant too
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      constantSized(r.child)
     case u: UnaryExecNode if rowPreserving(u) => constantSized(u.child)
     case _ => false
   }

@@ -534,7 +534,107 @@ object FunnelQueries {
           expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
         .orderBy("event_type")
     },
+    // RFM user segmentation (recency / frequency / monetary — the
+    // marketing-analytics workhorse behind churn targeting and LTV
+    // tiers): per user, days since last activity, event count, and exact
+    // cent volume (the ev_histogram integer stance), each scored 1..3
+    // against corpus-wide tercile THRESHOLD VALUES — not per-user ranks —
+    // so equal metrics always land in the same bucket and the score join
+    // is a 3-row broadcast. Thresholds are DISCRETE rank selections over
+    // the unpivoted (dim, badness) frame (the tx_len_quantiles stance:
+    // exact rank selection per dim partition, with approx_percentile's
+    // mergeable sketch as the documented 100 TB swap); all comparisons
+    // are pure integers.
+    Q("ev_rfm",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(max(epoch_us(date_trunc('day', ts)) // $dayUs) AS BIGINT) AS last_day,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1
+         |),
+         |mx AS (SELECT max(last_day) AS maxd, CAST(count(*) AS BIGINT) AS n FROM u),
+         |b AS (
+         |  SELECT u.user_id, (mx.maxd - u.last_day) AS recency_days, u.freq, u.cents, mx.n
+         |  FROM u, mx
+         |),
+         |p AS (
+         |  SELECT user_id, 'r' AS dim, recency_days AS bad, n FROM b
+         |  UNION ALL SELECT user_id, 'f', -freq, n FROM b
+         |  UNION ALL SELECT user_id, 'm', -cents, n FROM b
+         |),
+         |rk AS (
+         |  SELECT dim, bad, n,
+         |    row_number() OVER (PARTITION BY dim ORDER BY bad, user_id) AS rn
+         |  FROM p
+         |),
+         |th AS (
+         |  SELECT dim,
+         |    max(CASE WHEN rn = (n + 2) // 3 THEN bad END) AS t1,
+         |    max(CASE WHEN rn = (2 * n + 2) // 3 THEN bad END) AS t2
+         |  FROM rk GROUP BY dim
+         |),
+         |sc AS (
+         |  SELECT p.user_id AS uid, p.dim,
+         |    CASE WHEN p.bad <= th.t1 THEN 3 WHEN p.bad <= th.t2 THEN 2 ELSE 1 END AS s
+         |  FROM p JOIN th ON th.dim = p.dim
+         |)
+         |SELECT b.user_id, b.recency_days, b.freq AS frequency, b.cents AS monetary_cents,
+         |  CAST(r.s AS INT) AS r_score, CAST(f.s AS INT) AS f_score, CAST(m.s AS INT) AS m_score,
+         |  CAST(r.s * 100 + f.s * 10 + m.s AS INT) AS rfm_code
+         |FROM b
+         |JOIN sc r ON r.uid = b.user_id AND r.dim = 'r'
+         |JOIN sc f ON f.uid = b.user_id AND f.dim = 'f'
+         |JOIN sc m ON m.uid = b.user_id AND m.dim = 'm'
+         |ORDER BY b.user_id""".stripMargin) { (s, d) =>
+      rfmDF(Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"),
+          expr("cast(floor(value * 100) as bigint)").as("cents")))
+        .orderBy("user_id")
+    },
   ) :+ sessionQ
+
+  /** Body of `ev_rfm` over any (user_id, day_idx, cents) frame — factored
+    * so the planted-tercile spec drives the real threshold selection. */
+  private[graft] def rfmDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // user-grain stats feed the 1-row corpus max, the unpivot (3x), and
+    // the final assembly — persisted so the events scan runs once, not
+    // once per consumer branch (caller clearCache()s per the Verify/Bench
+    // contract)
+    val u = ev.groupBy("user_id")
+      .agg(max("day_idx").as("last_day"), count(lit(1)).as("freq"),
+        sum("cents").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = u.agg(max("last_day").as("maxd"), count(lit(1)).as("n"))
+    val b = u.crossJoin(broadcast(mx)) // 1-row corpus stats
+      .select(col("user_id"), (col("maxd") - col("last_day")).as("recency_days"),
+        col("freq"), col("cents"), col("n"))
+    val p = b.select(col("user_id"), lit("r").as("dim"), col("recency_days").as("bad"), col("n"))
+      .unionByName(b.select(col("user_id"), lit("f").as("dim"), (-col("freq")).as("bad"), col("n")))
+      .unionByName(b.select(col("user_id"), lit("m").as("dim"), (-col("cents")).as("bad"), col("n")))
+    val w = Window.partitionBy("dim").orderBy(col("bad"), col("user_id"))
+    val th = p.withColumn("rn", row_number().over(w))
+      .groupBy("dim")
+      .agg(max(when(col("rn") === expr("(n + 2) div 3"), col("bad"))).as("t1"),
+        max(when(col("rn") === expr("(2 * n + 2) div 3"), col("bad"))).as("t2"))
+    val sc = p.join(broadcast(th), "dim")
+      .select(col("user_id"), col("dim"),
+        when(col("bad") <= col("t1"), 3).when(col("bad") <= col("t2"), 2).otherwise(1).as("s"))
+    def dimScore(dim: String, name: String) =
+      sc.filter(col("dim") === dim).select(col("user_id"), col("s").as(name))
+    b.select("user_id", "recency_days", "freq", "cents")
+      .withColumnRenamed("freq", "frequency").withColumnRenamed("cents", "monetary_cents")
+      .join(dimScore("r", "r_score"), "user_id")
+      .join(dimScore("f", "f_score"), "user_id")
+      .join(dimScore("m", "m_score"), "user_id")
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        col("r_score").cast("int").as("r_score"), col("f_score").cast("int").as("f_score"),
+        col("m_score").cast("int").as("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int").as("rfm_code"))
+  }
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a
     * separate val only for readability of the two query families. */

@@ -34,6 +34,9 @@ object SimilarityQueries {
   private val topK = 5
   /** sim_diverse_topk per-label-cell result cap (the diversity knob). */
   private val divCap = 2
+  /** sim_recall_curve sweep points and their max (the rank-frame cutoff). */
+  private val curveKs = Seq(1, 3, 5, 10)
+  private val curveMaxK = curveKs.max
   /** every 50th vector is a "query" — a deterministic stand-in for a query
     * batch arriving from upstream */
   private val querySel = "vec_id % 50 = 0"
@@ -1174,6 +1177,80 @@ object SimilarityQueries {
          |ORDER BY query_id, neighbor_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       diverseTopkDF(Tables.embeddings(s, d)).orderBy("query_id", "neighbor_id")
+    },
+    // Recall@k CURVE for the sign-LSH ANN route (the dd_threshold_curve
+    // stance applied to ANN evaluation): recall at k = 1/3/5/10 in ONE
+    // pass over the two ranked lists — the "is one hash table enough, and
+    // at what k does it degrade" audit behind every prod ANN rollout.
+    // All cost is the two scored frames sim_ann_recall already pays; the
+    // sweep itself is a 4-literal-row join against the ≤10-rank pairs
+    // (query-batch-sized), counted map-side. Hits and possible counts are
+    // exact integers; recall is the unrounded int/int quotient.
+    Q("sim_recall_curve", {
+      val exact2 =
+        s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
+           |s2 AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+           |  FROM n2 q JOIN n2 c ON c.vec_id <> q.vec_id
+           |  WHERE q.$querySel
+           |)""".stripMargin
+      s"""WITH $annCtes,
+         |$exact2,
+         |ek AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn_e
+         |  FROM s2
+         |),
+         |ak AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn_a
+         |  FROM s
+         |),
+         |p AS (
+         |  SELECT e.query_id, e.rn_e, a.rn_a
+         |  FROM ek e LEFT JOIN ak a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  WHERE e.rn_e <= $curveMaxK
+         |),
+         |ks AS (SELECT unnest([${curveKs.mkString(", ")}]) AS k)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN rn_a <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  sum(CASE WHEN rn_a <= k THEN 1 ELSE 0 END) * 1.0 / count(*) AS recall
+         |FROM p JOIN ks ON p.rn_e <= ks.k
+         |GROUP BY k ORDER BY k""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val n = vectors(s, d).withColumn("bucket", expr(bucketSparkExpr))
+      val q = n.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      def ranked(scored: DataFrame, rnName: String) = {
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        scored.withColumn(rnName, row_number().over(w))
+      }
+      val exact = ranked(
+        n.join(broadcast(q.drop("qbucket")), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos")), "rn_e")
+        .filter(col("rn_e") <= curveMaxK)
+        .select("query_id", "neighbor_id", "rn_e")
+      val ann = ranked(
+        n.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (expr(sparkDot("qv", "v")) / (col("qn") * col("nrm"))).as("cos")), "rn_a")
+        .select("query_id", "neighbor_id", "rn_a")
+      val ksDF = s.createDataFrame(curveKs.map(Tuple1(_))).toDF("k")
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .join(broadcast(ksDF), col("rn_e") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("rn_a") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+        .select(col("k").cast("long").as("k"), col("n_pairs"), col("n_hits"),
+          expr("n_hits * 1.0D / n_pairs").as("recall"))
+        .orderBy("k")
     },
   )
 

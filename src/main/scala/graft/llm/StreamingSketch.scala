@@ -92,6 +92,61 @@ object StreamingSketch {
       }
   }
 
+  /** One KMV emission: the shard's current bottom-k token hashes. */
+  case class KmvRow(shard: Int, h: Long, ver: Long)
+
+  /** Bottom-k-hashes state + version. */
+  case class KV(rows: Seq[Long], ver: Long)
+
+  /** Streaming KMV distinct-token sketch — the ingest twin of
+    * `tx_kmv_distinct` (how many distinct tokens has this crawl produced
+    * so far, without a per-token state row): each shard keeps the k
+    * SMALLEST distinct `md5_long60('kmv:' || token)` values — the same
+    * hash key as the batch sketch, so the streaming and batch estimates
+    * are the SAME number on the same token set. Bottom-k sketches are
+    * exactly mergeable and order-free: the result is a pure function of
+    * the token SET (arrival order, batching, restarts can't change it —
+    * the sampleStream proof pattern, spec-pinned against the batch
+    * sketch). State = k longs per shard, constant in stream length;
+    * tokens shard BY HASH so each shard's bottom-k is a uniform
+    * sub-sketch and [[kmvEstimate]] merges them into the global estimate. */
+  def kmvStream(docs: Dataset[DocEvent], k: Int = 16, shards: Int = 4): Dataset[KmvRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val hashes = docs.toDF()
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token"))
+      .select(expr("md5_long60(concat('kmv:', token))").as("h"))
+      .select(col("h"), pmod(col("h"), lit(shards)).cast("int").as("shard"))
+      .as[(Long, Int)]
+    hashes.groupByKey(_._2)
+      .flatMapGroupsWithState[KV, KmvRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val st = state.getOption.getOrElse(KV(Seq.empty, 0L))
+          val merged = (st.rows.iterator ++ rows.map(_._1))
+            .toSeq.distinct.sorted.take(k)
+          val ver = st.ver + 1
+          state.update(KV(merged, ver))
+          merged.iterator.map(h => KmvRow(shard, h, ver))
+      }
+  }
+
+  /** Global distinct estimate from [[kmvStream]] emissions: latest `ver`
+    * per shard, union the shard bottom-k's, global bottom-k, then the
+    * tx_kmv_distinct estimator (k−1)·D/h_k over the 60-bit domain. */
+  def kmvEstimate(emissions: org.apache.spark.sql.DataFrame, k: Int): Long = {
+    val hs = emissions
+      .withColumn("maxv", max("ver").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+      .filter(col("ver") === col("maxv"))
+      .select("h").distinct()
+      .orderBy("h").limit(k)
+      .collect().map(_.getLong(0))
+    require(hs.length == k, s"need at least k=$k distinct hashes, saw ${hs.length}")
+    math.round((k - 1) * 1152921504606846976.0 / hs.max)
+  }
+
   def heavyHitters(docs: Dataset[DocEvent], k: Int = 8, shards: Int = 4): Dataset[TokenHH] = {
     val spark = docs.sparkSession
     import spark.implicits._

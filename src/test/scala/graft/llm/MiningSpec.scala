@@ -105,6 +105,24 @@ class MiningSpec extends SparkSpec {
     assert(up.getDouble(up.fieldIndex("avg_per_day")) == 18.5)
   }
 
+  test("ev_rfm: planted metric ladder lands each user in its exact tercile") {
+    // user u (1..9): u events, all on day u, 10u cents each -> recency
+    // 9-u days, frequency u, monetary 10u^2 cents. Terciles split 3/3/3:
+    // users 7-9 are the best third on EVERY dimension, 4-6 the middle.
+    val ev = (1 to 9).flatMap(u => Seq.fill(u)((u.toLong, u.toLong, 10L * u)))
+      .toDF("user_id", "day_idx", "cents")
+    val out = graft.batch.FunnelQueries.rfmDF(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def code(u: Long) = out(u).getInt(out(u).fieldIndex("rfm_code"))
+    assert(code(9L) == 333 && code(8L) == 333 && code(7L) == 333)
+    assert(code(5L) == 222 && code(4L) == 222 && code(6L) == 222)
+    assert(code(1L) == 111 && code(3L) == 111)
+    val u9 = out(9L)
+    assert(u9.getLong(u9.fieldIndex("recency_days")) == 0L)
+    assert(u9.getLong(u9.fieldIndex("frequency")) == 9L)
+    assert(u9.getLong(u9.fieldIndex("monetary_cents")) == 810L)
+  }
+
   test("dd_best_of_cluster: longest member kept, doc_id breaks length ties") {
     val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
       .toDF("doc_id", "cluster_id")

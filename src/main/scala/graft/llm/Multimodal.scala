@@ -69,7 +69,12 @@ object Multimodal {
   // hash-gates the round trip: the oracle recomputes the expected
   // dimensions and pixel sum from the generation parameters, so a decoder
   // that misparsed the container (or a generator that miswrote it) fails
-  // the gate. Video/audio stay stubbed (decodeStub) — no JDK codec exists.
+  // the gate. The JDK likewise ships a WAV codec (javax.sound.sampled, the
+  // same java.desktop module) — so the AUDIO leg is real too: hand-write a
+  // canonical 8-bit-PCM mono RIFF/WAVE container, decode it with
+  // AudioSystem, and window the decoded samples into integer energies
+  // (mm_audio_energy hash-gates the round trip). Only VIDEO stays stubbed
+  // (decodeStub) — no JDK codec exists.
 
   /** One decoded still image: true ImageIO dimensions + sum over all
     * pixels of (r + g + b). */
@@ -183,6 +188,83 @@ object Multimodal {
         require(img != null, s"ImageIO could not decode payload for doc ${a.doc_id}")
         val (hi, lo) = ahash(img)
         ImageHash(a.doc_id, hi, lo)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ real audio path
+
+  /** Energy-window length in samples and the silence threshold (a window
+    * is "silent" when its Σ(s−128)² sits below avg-amplitude-16, i.e.
+    * 64·16²). Mirrored literally in the mm_audio_energy oracle. */
+  val AudioWin = 64
+  val SilenceEnergy: Long = AudioWin.toLong * 16 * 16
+
+  /** One decoded recording: decoder-REPORTED sample count and rate, plus
+    * exact-integer windowed energy stats. */
+  case class DecodedAudio(doc_id: Long, n_samples: Long, sample_rate: Long,
+      n_windows: Long, total_energy: Long, n_silent: Long, peak: Long)
+
+  /** The deterministic test signal: sample i = (seed + 17i + (i² mod 97))
+    * mod 256 — pure integer ops, mirrored in the oracle SQL. */
+  def genSamples(n: Int, seed: Long): Array[Int] =
+    Array.tabulate(n)(i => ((seed + 17L * i + (i.toLong * i % 97)) % 256).toInt)
+
+  /** Canonical 8-bit unsigned PCM mono RIFF/WAVE container around the
+    * given samples — simple enough to write by hand, rich enough that a
+    * decoder must parse chunk sizes, the fmt block, and the data offset
+    * correctly to reproduce the samples. */
+  def makeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0)
+    val buf = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(36 + samples.length); tag("WAVE")
+    tag("fmt "); buf.putInt(16)
+    buf.putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate = rate (8-bit mono)
+      .putShort(1).putShort(8) // block align, bits/sample
+    tag("data"); buf.putInt(samples.length)
+    samples.foreach(s => buf.put((s & 0xFF).toByte))
+    buf.array()
+  }
+
+  /** REAL audio decode: parse each payload with the JDK's WAV codec
+    * (javax.sound.sampled), verify the format, and fold the decoded
+    * 8-bit samples into [[AudioWin]]-sample energy windows — all exact
+    * integer arithmetic (amplitude a = s − 128; window energy Σa²; peak
+    * = max |a|). Same mapPartitions batch contract as [[decodeImages]]. */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${a.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        var i = 0
+        var winE = 0L
+        var totalE = 0L
+        var silent = 0L
+        var windows = 0L
+        var peak = 0L
+        while (i < bytes.length) {
+          val amp = (bytes(i) & 0xFF) - 128L
+          winE += amp * amp
+          if (math.abs(amp) > peak) peak = math.abs(amp)
+          i += 1
+          if (i % AudioWin == 0 || i == bytes.length) {
+            totalE += winE
+            if (winE < SilenceEnergy) silent += 1
+            windows += 1
+            winE = 0L
+          }
+        }
+        DecodedAudio(a.doc_id, bytes.length.toLong, fmt.getSampleRate.toLong,
+          windows, totalE, silent, peak)
       }
     }
   }

@@ -218,6 +218,64 @@ object MultimodalQueries {
         .distinct()
         .orderBy("d1", "d2")
     },
+
+    // REAL audio decode, oracle-gated end to end (the WAV leg of the
+    // modality triple — mm_imageio_decode's audio twin): per doc a
+    // deterministic 8-bit-PCM mono signal derives from the content hash,
+    // is wrapped in a hand-written canonical RIFF/WAVE container
+    // (Multimodal.makeWav), DECODED by the JDK's own javax.sound.sampled
+    // codec, and folded into 64-sample energy windows — all exact integer
+    // arithmetic (amplitude a = s−128, window energy Σa², silence when
+    // energy < 64·16², peak = max |a|). The oracle recomputes sample
+    // count, decoder-reported rate, and every window energy from the
+    // generation formula alone, so a container/decoder disagreement OR a
+    // windowing drift breaks the hash. Scale shape: generate+decode+fold
+    // is one mapPartitions pass (codec init amortized per partition, no
+    // shuffle); output is one row of longs per recording.
+    Q("mm_audio_energy", {
+      import Multimodal.{AudioWin, SilenceEnergy}
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(256 + h % 256 AS BIGINT) AS n,
+         |    CAST(8000 + (h % 4) * 4000 AS BIGINT) AS rate, h % 65536 AS seed
+         |  FROM m
+         |),
+         |s AS (
+         |  SELECT doc_id, n, rate,
+         |    ((seed + 17 * ii.i + (ii.i * ii.i) % 97) % 256) - 128 AS a,
+         |    ii.i // $AudioWin AS w
+         |  FROM g, unnest(generate_series(0, n - 1)) AS ii(i)
+         |),
+         |win AS (
+         |  SELECT doc_id, n, rate, w, sum(a * a) AS e, max(abs(a)) AS ma
+         |  FROM s GROUP BY doc_id, n, rate, w
+         |)
+         |SELECT doc_id, n AS n_samples, rate AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(e) AS BIGINT) AS total_energy,
+         |  CAST(sum(CASE WHEN e < $SilenceEnergy THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+         |  CAST(max(ma) AS BIGINT) AS peak
+         |FROM win GROUP BY doc_id, n, rate
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(256 + h % 256 as int)").as("n"),
+          expr("cast(8000 + (h % 4) * 4000 as int)").as("rate"),
+          expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Long)]
+      val assets = spec.map { case (id, n, rate, seed) =>
+        MediaAsset(id, Multimodal.makeWav(Multimodal.genSamples(n, seed), rate)) }
+      Multimodal.decodeAudio(assets)
+        .toDF()
+        .orderBy("doc_id")
+        .select("doc_id", "n_samples", "sample_rate", "n_windows",
+          "total_energy", "n_silent", "peak")
+    },
   )
 
   /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the

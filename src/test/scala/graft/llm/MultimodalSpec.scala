@@ -80,4 +80,39 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.values.forall(h =>
       h._1 >= 0 && h._1 < (1L << 32) && h._2 >= 0 && h._2 < (1L << 32)))
   }
+
+  test("WAV round trip: silence, loud square wave, and a partial last window") {
+    import spark.implicits._
+    import Multimodal.{AudioWin, SilenceEnergy}
+    // doc 1: pure silence (all samples at the 128 midpoint), 2.5 windows
+    // worth -> every window silent incl. the partial one, peak 0.
+    // doc 2: a +/-100 square wave, exactly 2 windows -> nothing silent,
+    // peak 100, energy = n * 100^2 exactly.
+    val silent = Array.fill(AudioWin * 2 + AudioWin / 2)(128)
+    val loud = Array.tabulate(AudioWin * 2)(i => if (i % 2 == 0) 228 else 28)
+    val assets = Seq(
+      MediaAsset(1L, Multimodal.makeWav(silent, 8000)),
+      MediaAsset(2L, Multimodal.makeWav(loud, 16000))).toDS()
+    val out = Multimodal.decodeAudio(assets).collect().map(a => a.doc_id -> a).toMap
+    val s1 = out(1L)
+    assert(s1.n_samples == silent.length && s1.sample_rate == 8000L)
+    assert(s1.n_windows == 3L && s1.n_silent == 3L, "partial last window still counts")
+    assert(s1.total_energy == 0L && s1.peak == 0L)
+    val s2 = out(2L)
+    assert(s2.n_samples == loud.length && s2.sample_rate == 16000L)
+    assert(s2.n_windows == 2L && s2.n_silent == 0L)
+    assert(s2.total_energy == loud.length.toLong * 100 * 100 && s2.peak == 100L)
+    // the silence threshold is the documented constant
+    assert(SilenceEnergy == AudioWin.toLong * 16 * 16)
+  }
+
+  test("decoder failure on a corrupt WAV container is loud, not silent") {
+    import spark.implicits._
+    val bad = Multimodal.makeWav(Array.fill(100)(128), 8000)
+    bad(0) = 'X'.toByte // break the RIFF magic
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(Seq(MediaAsset(9L, bad)).toDS()).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

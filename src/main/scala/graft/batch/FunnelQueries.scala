@@ -677,8 +677,13 @@ object FunnelQueries {
     * the planted-series spec drives the real moment accumulation. */
   private[graft] def trendDF(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    ev
-      .groupBy("event_type", "day_idx").agg(count(lit(1)).as("c"))
+    trendOfDayCounts(ev.groupBy("event_type", "day_idx").agg(count(lit(1)).as("c")))
+
+  /** The fit alone, over a pre-counted (event_type, day_idx, c) frame —
+    * the entry the streaming rollup's consumer uses (AnomalyStream). */
+  private[graft] def trendOfDayCounts(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sum("day_idx").as("sx"), sum("c").as("sy"),

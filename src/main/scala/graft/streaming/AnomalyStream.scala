@@ -65,6 +65,33 @@ object AnomalyStream {
       .select(unix_millis(col("w.start")).as("window_start"),
         col("event_type"), col("bucket"), col("n"), col("min_cents"), col("max_cents"))
   }
+
+  /** Online daily-volume rollup — `ev_trend`'s ingest half: per
+    * (event_type, 1-day event-time window) counts emitted in APPEND mode
+    * the moment the watermark closes the day — nothing can change a
+    * closed day's count, so the emitted frame IS the batch day-grain
+    * rollup of the same rows. The trend fit itself stays a
+    * types-cardinality computation the consumer runs over the emitted
+    * table ([[trendOf]] — literally the batch `trendDF`): the stream owns
+    * the one corpus-sized stage (the rollup), the fit costs nothing.
+    * State = open day windows per type, volume-independent. */
+  def dailyCountsStream(events: Dataset[UserEvent], delay: String = "10 seconds")
+      : DataFrame = {
+    events.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        expr(s"unix_micros(w.start) div ${24L * 3600 * 1000 * 1000}").as("day_idx"),
+        col("c"))
+  }
+
+  /** The trend fit over [[dailyCountsStream]] emissions: exactly the batch
+    * `ev_trend` moments on the closed-day counts. */
+  def trendOf(emissions: DataFrame): DataFrame =
+    graft.batch.FunnelQueries.trendOfDayCounts(
+      emissions.select(col("event_type"), col("day_idx"), col("c")))
 }
 
 /** A valued event on the metrics ingest stream (epoch-millis timestamp). */

@@ -97,4 +97,43 @@ class AnomalyStreamSpec extends SparkSpec {
       s"boundary cents 127/128 land in adjacent buckets: $want")
     assert(got == want, s"stream: $got\nbatch: $want")
   }
+
+  test("dailyCountsStream + trendOf equals the batch ev_trend fit on the same events") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val DAY = 24L * 3600 * 1000
+    // a planted linear ramp (day d has 2 + d 'view' events over 5 days)
+    // plus a flat type, shuffled across two micro-batches
+    val events = (for { d <- 0 until 5; i <- 0 until (2 + d) } yield
+      UserEvent(100L * d + i, d * DAY + i * 1000L, "view")) ++
+      (0 until 4).map(d => UserEvent(900L + d, d * DAY + 500L, "click"))
+    val shuffled = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(events.toList)
+    val (b1, b2) = shuffled.splitAt(events.size / 2)
+    val mem = MemoryStream[UserEvent]
+    val q = AnomalyStream.dailyCountsStream(mem.toDS(), delay = "6 days")
+      .writeStream.format("memory").queryName("trend_out").outputMode("append").start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    mem.addData(UserEvent(999L, 30 * DAY, "view")) // close every planted day
+    q.processAllAvailable()
+    q.stop()
+    val got = AnomalyStream.trendOf(spark.table("trend_out"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val want = graft.batch.FunnelQueries.trendDF(
+      events.toDF("user_id", "timestamp", "event_type")
+        .select(col("event_type"), expr(s"timestamp div $DAY").as("day_idx")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    for (k <- want.keySet) {
+      assert(got(k).getDouble(got(k).fieldIndex("slope_per_day")) ==
+        want(k).getDouble(want(k).fieldIndex("slope_per_day")), s"slope for $k")
+      assert(got(k).getLong(got(k).fieldIndex("total_cnt")) ==
+        want(k).getLong(want(k).fieldIndex("total_cnt")), s"total for $k")
+    }
+    // the planted ramp's slope is exactly 1 event/day
+    assert(got("view").getDouble(got("view").fieldIndex("slope_per_day")) == 1.0)
+  }
 }

@@ -642,25 +642,30 @@ object DedupQueries {
     // dd_clusters plan; the added work is a doc-level join (AQE picks the
     // build side) plus a window over CLUSTERS — partition cardinality =
     // cluster size, bounded by the dedup radius, never corpus-sized.
-    Q("dd_best_of_cluster",
-      s"""WITH RECURSIVE $clusterCtes,
-         |mem AS (
-         |  SELECT c.cluster_id, c.doc_id, d.n_chars
-         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
-         |),
-         |best AS (
-         |  SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
-         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
-         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
-         |  FROM mem
-         |)
-         |SELECT cluster_id, keep_doc_id, keep_n_chars, n_members
-         |FROM best WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    Q("dd_best_of_cluster", bestOfClusterOracle) { (s, d) =>
       bestOfClusterDF(clustersDF(s, d),
         Tables.documents(s, d).select("doc_id", "n_chars"))
         .orderBy("cluster_id")
     },
   )
+
+  /** Shared oracle for `dd_best_of_cluster` and its staged twin — only
+    * `comp`'s provenance differs (recompute vs bucketed stage), results
+    * identical by construction. */
+  private[llm] lazy val bestOfClusterOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |mem AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+       |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM mem
+       |)
+       |SELECT cluster_id, keep_doc_id, keep_n_chars, n_members
+       |FROM best WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   /** dd_best_of_cluster selection over any (doc_id, cluster_id) components
     * frame + (doc_id, n_chars) quality frame — factored so the planted-

@@ -208,6 +208,17 @@ object PipelineQueries {
       sourceDupDF(Tables.documents(s, d), s.table(stageClusters(s, d)))
     },
 
+    // Canonical selection served from the stage (dd_best_of_cluster's
+    // production shape, the dd_split_staged argument): the argmax rides
+    // the bucketed fingerprinted component table instead of recomputing
+    // the shingle→LSH→verify→components chain. Same oracle — results
+    // identical by construction.
+    Q("dd_best_of_cluster_staged", DedupQueries.bestOfClusterOracle) { (s, d) =>
+      DedupQueries.bestOfClusterDF(s.table(stageClusters(s, d)),
+          Tables.documents(s, d).select("doc_id", "n_chars"))
+        .orderBy("cluster_id")
+    },
+
     // The corpus-UPDATE prep — the daily-crawl path that completes the
     // family (full / staged / streaming / incremental): incoming docs
     // (doc_id % 3 <> 0, the dd_incremental slice) are quality-gated,

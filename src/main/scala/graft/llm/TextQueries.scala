@@ -67,6 +67,30 @@ object TextQueries {
   private val kmvK = 64 // KMV sketch size (bottom-k minimum hash values)
   private val kmvSalts = 8 // level-1 fan-out for the skew-safe bottom-k
   private val stratSalts = 8 // per-stratum allocation cells for tx_stratified_sample
+  /** tx_quality_curve sweep points: keep iff raw ≥ t·n_tokens, t in
+    * thousandths of the weight unit (qscore ≥ t/1000). */
+  private val qCurveTs = Seq(-50, -20, 0, 20, 50)
+
+  /** Hashed-linear quality model CTEs shared by tx_quality_score and
+    * tx_quality_curve: `agg(doc_id, raw, n_tokens)` — exact-integer score
+    * numerator per doc. (Initialized before `all`; see the annCtes note.) */
+  private lazy val qualityAggCtes: String = {
+    val wDuck = s"((${duckH(s"'qw:' || CAST(i AS VARCHAR)")} % 2001) - 1000)"
+    val idxDuck = s"(${duckH("'qf:' || token")} % $qfDim)"
+    s"""wt AS (
+       |  SELECT CAST(i AS BIGINT) AS idx, $wDuck AS w
+       |  FROM unnest(generate_series(0, ${qfDim - 1})) AS g(i)
+       |),
+       |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token FROM documents),
+       |tc AS (
+       |  SELECT doc_id, $idxDuck AS idx, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY doc_id, idx
+       |),
+       |agg AS (
+       |  SELECT tc.doc_id, CAST(sum(tc.c * wt.w) AS BIGINT) AS raw, CAST(sum(tc.c) AS BIGINT) AS n_tokens
+       |  FROM tc JOIN wt USING (idx) GROUP BY tc.doc_id
+       |)""".stripMargin
+  }
   private val rareBigramCnt = 50 // corpus count below which a bigram is "rare"
   private val lineWords = 5 // words per synthetic "line" (corpus text is single-line)
   // Gopher-style composite gate thresholds (Rae et al. repetition rules,
@@ -1790,21 +1814,7 @@ object TextQueries {
     // Exactness: integer weights × integer counts → the score's numerator
     // is an exact BIGINT; keep/drop gates on the integer, not the float.
     Q("tx_quality_score", {
-      val wDuck = s"((${duckH(s"'qw:' || CAST(i AS VARCHAR)")} % 2001) - 1000)"
-      val idxDuck = s"(${duckH("'qf:' || token")} % $qfDim)"
-      s"""WITH wt AS (
-         |  SELECT CAST(i AS BIGINT) AS idx, $wDuck AS w
-         |  FROM unnest(generate_series(0, ${qfDim - 1})) AS g(i)
-         |),
-         |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS token FROM documents),
-         |tc AS (
-         |  SELECT doc_id, $idxDuck AS idx, CAST(count(*) AS BIGINT) AS c
-         |  FROM tok GROUP BY doc_id, idx
-         |),
-         |agg AS (
-         |  SELECT tc.doc_id, CAST(sum(tc.c * wt.w) AS BIGINT) AS raw, CAST(sum(tc.c) AS BIGINT) AS n_tokens
-         |  FROM tc JOIN wt USING (idx) GROUP BY tc.doc_id
-         |)
+      s"""WITH $qualityAggCtes
          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
          |  coalesce(a.raw, 0) * 1.0 / (1000 * greatest(coalesce(a.n_tokens, 0), 1)) AS qscore,
          |  CAST(CASE WHEN coalesce(a.raw, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
@@ -1812,18 +1822,8 @@ object TextQueries {
          |ORDER BY d.doc_id""".stripMargin
     }) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val wts = s.range(qfDim).select(col("id").cast("long").as("idx"),
-        expr(s"((${sparkH("concat('qw:', cast(id as string))")} % 2001) - 1000)").as("w"))
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
-        .select(col("doc_id"), expr(s"(${sparkH("concat('qf:', token)")} % $qfDim)").as("idx"))
-        .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
-      val agg = tc.join(broadcast(wts), "idx") // constant qfDim-row model table
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("w")).as("raw"), sum("c").as("n_tokens"))
       Tables.documents(s, d).select("doc_id")
-        .join(agg, Seq("doc_id"), "left")
+        .join(qualityAggDF(s, Tables.documents(s, d)), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           // UNROUNDED: integer/integer quotients land ON exact 4-dp ties
@@ -1832,6 +1832,43 @@ object TextQueries {
           expr("coalesce(raw, 0L) * 1.0D / (1000 * greatest(coalesce(n_tokens, 0L), 1))").as("qscore"),
           expr("cast(CASE WHEN coalesce(raw, 0L) >= 0 THEN 1 ELSE 0 END as int)").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Quality-threshold sensitivity sweep (the dd_threshold_curve stance
+    // applied to the classifier gate): docs and tokens KEPT at qscore
+    // cutoffs t/1000 for t in ${-50..50}, all five points from ONE pass
+    // over the scored frame — the "where should the keep bar sit for THIS
+    // corpus" audit behind every filter deployment. The gate is the exact
+    // integer cross-product raw ≥ t·n_tokens (never the float score), so
+    // the curve is hash-exact; the sweep is a 5-literal-row theta join
+    // against the doc-sized score table, counted map-side.
+    Q("tx_quality_curve",
+      s"""WITH $qualityAggCtes,
+         |base AS (
+         |  SELECT d.doc_id, coalesce(a.raw, 0) AS raw, coalesce(a.n_tokens, 0) AS n
+         |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |),
+         |ts AS (SELECT unnest([${qCurveTs.mkString(", ")}]) AS t)
+         |SELECT CAST(t AS BIGINT) AS t_mill,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN raw >= t * n THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN raw >= t * n THEN n ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  sum(CASE WHEN raw >= t * n THEN 1 ELSE 0 END) * 1.0 / count(*) AS keep_rate
+         |FROM base, ts GROUP BY t ORDER BY t_mill""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.documents(s, d).select("doc_id")
+        .join(qualityAggDF(s, Tables.documents(s, d)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("raw"), lit(0L)).as("raw"),
+          coalesce(col("n_tokens"), lit(0L)).as("n"))
+      val tsDF = s.createDataFrame(qCurveTs.map(Tuple1(_))).toDF("t")
+      base.crossJoin(broadcast(tsDF))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("raw") >= col("t") * col("n"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("raw") >= col("t") * col("n"), col("n")).otherwise(0L)).as("kept_tokens"))
+        .select(col("t").cast("long").as("t_mill"), col("n_docs"), col("n_keep"),
+          col("kept_tokens"), expr("n_keep * 1.0D / n_docs").as("keep_rate"))
+        .orderBy("t_mill")
     },
 
     // Cross-document boilerplate LINE removal — the CCNet/RefinedWeb
@@ -2208,6 +2245,23 @@ object TextQueries {
       stratifiedSampleDF(Tables.documents(s, d)).orderBy("doc_id")
     },
   )
+
+  /** Hashed-linear quality model numerator shared by tx_quality_score and
+    * tx_quality_curve: `(doc_id, raw, n_tokens)` with raw an exact BIGINT.
+    * Requires GraftFunctions registered. */
+  private def qualityAggDF(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wts = s.range(qfDim).select(col("id").cast("long").as("idx"),
+      expr(s"((${sparkH("concat('qw:', cast(id as string))")} % 2001) - 1000)").as("w"))
+    docs
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("token"))
+      .select(col("doc_id"), expr(s"(${sparkH("concat('qf:', token)")} % $qfDim)").as("idx"))
+      .groupBy("doc_id", "idx").agg(count(lit(1)).as("c"))
+      .join(broadcast(wts), "idx") // constant qfDim-row model table
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("w")).as("raw"), sum("c").as("n_tokens"))
+  }
 
   /** tx_kmv_distinct body over any (lang, text) frame — factored so the
     * estimator-envelope spec drives the real salted bottom-k chain.

@@ -168,4 +168,44 @@ class HostileInputSpec extends SparkSpec {
     assert(s(0L) == "" && s(3L) == "z" * 2000, "degenerate docs pass through unmerged")
     assert(s(5L) == null || s(5L) == "", "null text stays inert in the merge chain")
   }
+
+  test("round-5 mining operators survive degenerate corpora") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    // KMV over a corpus with zero tokens: no language row, no crash
+    val empty = Seq((0L, "", "aa"), (1L, null.asInstanceOf[String], "aa"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextQueries.kmvDistinctDF(empty).collect().isEmpty)
+
+    // stratified sample: a 1-doc stratum keeps its doc (ceil(10% of 1) = 1)
+    val one = Seq((7L, "xx", "solo")).toDF("doc_id", "lang", "source")
+    val kept = TextQueries.stratifiedSampleDF(one).collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 7L)
+
+    // hard negatives: an all-same-label corpus has NO negatives — empty, not wrong
+    val mono = Seq((0L, Array(1f, 2f, 3f), 0), (1L, Array(1f, 2f, 3.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityQueries.hardNegativesDF(mono).collect().isEmpty)
+
+    // diverse top-k with fewer candidates than topK returns what exists
+    val tiny = Seq((0L, Array(1f, 2f, 3f), 0), (1L, Array(1f, 2f, 3.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityQueries.diverseTopkDF(tiny).collect().length == 1)
+
+    // RFM with a single user: the only member of every tercile is the best
+    val solo = Seq((1L, 5L, 100L), (1L, 6L, 50L)).toDF("user_id", "day_idx", "cents")
+    val rfm = graft.batch.FunnelQueries.rfmDF(solo).collect()
+    assert(rfm.length == 1 && rfm.head.getInt(rfm.head.fieldIndex("rfm_code")) == 333)
+
+    // best-of-cluster over no clusters is empty
+    assert(DedupQueries.bestOfClusterDF(
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+      Seq((1L, 10L)).toDF("doc_id", "n_chars")).collect().isEmpty)
+
+    // zero-sample WAV decodes to zero windows, not a crash
+    val z = Multimodal.decodeAudio(
+      Seq(MediaAsset(1L, Multimodal.makeWav(Array.empty[Int], 8000))).toDS()).collect()
+    assert(z.head.n_samples == 0L && z.head.n_windows == 0L && z.head.peak == 0L)
+  }
 }

@@ -45,7 +45,8 @@ object Explain {
     * always fatal. */
   val DeclaredBoundedBuilds: Map[String, Int] = Map(
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
-    "sim_ivfpq" -> 1, "sim_kmeans" -> 2, "sim_twostage" -> 1,
+    "sim_ivfpq" -> 1, "sim_ivfpq_staged" -> 1, "sim_kmeans" -> 2,
+    "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,
     "sim_recall_curve" -> 1,

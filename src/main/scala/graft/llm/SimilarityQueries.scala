@@ -599,139 +599,22 @@ object SimilarityQueries {
     // query-batch-sized broadcasts; encoding is one broadcast join + a
     // map-side-combinable per-(vec, subspace) argmin; ADC touches only the
     // probed cell and shuffles |cell|×M LUT-joined rows to a per-pair sum.
-    Q("sim_ivfpq", {
-      def d8(a: String, b: String) =
-        s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
-      def d64(a: String, b: String) =
-        s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
-      s"""WITH xq AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
-         |  FROM embeddings
-         |),
-         |sub AS (
-         |  SELECT vec_id, label, CAST(s AS INT) AS s,
-         |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
-         |  FROM xq, unnest(generate_series(0, ${pqM - 1})) AS t(s)
-         |),
-         |seed AS (SELECT s, vec_id AS cid, sv AS carr FROM sub WHERE vec_id < $pqK),
-         |a1 AS (
-         |  SELECT vec_id, s, cid FROM (
-         |    SELECT sub.vec_id, sub.s, seed.cid, ${d8("sub.sv", "seed.carr")} AS dist
-         |    FROM sub JOIN seed ON seed.s = sub.s
-         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
-         |),
-         |cbs AS (
-         |  SELECT a1.s, a1.cid, u.i,
-         |    CAST(round(CAST(sum(sub.sv[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
-         |  FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
-         |    unnest(generate_series(1, $pqSubDim)) AS u(i)
-         |  GROUP BY a1.s, a1.cid, u.i
-         |),
-         |cb AS (SELECT s, cid, list(cm ORDER BY i) AS carr FROM cbs GROUP BY s, cid),
-         |codes AS (
-         |  SELECT vec_id, s, cid AS code FROM (
-         |    SELECT sub.vec_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS dist
-         |    FROM sub JOIN cb ON cb.s = sub.s
-         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
-         |),
-         |cc0 AS (
-         |  SELECT label, u.i,
-         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
-         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
-         |  GROUP BY label, u.i
-         |),
-         |ccent AS (SELECT label, list(cm ORDER BY i) AS carr FROM cc0 GROUP BY label),
-         |route AS (
-         |  SELECT query_id, probe_label FROM (
-         |    SELECT q.vec_id AS query_id, c.label AS probe_label, ${d64("q.xq", "c.carr")} AS dist
-         |    FROM xq q, ccent c WHERE q.$querySel
-         |  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, probe_label) = 1
-         |),
-         |lut AS (
-         |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
-         |  FROM sub JOIN cb ON cb.s = sub.s
-         |  WHERE sub.$querySel
-         |),
-         |adc AS (
-         |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
-         |  FROM route r
-         |  JOIN xq v ON v.label = r.probe_label
-         |  JOIN codes c ON c.vec_id = v.vec_id
-         |  JOIN lut l ON l.query_id = r.query_id AND l.s = c.s AND l.cid = c.code
-         |  WHERE c.vec_id <> r.query_id
-         |  GROUP BY l.query_id, c.vec_id
-         |)
-         |SELECT query_id, neighbor_id, adist FROM adc
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $topK
-         |ORDER BY query_id, neighbor_id""".stripMargin
-    }) { (s, d) =>
-      import org.apache.spark.sql.DataFrame
-      graft.functions.GraftFunctions.register(s)
-      // integer squared L2 over equal-length bigint arrays — codegen'd
-      // primitive loop; exact, so partial order can't leak into the gate
-      val dist = "vector_l2q(av, bv)"
-      def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
-        .withColumn("dist", expr(dist))
-        .groupBy(keys.map(col): _*)
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(keys.map(col) :+ col("m.cid").as(outCid) :+ col("m.dist").as("dist"): _*)
-      // centroid from exact integer sums: one double division + round
-      def centroids(df: DataFrame, keys: Seq[String]) = df
-        .groupBy((keys :+ "i").map(col): _*)
-        .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
-        .groupBy(keys.map(col): _*)
-        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
-      val xq = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sub = xq
-        .select(col("vec_id"), col("label"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
-        .select(col("vec_id"), col("label"), col("s").cast("int").as("s"),
-          expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("sv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val seed = sub.filter(col("vec_id") < pqK)
-        .select(col("s"), col("vec_id").as("cid"), col("sv").as("carr"))
-      val a1 = argmin(
-        sub.join(broadcast(seed), "s")
-          .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
-        Seq("vec_id", "s"), "cid")
-      val cb = centroids(
-        a1.join(sub, Seq("vec_id", "s"))
-          .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "v"))),
-        Seq("s", "cid"))
-      val codes = argmin(
-        sub.join(broadcast(cb), "s")
-          .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
-        Seq("vec_id", "s"), "code")
-        .select("vec_id", "s", "code")
-      val ccent = centroids(
-        xq.select(col("label"), posexplode(col("xq")).as(Seq("i", "v"))),
-        Seq("label"))
-      val route = xq.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("xq").as("av"))
-        .crossJoin(broadcast(ccent.select(col("label").as("cid"), col("carr").as("bv"))))
-        .transform(df => argmin(df, Seq("query_id"), "probe_label"))
-        .select("query_id", "probe_label")
-      val lut = sub.filter(expr(querySel))
-        .select(col("vec_id").as("query_id"), col("s"), col("sv").as("av"))
-        .join(broadcast(cb), "s")
-        .withColumnRenamed("carr", "bv")
-        .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
-      val adc = broadcast(route)
-        .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .join(codes, "vec_id")
-        .join(broadcast(lut.withColumnsRenamed(
-            Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
-          col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
-        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-        .agg(sum("d").as("adist"))
-      val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-      adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
-        .select("query_id", "neighbor_id", "adist")
-        .orderBy("query_id", "neighbor_id")
+    Q("sim_ivfpq", pqOracle) { (s, d) =>
+      val (cb, codes, ccent, _) = pqBuildIndex(s, d)
+      pqServe(s, d, cb, codes, ccent)
+    },
+
+    // IVF-PQ serving with a PERSISTED index (sim_ivf_staged's argument
+    // applied to the FAISS shape): codebooks + 8-byte codes + coarse
+    // centroids read from the fingerprinted stage; only routing, the
+    // per-query LUT, and the probed cell's ADC run per query batch. Same
+    // oracle as sim_ivfpq — identical results by construction.
+    Q("sim_ivfpq_staged", pqOracle) { (s, d) =>
+      val idx = s.table(stagePqIndex(s, d))
+      pqServe(s, d,
+        idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
+        idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+        idx.filter(col("kind") === "ccent").select("label", "carr"))
     },
 
     // Two-stage retrieval (the Matryoshka / re-rank shape): a cheap coarse
@@ -1253,6 +1136,217 @@ object SimilarityQueries {
         .orderBy("k")
     },
   )
+
+  /** Shared sim_ivfpq / sim_ivfpq_staged oracle (the FAISS IVF-PQ shape,
+    * all quantized-integer so ADC sums are hash-exact). */
+  private lazy val pqOracle: String = {
+      def d8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      def d64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH xq AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $pqScale, 0) AS BIGINT)) AS xq
+         |  FROM embeddings
+         |),
+         |sub AS (
+         |  SELECT vec_id, label, CAST(s AS INT) AS s,
+         |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
+         |  FROM xq, unnest(generate_series(0, ${pqM - 1})) AS t(s)
+         |),
+         |seed AS (SELECT s, vec_id AS cid, sv AS carr FROM sub WHERE vec_id < $pqK),
+         |a1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT sub.vec_id, sub.s, seed.cid, ${d8("sub.sv", "seed.carr")} AS dist
+         |    FROM sub JOIN seed ON seed.s = sub.s
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+         |),
+         |cbs AS (
+         |  SELECT a1.s, a1.cid, u.i,
+         |    CAST(round(CAST(sum(sub.sv[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+         |  FROM a1 JOIN sub ON sub.vec_id = a1.vec_id AND sub.s = a1.s,
+         |    unnest(generate_series(1, $pqSubDim)) AS u(i)
+         |  GROUP BY a1.s, a1.cid, u.i
+         |),
+         |cb AS (SELECT s, cid, list(cm ORDER BY i) AS carr FROM cbs GROUP BY s, cid),
+         |codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT sub.vec_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS dist
+         |    FROM sub JOIN cb ON cb.s = sub.s
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+         |),
+         |cc0 AS (
+         |  SELECT label, u.i,
+         |    CAST(round(CAST(sum(xq[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+         |  FROM xq, unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+         |  GROUP BY label, u.i
+         |),
+         |ccent AS (SELECT label, list(cm ORDER BY i) AS carr FROM cc0 GROUP BY label),
+         |route AS (
+         |  SELECT query_id, probe_label FROM (
+         |    SELECT q.vec_id AS query_id, c.label AS probe_label, ${d64("q.xq", "c.carr")} AS dist
+         |    FROM xq q, ccent c WHERE q.$querySel
+         |  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, probe_label) = 1
+         |),
+         |lut AS (
+         |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
+         |  FROM sub JOIN cb ON cb.s = sub.s
+         |  WHERE sub.$querySel
+         |),
+         |adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
+         |  FROM route r
+         |  JOIN xq v ON v.label = r.probe_label
+         |  JOIN codes c ON c.vec_id = v.vec_id
+         |  JOIN lut l ON l.query_id = r.query_id AND l.s = c.s AND l.cid = c.code
+         |  WHERE c.vec_id <> r.query_id
+         |  GROUP BY l.query_id, c.vec_id
+         |)
+         |SELECT query_id, neighbor_id, adist FROM adc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $topK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** Quantized corpus (vec_id, label, xq) and its per-subspace slices —
+    * the row-local projections BOTH the index build and the serve path
+    * start from. Persisted; callers unpersist via the returned handles.
+    */
+  private def pqFrames(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = xq
+      .select(col("vec_id"), col("label"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+      .select(col("vec_id"), col("label"), col("s").cast("int").as("s"),
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (xq, sub)
+  }
+
+  /** The IVF-PQ INDEX build — the once-per-corpus-version pass: subspace
+    * codebooks (2 Lloyd-style rounds from deterministic seeds), per-vector
+    * 8-byte PQ codes, and the coarse cell centroids. Returned caches are
+    * the persisted intermediate frames (callers keep them alive until the
+    * serve plan has executed). */
+  private[llm] def pqBuildIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (xq, sub) = pqFrames(s, d)
+    val dist = "vector_l2q(av, bv)"
+    def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
+      .withColumn("dist", expr(dist))
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(keys.map(col) :+ col("m.cid").as(outCid) :+ col("m.dist").as("dist"): _*)
+    def centroids(df: DataFrame, keys: Seq[String]) = df
+      .groupBy((keys :+ "i").map(col): _*)
+      .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+      .groupBy(keys.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    val seed = sub.filter(col("vec_id") < pqK)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("carr"))
+    val a1 = argmin(
+      sub.join(broadcast(seed), "s")
+        .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
+      Seq("vec_id", "s"), "cid")
+    val cb = centroids(
+      a1.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "v"))),
+      Seq("s", "cid"))
+    val codes = argmin(
+      sub.join(broadcast(cb), "s")
+        .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
+      Seq("vec_id", "s"), "code")
+      .select("vec_id", "s", "code")
+    val ccent = centroids(
+      xq.select(col("label"), posexplode(col("xq")).as(Seq("i", "v"))),
+      Seq("label"))
+    (cb, codes, ccent, Seq(xq, sub))
+  }
+
+  /** Cross-session staged IVF-PQ index (the FAISS write-index-to-disk
+    * shape, via the shared StagedTable machinery): codebooks, per-vector
+    * codes, and coarse centroids persist as ONE kind-tagged external
+    * table under a fingerprint of the embedding corpus + every PQ
+    * constant — a fresh process whose corpus matches adopts the files and
+    * pays zero index passes before serving; any drift rebuilds. The
+    * single-artifact layout mirrors a serialized ANN index file; the
+    * corpus-sized member (codes) is narrow (vec_id, s, code — 8 bytes of
+    * code per vector). */
+  private[llm] def stagePqIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+        .head
+      s"pq-v1;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
+        s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_pq_index_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (kind STRING, s INT, cid BIGINT, " +
+        s"carr ARRAY<BIGINT>, vec_id BIGINT, code BIGINT, label INT) " +
+        s"USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      val (cb, codes, ccent, caches) = pqBuildIndex(s, d)
+      val nulls = Seq(lit(null).cast("bigint").as("vec_id"),
+        lit(null).cast("bigint").as("code"), lit(null).cast("int").as("label"))
+      val rows = cb.select(Seq(lit("cb").as("kind"), col("s"), col("cid"),
+          col("carr")) ++ nulls: _*)
+        .unionByName(codes.select(lit("code").as("kind"), col("s"),
+          lit(null).cast("bigint").as("cid"),
+          lit(null).cast("array<bigint>").as("carr"),
+          col("vec_id"), col("code"), lit(null).cast("int").as("label")))
+        .unionByName(ccent.select(lit("ccent").as("kind"),
+          lit(null).cast("int").as("s"), lit(null).cast("bigint").as("cid"),
+          col("carr"), lit(null).cast("bigint").as("vec_id"),
+          lit(null).cast("bigint").as("code"), col("label")))
+      rows.write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+      caches.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** The IVF-PQ SERVE path: route each query to its best coarse cell,
+    * build the per-query ADC lookup table against the codebooks, and rank
+    * the probed cell's codes — only query-batch- and cell-sized work; the
+    * corpus appears as its 8-byte codes, never as vectors. */
+  private[llm] def pqServe(s: org.apache.spark.sql.SparkSession, d: String,
+      cb: DataFrame, codes: DataFrame, ccent: DataFrame): DataFrame = {
+    val (xq, sub) = pqFrames(s, d)
+    val dist = "vector_l2q(av, bv)"
+    def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
+      .withColumn("dist", expr(dist))
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(keys.map(col) :+ col("m.cid").as(outCid) :+ col("m.dist").as("dist"): _*)
+    val route = xq.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("xq").as("av"))
+      .crossJoin(broadcast(ccent.select(col("label").as("cid"), col("carr").as("bv"))))
+      .transform(df => argmin(df, Seq("query_id"), "probe_label"))
+      .select("query_id", "probe_label")
+    val lut = sub.filter(expr(querySel))
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("av"))
+      .join(broadcast(cb), "s")
+      .withColumnRenamed("carr", "bv")
+      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
+    val adc = broadcast(route)
+      .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(lut.withColumnsRenamed(
+          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
+        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "adist")
+      .orderBy("query_id", "neighbor_id")
+  }
 
   /** sim_hard_negatives body over any (vec_id, embedding, label) frame —
     * factored so the planted-negative spec drives the real chain. Requires

@@ -126,4 +126,50 @@ class StageReuseSpec extends SparkSpec {
       "changed vectors invalidate the staged index and rebuild")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("IVF-PQ index: one kind-tagged artifact adopts across sessions without an index pass") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_pq")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val table = "graft_pq_index_" + math.abs(corpus.hashCode).toString
+    def index() = spark.table(SimilarityQueries.stagePqIndex(spark, corpus))
+      .collect()
+
+    val base = PipelineQueries.stagingsComputed
+    val i1 = index()
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call builds the index")
+    val kinds = i1.map(_.getString(0)).toSet
+    assert(kinds == Set("cb", "code", "ccent"),
+      s"the artifact carries codebooks, codes, and coarse centroids: $kinds")
+    val nVecs = Tables.embeddings(spark, corpus).count()
+    assert(i1.count(_.getString(0) == "code") == nVecs * 8,
+      "one code row per (vector, subspace)")
+
+    // "new process": memo gone, catalog entry gone, files + sidecar on disk
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val i2 = index()
+    assert(PipelineQueries.stagingsComputed == base + 1,
+      "matching fingerprint adopts the index without an index pass")
+    assert(i2.map(_.toString).sorted.sameElements(i1.map(_.toString).sorted))
+
+    // a perturbed vector invalidates and rebuilds
+    spark.read.parquet(s"$corpus/embeddings.parquet")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.when(col("vec_id") === 0,
+          org.apache.spark.sql.functions.expr("transform(embedding, x -> x + 1.0F)"))
+          .otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"${dir}2.parquet")
+    spark.read.parquet(s"${dir}2.parquet").write.mode("overwrite")
+      .parquet(s"$corpus/embeddings.parquet")
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    index()
+    assert(PipelineQueries.stagingsComputed == base + 2,
+      "changed vectors invalidate the staged PQ index and rebuild")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -55,7 +55,7 @@ object SimilarityQueries {
   private val pqM = 8
   private val pqSubDim = 8
   private val pqK = 16
-  private val pqScale = 10000
+  private[llm] val pqScale = 10000
 
   /** sim_knn_graph: neighbors kept per vector. */
   private val knnK = 3
@@ -1316,20 +1316,35 @@ object SimilarityQueries {
     * corpus appears as its 8-byte codes, never as vectors. */
   private[llm] def pqServe(s: org.apache.spark.sql.SparkSession, d: String,
       cb: DataFrame, codes: DataFrame, ccent: DataFrame): DataFrame = {
-    val (xq, sub) = pqFrames(s, d)
+    val (xq, _) = pqFrames(s, d)
+    pqServeQueries(s, d, cb, codes, ccent,
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"), col("xq")))
+  }
+
+  /** IVF-PQ serving for an ARBITRARY query batch (query_id, xq quantized
+    * vector) — the entry the streaming query feed uses per micro-batch.
+    * Queries never self-exclude here (an external query is not a corpus
+    * member); the batch twin passes corpus members and keeps the
+    * vec_id <> query_id guard via the shared filter below. */
+  private[llm] def pqServeQueries(s: org.apache.spark.sql.SparkSession, d: String,
+      cb: DataFrame, codes: DataFrame, ccent: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val (xq, _) = pqFrames(s, d)
     val dist = "vector_l2q(av, bv)"
     def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
       .withColumn("dist", expr(dist))
       .groupBy(keys.map(col): _*)
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(keys.map(col) :+ col("m.cid").as(outCid) :+ col("m.dist").as("dist"): _*)
-    val route = xq.filter(expr(querySel))
-      .select(col("vec_id").as("query_id"), col("xq").as("av"))
+    val route = queries
+      .select(col("query_id"), col("xq").as("av"))
       .crossJoin(broadcast(ccent.select(col("label").as("cid"), col("carr").as("bv"))))
       .transform(df => argmin(df, Seq("query_id"), "probe_label"))
       .select("query_id", "probe_label")
-    val lut = sub.filter(expr(querySel))
-      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("av"))
+    val lut = queries
+      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+      .select(col("query_id"), col("s").cast("int").as("s"),
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
       .join(broadcast(cb), "s")
       .withColumnRenamed("carr", "bv")
       .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))

@@ -1,0 +1,63 @@
+package graft.llm
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+
+class StreamingAnnServeSpec extends SparkSpec {
+
+  test("streamed query batches equal the batch serve against the same staged index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // a private corpus dir so the staged index belongs to this spec
+    val dir = Files.createTempDirectory("ann_serve")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    // external queries: corpus vectors with ids far outside the corpus id
+    // space (no accidental vec_id <> query_id self-exclusion)
+    val qvecs = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") % 7 === 0).limit(6)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val events = qvecs.zipWithIndex.map { case ((id, v), i) =>
+      QueryVec(id, 1000L * i, v) }
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val mem = MemoryStream[QueryVec]
+    val q = StreamingAnnServe.serve(mem.toDS(), corpus) { df =>
+      df.collect().foreach(r => results.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    val (b1, b2) = events.splitAt(3)
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch twin: the same queries through pqServeQueries on the same index
+    val idx = spark.table(SimilarityQueries.stagePqIndex(spark, corpus))
+    val queries = events.toSeq.toDF("query_id", "timestamp", "embedding")
+      .select(col("query_id"),
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+    val want = SimilarityQueries.pqServeQueries(spark, corpus,
+        idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
+        idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+        idx.filter(col("kind") === "ccent").select("label", "carr"),
+        queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSet
+    assert(got == want, s"stream-served ${got.size} vs batch ${want.size}")
+    assert(got.map(_._1) == events.map(_.query_id).toSet,
+      "every streamed query got its top-k")
+    val table = "graft_pq_index_" + math.abs(corpus.hashCode).toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}

@@ -1275,7 +1275,7 @@ object SimilarityQueries {
     * single-artifact layout mirrors a serialized ANN index file; the
     * corpus-sized member (codes) is narrow (vec_id, s, code — 8 bytes of
     * code per vector). */
-  private[llm] def stagePqIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private[graft] def stagePqIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
     graft.functions.GraftFunctions.register(s)
     def fp = {
       val r = Tables.embeddings(s, d).agg(

@@ -29,11 +29,13 @@ object StreamingAnnServe {
   /** Start serving `queries` against the staged index for `corpusDir`;
     * each micro-batch's results — (query_id, neighbor_id, adist), top-k
     * per query — are handed to `sink`. */
-  def serve(queries: Dataset[QueryVec], corpusDir: String)
+  def serve(queries: Dataset[QueryVec], corpusDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpoint: Option[String] = None)
       (sink: DataFrame => Unit): StreamingQuery = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
-    queries.toDF().writeStream.outputMode("append")
+    val w0 = queries.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val idx = s.table(SimilarityQueries.stagePqIndex(s, corpusDir))
         val q = batch.select(col("query_id"),
@@ -44,6 +46,7 @@ object StreamingAnnServe {
           idx.filter(col("kind") === "ccent").select("label", "carr"),
           q))
       }
-      .start()
+    val w1 = trigger.fold(w0)(w0.trigger)
+    checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
   }
 }

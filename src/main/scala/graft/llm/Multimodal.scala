@@ -229,6 +229,54 @@ object Multimodal {
     buf.array()
   }
 
+  /** Audio-fingerprint window length: 8 samples per energy window gives
+    * 32–64 windows for the fixture's 256–511-sample recordings — enough
+    * envelope structure for a 63-bit delta fingerprint. */
+  val AudioFpWin = 8
+
+  /** One audio fingerprint: energy-DELTA bits (bit w = e_w > e_{w+1}, the
+    * Haitsma–Kalker construction at one band), packed into two
+    * SQL-sign-safe halves (hi = bits 32..62, lo = bits 0..31). */
+  case class AudioFp(doc_id: Long, n_windows: Long, fp_hi: Long, fp_lo: Long)
+
+  /** REAL decode → energy-envelope fingerprint: the audio counterpart of
+    * the image aHash. Same WAV parse as [[decodeAudio]], then 8-sample
+    * window energies and one bit per consecutive-window comparison — all
+    * exact integers, so the oracle can recompute every bit from the
+    * generation formula. */
+  def decodeAudioFp(assets: Dataset[MediaAsset]): Dataset[AudioFp] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${a.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        val nW = (bytes.length + AudioFpWin - 1) / AudioFpWin
+        val e = new Array[Long](math.max(nW, 1))
+        var i = 0
+        while (i < bytes.length) {
+          val amp = (bytes(i) & 0xFF) - 128L
+          e(i / AudioFpWin) += amp * amp
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var w = 0
+        while (w + 1 < nW && w < 63) {
+          if (e(w) > e(w + 1)) {
+            if (w >= 32) hi |= 1L << (w - 32) else lo |= 1L << w
+          }
+          w += 1
+        }
+        AudioFp(a.doc_id, nW.toLong, hi, lo)
+      }
+    }
+  }
+
   /** REAL audio decode: parse each payload with the JDK's WAV codec
     * (javax.sound.sampled), verify the format, and fold the decoded
     * 8-bit samples into [[AudioWin]]-sample energy windows — all exact

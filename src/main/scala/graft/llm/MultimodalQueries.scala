@@ -276,6 +276,63 @@ object MultimodalQueries {
         .select("doc_id", "n_samples", "sample_rate", "n_windows",
           "total_energy", "n_silent", "peak")
     },
+
+    // Audio energy-envelope FINGERPRINT through the real decoder — the
+    // audio counterpart of mm_phash (the multimodal near-dup signature
+    // for the second decoded modality): 8-sample window energies, one
+    // bit per consecutive-window comparison (bit w = e_w > e_{w+1}, the
+    // Haitsma–Kalker delta construction at one band), packed into two
+    // 32-bit-safe BIGINT halves. Everything is exact integer arithmetic,
+    // so the oracle recomputes every bit from the generation formula —
+    // a decoder mis-parse, windowing drift, or packing error flips the
+    // gate. Robustness (near-identical signal → small Hamming) is
+    // spec-planted (MultimodalSpec), since the fixture's hash-random
+    // signals have no true audio near-dups. Downstream pairing rides the
+    // mm_phash_pairs band pattern unchanged (two longs per recording).
+    Q("mm_audio_fp", {
+      import Multimodal.AudioFpWin
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(256 + h % 256 AS BIGINT) AS n, h % 65536 AS seed
+         |  FROM m
+         |),
+         |s AS (
+         |  SELECT doc_id, n,
+         |    ((seed + 17 * ii.i + (ii.i * ii.i) % 97) % 256) - 128 AS a,
+         |    ii.i // $AudioFpWin AS w
+         |  FROM g, unnest(generate_series(0, n - 1)) AS ii(i)
+         |),
+         |win AS (SELECT doc_id, n, w, sum(a * a) AS e FROM s GROUP BY doc_id, n, w),
+         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM win GROUP BY doc_id),
+         |bits AS (
+         |  SELECT x.doc_id, x.w,
+         |    CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+         |  FROM win x JOIN win y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+         |  WHERE x.w < 63
+         |)
+         |SELECT nw.doc_id, nw.n_windows,
+         |  coalesce(CAST(sum(CASE WHEN b.w >= 32 THEN CAST(b.bit AS BIGINT) << (b.w - 32) ELSE 0 END) AS BIGINT), 0) AS fp_hi,
+         |  coalesce(CAST(sum(CASE WHEN b.w < 32 THEN CAST(b.bit AS BIGINT) << b.w ELSE 0 END) AS BIGINT), 0) AS fp_lo
+         |FROM nw LEFT JOIN bits b ON b.doc_id = nw.doc_id
+         |GROUP BY nw.doc_id, nw.n_windows
+         |ORDER BY nw.doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(256 + h % 256 as int)").as("n"),
+          expr("h % 65536").as("seed"))
+        .as[(Long, Int, Long)]
+      val assets = spec.map { case (id, n, seed) =>
+        MediaAsset(id, Multimodal.makeWav(Multimodal.genSamples(n, seed), 8000)) }
+      Multimodal.decodeAudioFp(assets)
+        .toDF()
+        .orderBy("doc_id")
+        .select("doc_id", "n_windows", "fp_hi", "fp_lo")
+    },
   )
 
   /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the

@@ -106,6 +106,27 @@ class MultimodalSpec extends SparkSpec {
     assert(SilenceEnergy == AudioWin.toLong * 16 * 16)
   }
 
+  test("audio fingerprint: a locally-edited signal stays within small Hamming; different signals do not") {
+    import spark.implicits._
+    val base = Multimodal.genSamples(400, 12345L)
+    val edited = base.clone(); edited(100) = (edited(100) + 40) % 256 // one sample nudged
+    val other = Multimodal.genSamples(400, 99999L)
+    val assets = Seq(
+      MediaAsset(1L, Multimodal.makeWav(base, 8000)),
+      MediaAsset(2L, Multimodal.makeWav(edited, 8000)),
+      MediaAsset(3L, Multimodal.makeWav(other, 8000))).toDS()
+    val fps = Multimodal.decodeAudioFp(assets).collect().map(f => f.doc_id -> f).toMap
+    def hamming(a: Multimodal.AudioFp, b: Multimodal.AudioFp): Int =
+      java.lang.Long.bitCount(a.fp_hi ^ b.fp_hi) + java.lang.Long.bitCount(a.fp_lo ^ b.fp_lo)
+    val near = hamming(fps(1L), fps(2L))
+    val far = hamming(fps(1L), fps(3L))
+    assert(near <= 4, s"one edited sample touches at most 2 windows -> <=4 delta bits, got $near")
+    assert(far > 10, s"an unrelated signal diverges broadly, got $far")
+    // halves stay inside their SQL-sign-safe ranges
+    assert(fps.values.forall(f =>
+      f.fp_hi >= 0 && f.fp_hi < (1L << 31) && f.fp_lo >= 0 && f.fp_lo < (1L << 32)))
+  }
+
   test("decoder failure on a corrupt WAV container is loud, not silent") {
     import spark.implicits._
     val bad = Multimodal.makeWav(Array.fill(100)(128), 8000)

@@ -331,13 +331,40 @@ object DedupQueries {
     val (jac, jacCaches) = jaccardWithCaches(s, d)
     val edges = jac.filter(col("is_dup") === 1).select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = componentsOf(edges, "dd_clusters")
+    (jacCaches :+ edges).foreach(_.unpersist(blocking = false))
+    out.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Min-label connected components over any DIRECTED edge frame (d1, d2)
+    * — the pointer-jumping loop factored out of the near-dup chain so the
+    * mutual-kNN semantic components (SimilarityQueries) run the SAME
+    * audited machinery. Returns (node, lbl); `lbl` = component min.
+    * Symmetrizes internally; output is localCheckpoint-truncated, so the
+    * caller may unpersist its edge caches immediately. */
+  private[llm] def componentsOf(edges: DataFrame, tag: String): DataFrame = {
+    // localCheckpoint truncates LINEAGE but carries the child plan's
+    // ESTIMATED statistics forward (LogicalRDD.originStats — so broadcast
+    // decisions survive a checkpoint). In this loop each round's plan
+    // references `labels` four times (nmin, withNmin, jump×2), so the
+    // carried sizeInBytes PRODUCT grows ~4^k in DIGIT COUNT; past ~14
+    // rounds the optimizer's canBroadcastBySize sits in
+    // BigInteger.multiply on numbers with 1e8+ digits and the driver
+    // wedges single-threaded for minutes (observed on the mutual-kNN
+    // graph at sf0.1, which needs more pointer-jump rounds than the
+    // near-dup clusters). Rebuilding the frame from the checkpointed RDD
+    // drops originStats back to defaultSizeInBytes — stats stay O(1) per
+    // round; the only cost is a row re-encode over the (node, lbl) pairs.
+    def truncated(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tInit0 = System.nanoTime()
-    var labels = sym.select(col("d1").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
-    System.err.println(f"[dd_clusters] init (chain+labels): ${(System.nanoTime() - tInit0) / 1e9}%.2fs")
+    var labels = truncated(sym.select(col("d1").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    System.err.println(f"[$tag] init (chain+labels): ${(System.nanoTime() - tInit0) / 1e9}%.2fs")
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 30) {
@@ -345,7 +372,7 @@ object DedupQueries {
       val nmin = sym.join(labels, col("d2") === col("node"))
         .groupBy("d1").agg(min("lbl").as("nl"))
       val withNmin = labels.join(nmin, col("node") === col("d1"), "left")
-      val next = (if (iter == 0) {
+      val next = truncated(if (iter == 0) {
         // round 1: labels are the identity, so label-of-own-label is a
         // self-join no-op — skip the jump term (one join + exchange saved)
         withNmin.select(col("node"), col("lbl"),
@@ -359,20 +386,20 @@ object DedupQueries {
           .select(col("node"), col("lbl"),
             least(col("lbl"), coalesce(col("nl"), col("lbl")),
               coalesce(col("jl"), col("lbl"))).as("nlbl"))
-      }).localCheckpoint()
+      })
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("node"), col("nlbl").as("lbl"))
       iter += 1
-      System.err.println(f"[dd_clusters] round $iter: ${(System.nanoTime() - tR0) / 1e9}%.2fs")
+      System.err.println(f"[$tag] round $iter: ${(System.nanoTime() - tR0) / 1e9}%.2fs")
     }
     // stderr (never stdout: Bench's contract is one JSON line on stdout)
-    System.err.println(s"[dd_clusters] converged in $iter rounds")
+    System.err.println(s"[$tag] converged in $iter rounds")
     // the loop materialized everything and `labels` is localCheckpoint-
-    // truncated (no lineage back into the chain), so the stage caches can
+    // truncated (no lineage back into the chain), so internal caches can
     // go NOW — a long-lived session (notebook, staged pipeline) must not
     // accumulate per-corpus cached RDDs until clearCache()
-    (jacCaches :+ edges :+ sym).foreach(_.unpersist(blocking = false))
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    sym.unpersist(blocking = false)
+    labels
   }
 
   // ---------------------------------------------------------------- queries

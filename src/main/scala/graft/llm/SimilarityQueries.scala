@@ -1003,6 +1003,62 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // Semantic cluster extraction — connected components over the MUTUAL
+    // kNN graph (a ∈ knn(b) AND b ∈ knn(a) — the standard graph-clustering
+    // edge choice: mutual edges cut the hub-induced chaining that plain
+    // kNN components suffer), run through the SAME audited pointer-jumping
+    // machinery as the near-dup components (DedupQueries.componentsOf —
+    // O(log diameter) rounds, driver-control only). Vectors with no
+    // mutual neighbor are self-rooted singletons. The cluster table feeds
+    // diversity sampling / per-cluster caps exactly like dd_clusters
+    // feeds dedup. Scale shape: the kNN build is the audited per-cell
+    // join; mutual filtering is a self-join of the |V|·k edge table on
+    // the reversed key; the component window partitions by component.
+    Q("sim_components",
+      s"""WITH RECURSIVE $knnCtes,
+         |mut AS (
+         |  SELECT x.vec_id AS d1, x.neighbor_id AS d2
+         |  FROM knn x JOIN knn y
+         |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
+         |  WHERE x.vec_id < x.neighbor_id
+         |),
+         |csym AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mut),
+         |reach(dd, r) AS (
+         |  SELECT d1, d1 FROM csym
+         |  UNION
+         |  SELECT s.d2, reach.r FROM reach JOIN csym s ON s.d1 = reach.dd
+         |),
+         |comp AS (SELECT dd AS vec_id, min(r) AS component_id FROM reach GROUP BY dd),
+         |lab AS (
+         |  SELECT e.vec_id, coalesce(c.component_id, e.vec_id) AS component_id
+         |  FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+         |)
+         |SELECT vec_id, component_id,
+         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+         |FROM lab ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.storage.StorageLevel
+      val knn = knnGraphDF(s, d).select("vec_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the mutual join
+      val mut = knn.as("x")
+        .join(knn.as("y"),
+          col("y.vec_id") === col("x.neighbor_id") &&
+            col("y.neighbor_id") === col("x.vec_id") &&
+            col("x.vec_id") < col("x.neighbor_id"))
+        .select(col("x.vec_id").as("d1"), col("x.neighbor_id").as("d2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val comp = DedupQueries.componentsOf(mut, "sim_components")
+        .select(col("node").as("vec_id"), col("lbl").as("component_id"))
+      Seq(knn, mut).foreach(_.unpersist(blocking = false))
+      val lab = Tables.embeddings(s, d).select("vec_id")
+        .join(comp, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component_id"), col("vec_id")).as("component_id"))
+      lab
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id")))
+        .orderBy("vec_id")
+    },
+
     // Hard-negative mining — the contrastive-training data op: for each
     // query vector, the top-k most-similar vectors carrying a DIFFERENT
     // label (same-label neighbors are positives; the near-miss negatives

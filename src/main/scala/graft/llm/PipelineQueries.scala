@@ -139,6 +139,40 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  private val softWeightsOracle =
+    s"""WITH RECURSIVE ${DedupQueries.clusterCtes},
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM comp GROUP BY cluster_id)
+       |SELECT d.doc_id,
+       |  coalesce(sz.n, CAST(1 AS BIGINT)) AS cluster_size,
+       |  CAST(1 AS DOUBLE) / coalesce(sz.n, CAST(1 AS BIGINT)) AS weight
+       |FROM documents d
+       |LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |LEFT JOIN sz ON sz.cluster_id = c.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Body of `dd_soft_weights`: SOFT dedup — instead of hard-dropping
+    * non-keepers, every doc gets a sampling weight inversely proportional
+    * to its near-dup cluster's size (singletons weigh 1), so a training
+    * sampler sees each duplicated CONTENT with total mass 1 while keeping
+    * every surface variant reachable — the duplicate-aware sampling stance
+    * of SemDeDup/D4-style curation, where hard removal is too blunt for
+    * templated-but-distinct families. weight = 1/n is an UNROUNDED double
+    * quotient of exact integers (identical bits across engines). Scale
+    * shape: cluster sizes aggregate over the component table (clustered
+    * docs only), then two doc-sized left joins; AQE broadcasts both small
+    * sides; nothing corpus-sized shuffles except the doc_id sort the
+    * oracle compare requires. */
+  private[llm] def softWeightsDF(docs: DataFrame, comp: DataFrame): DataFrame = {
+    val sz = comp.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .join(sz, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("n"), lit(1L))).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Body of `dd_source_dup`: per-source cluster membership / keeper-loss
     * rollup given a (doc_id, cluster_id) component table. Doc-sized left
     * join (AQE broadcasts the component side), one map-side-combined
@@ -206,6 +240,18 @@ object PipelineQueries {
     // Same oracle — only `comp`'s provenance changes (bucketed stage).
     Q("dd_source_dup_staged", sourceDupOracle) { (s, d) =>
       sourceDupDF(Tables.documents(s, d), s.table(stageClusters(s, d)))
+    },
+
+    // Soft dedup: per-doc sampling weights (1/cluster_size) instead of a
+    // hard keep/drop. Self-contained (recomputes the chain, the honest
+    // bench price); the staged twin is the production shape.
+    Q("dd_soft_weights", softWeightsOracle) { (s, d) =>
+      softWeightsDF(Tables.documents(s, d), DedupQueries.clustersDF(s, d))
+    },
+
+    // Same oracle — comp served from the bucketed fingerprinted stage.
+    Q("dd_soft_weights_staged", softWeightsOracle) { (s, d) =>
+      softWeightsDF(Tables.documents(s, d), s.table(stageClusters(s, d)))
     },
 
     // Canonical selection served from the stage (dd_best_of_cluster's

@@ -145,4 +145,20 @@ class DedupSpec extends SparkSpec {
     val falseCands = pairs.filterNot(expected)
     assert(falseCands.isEmpty, s"unexpected candidate pairs: $falseCands")
   }
+
+  test("soft-dedup weights: each duplicated content carries total mass 1") {
+    import spark.implicits._
+    // cluster {1,2,3} rooted at 1, pair {10,11} rooted at 10, singleton 20
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val got = PipelineQueries.softWeightsDF(docs, comp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1.0 / 3), (2L, 3L, 1.0 / 3), (3L, 3L, 1.0 / 3),
+      (10L, 2L, 0.5), (11L, 2L, 0.5), (20L, 1L, 1.0)))
+    // the defining invariant: summed weight per cluster (and per
+    // singleton) is exactly 1 — the sampler sees each content once
+    val mass = got.groupBy(_._2).map { case (_, g) => g.map(_._3).sum }
+    assert(mass.forall(m => math.abs(m - math.round(m)) < 1e-12))
+  }
 }

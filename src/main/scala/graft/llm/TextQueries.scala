@@ -29,6 +29,11 @@ import LlmHash._
 object TextQueries {
 
   private[llm] val tokRegex = "[a-z0-9]+"
+
+  /** tx_dsir hashed-feature bucket count — small here so the sf0.01 oracle
+    * exercises real bucket collisions; production DSIR uses ~1e4 buckets
+    * (still a constant-size broadcast table). */
+  private[llm] val dsirB = 64
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
     * symbol. Disjoint branches → identical matches in Java and RE2. */
   private val pieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1613,6 +1618,75 @@ object TextQueries {
         .limit(50)
         .select(col("pair"), col("cab").as("n_pair"),
           (col("pmi_key").cast("double") / 1000000).as("pmi"))
+    },
+
+    // Importance-resampling weights (the DSIR shape — Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score every raw doc by how much its hashed-token distribution looks
+    // like a TARGET slice (here lang='en' — language/domain-directed
+    // selection). Features are md5-hashed token buckets; each bucket gets
+    // a Laplace-smoothed log-likelihood ratio ln(p_tgt/p_raw), computed as
+    // ONE identical double chain from exact integer counts and quantized
+    // to a 6-dp scaled BIGINT (the tx_pmi float discipline); a doc's score
+    // is the INTEGER dot product of its bucket counts with that table —
+    // order-free, hash-exact. Downstream resampling takes the top mass by
+    // score (the top-k patterns elsewhere); no corpus-wide rank window
+    // here by design. Scale shape: one token explode feeding three
+    // map-side-combined aggregates (bucket cardinality = $dsirB, so
+    // partial agg collapses each task to ≤$dsirB rows), the ratio table
+    // is $dsirB rows (broadcast — at production scale DSIR uses ~1e4
+    // buckets, still constant), and the per-doc rollup is one doc_id
+    // shuffle. Raw text is touched exactly once.
+    Q("tx_dsir",
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substring(md5('dsir:' || t.tok), 1, 15))::BIGINT % $dsirB AS b
+         |  FROM documents, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS t(tok)
+         |),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS craw FROM f GROUP BY b),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ctgt FROM f WHERE lang = 'en' GROUP BY b),
+         |tots AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS traw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ttgt
+         |  FROM f
+         |),
+         |lr AS (
+         |  SELECT raw.b,
+         |    CAST(round(ln((CAST(coalesce(tgt.ctgt, 0) + 1 AS DOUBLE) * (tots.traw + $dsirB)) /
+         |                  (CAST(raw.craw + 1 AS DOUBLE) * (tots.ttgt + $dsirB))) * 1000000, 0) AS BIGINT) AS lr
+         |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tots
+         |),
+         |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY doc_id, b),
+         |sc AS (SELECT dc.doc_id, CAST(sum(dc.n * lr.lr) AS BIGINT) AS score_micro
+         |       FROM dc JOIN lr ON lr.b = dc.b GROUP BY dc.doc_id)
+         |SELECT d.doc_id, d.lang, coalesce(sc.score_micro, CAST(0 AS BIGINT)) AS score_micro
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val f = docs
+        .select(col("doc_id"), col("lang"),
+          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"md5_long60(concat('dsir:', tok)) % $dsirB").as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // read 4x (raw/tgt/tots/dc)
+      val raw = f.groupBy("b").agg(count(lit(1)).as("craw"))
+      val tgt = f.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ctgt"))
+      val tots = f.agg(count(lit(1)).as("traw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttgt"))
+      val lr = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tots)) // 1-row totals
+        .select(col("b"), expr(
+          s"cast(round(ln((cast(coalesce(ctgt, 0) + 1 as double) * (traw + $dsirB)) / " +
+            s"(cast(craw + 1 as double) * (ttgt + $dsirB))) * 1000000, 0) as bigint)").as("lr"))
+      val dc = f.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val sc = dc.join(broadcast(lr), "b") // $dsirB-row constant table
+        .groupBy("doc_id").agg(sum(col("n") * col("lr")).as("score_micro"))
+      docs.select("doc_id", "lang")
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+        .orderBy("doc_id")
     },
 
     // BPE merge training — the actual tokenizer-training step (tx_vocab is

@@ -133,4 +133,19 @@ class MiningSpec extends SparkSpec {
     assert(out(10L) == ((11L, 300L, 3L)), "longest wins; equal lengths -> lower doc_id")
     assert(out(20L) == ((20L, 50L, 2L)))
   }
+
+  test("tx_dsir: target-language docs out-score the rest; empty docs score 0") {
+    // the DEFINING property of importance resampling against a lang='en'
+    // target: on real data, docs drawn from the target slice must carry a
+    // higher mean log-likelihood-ratio score than docs outside it
+    val out = graft.SparkEntry.queries("tx_dsir")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val (en, other) = out.partition(_._2 == "en")
+    assert(en.nonEmpty && other.nonEmpty, "fixture needs both slices")
+    val enMean = en.map(_._3).sum.toDouble / en.size
+    val otherMean = other.map(_._3).sum.toDouble / other.size
+    assert(enMean > otherMean,
+      s"target slice mean $enMean not above non-target mean $otherMean")
+  }
 }

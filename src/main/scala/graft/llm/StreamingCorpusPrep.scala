@@ -192,6 +192,34 @@ object StreamingCorpusPrep {
           .as("novelty_permille"))
   }
 
+  /** Online DSIR gate — tx_dsir's ingest twin: the 64-row bucket→log-ratio
+    * table is trained batch-side on the reference corpus
+    * (`TextQueries.dsirLrDF`) and PINNED, exactly like the lm gate pins
+    * its cutoffs — importance ratios are a corpus concept a stream cannot
+    * know. Every incoming doc is tokenized with the shared regex, hashed
+    * into the same buckets, stream-static joined to the ratio table
+    * (constant-size, broadcast), and summed per doc under the watermark.
+    * The scaled-long sum is order-free, so a streamed doc's score equals
+    * its batch `tx_dsir` score bit for bit against the same table
+    * (spec-pinned). State = in-flight windows only; empty docs score 0
+    * through the explode_outer/coalesce path like the batch left join. */
+  def dsirScoreStream(docs: Dataset[LangDocEvent], lr: DataFrame,
+      delay: String = "10 seconds", window: String = "1 second"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", delay)
+      .select(col("doc_id"), col("lang"), col("ts"),
+        explode_outer(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .withColumn("b", expr( // null tok (empty doc) -> null b -> lr misses
+        s"md5_long60(concat('dsir:', tok)) % ${TextQueries.dsirB}"))
+      .join(broadcast(lr), Seq("b"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"), col("lang"))
+      .agg(sum(coalesce(col("lr"), lit(0L))).as("score_micro"))
+      .select(col("doc_id"), col("lang"), col("score_micro"))
+  }
+
   /** Streaming dataset-card counters — the live half of `llm_dataset_card`
     * (L103): per-source running doc count, token total, and quality-gate
     * pass count, refined every micro-batch in UPDATE mode. The quality

@@ -34,6 +34,46 @@ object TextQueries {
     * exercises real bucket collisions; production DSIR uses ~1e4 buckets
     * (still a constant-size broadcast table). */
   private[llm] val dsirB = 64
+
+  /** (doc_id, lang, b): one hashed-feature row per token occurrence — the
+    * shared front of tx_dsir and its streaming twin. */
+  private[llm] def dsirFeaturesDF(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"md5_long60(concat('dsir:', tok)) % $dsirB").as("b"))
+
+  /** ($dsirB-row) bucket → scaled-long log-likelihood ratio table — the
+    * batch-trained serving artifact the streaming gate pins (the lm-gate /
+    * boiler-set stance). One identical double chain per bucket from exact
+    * integer counts, quantized at 6 dp. */
+  private[llm] def dsirLrDF(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val raw = f.groupBy("b").agg(count(lit(1)).as("craw"))
+    val tgt = f.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ctgt"))
+    val tots = f.agg(count(lit(1)).as("traw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttgt"))
+    raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots)) // 1-row totals
+      .select(col("b"), expr(
+        s"cast(round(ln((cast(coalesce(ctgt, 0) + 1 as double) * (traw + $dsirB)) / " +
+          s"(cast(craw + 1 as double) * (ttgt + $dsirB))) * 1000000, 0) as bigint)").as("lr"))
+  }
+
+  /** The full tx_dsir body (UNORDERED — the query sorts): features →
+    * ratio table → per-doc integer dot product. */
+  private[llm] def dsirScoreDF(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val f = dsirFeaturesDF(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 4x (raw/tgt/tots/dc)
+    val lr = dsirLrDF(f)
+    val dc = f.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val sc = dc.join(broadcast(lr), "b") // $dsirB-row constant table
+      .groupBy("doc_id").agg(sum(col("n") * col("lr")).as("score_micro"))
+    docs.select("doc_id", "lang")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
     * symbol. Disjoint branches → identical matches in Java and RE2. */
   private val pieceRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -1663,30 +1703,7 @@ object TextQueries {
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val f = docs
-        .select(col("doc_id"), col("lang"),
-          explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          expr(s"md5_long60(concat('dsir:', tok)) % $dsirB").as("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // read 4x (raw/tgt/tots/dc)
-      val raw = f.groupBy("b").agg(count(lit(1)).as("craw"))
-      val tgt = f.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ctgt"))
-      val tots = f.agg(count(lit(1)).as("traw"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttgt"))
-      val lr = raw.join(tgt, Seq("b"), "left")
-        .crossJoin(broadcast(tots)) // 1-row totals
-        .select(col("b"), expr(
-          s"cast(round(ln((cast(coalesce(ctgt, 0) + 1 as double) * (traw + $dsirB)) / " +
-            s"(cast(craw + 1 as double) * (ttgt + $dsirB))) * 1000000, 0) as bigint)").as("lr"))
-      val dc = f.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      val sc = dc.join(broadcast(lr), "b") // $dsirB-row constant table
-        .groupBy("doc_id").agg(sum(col("n") * col("lr")).as("score_micro"))
-      docs.select("doc_id", "lang")
-        .join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("score_micro"), lit(0L)).as("score_micro"))
-        .orderBy("doc_id")
+      dsirScoreDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // BPE merge training — the actual tokenizer-training step (tx_vocab is

@@ -215,4 +215,44 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(last("s0")._2 == 2 && last("s1")._2 == 3, s"doc counts: $last")
     assert(last("s0")._4 == 1 && last("s1")._4 == 2, s"quality pass counts: $last")
   }
+
+  test("streaming DSIR gate scores exactly like the batch scorer on the pinned table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // reference corpus: en docs share a token universe, de docs another,
+    // doc 5 straddles, doc 6 is empty (must score exactly 0 both sides)
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "alpha gamma delta epsilon"),
+      (3L, "de", "zett omega psi chi phi"),
+      (4L, "de", "omega zett chi psi psi psi"),
+      (5L, "de", "alpha omega"),
+      (6L, "en", ""))
+    val batchDocs = corpus.toDF("doc_id", "lang", "text")
+    val want = TextQueries.dsirScoreDF(batchDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // en-only tokens score positive, de-only negative, by construction
+    assert(want(1L)._2 > 0 && want(3L)._2 < 0 && want(6L)._2 == 0L, s"fixture sanity: $want")
+
+    val lr = TextQueries.dsirLrDF(TextQueries.dsirFeaturesDF(batchDocs))
+    val mem = MemoryStream[LangDocEvent]
+    val q = StreamingCorpusPrep.dsirScoreStream(mem.toDS(), lr)
+      .writeStream.format("memory").queryName("dsir_out").outputMode("append").start()
+    // shuffled multi-batch arrival
+    mem.addData(LangDocEvent(4L, 1400L, "de", corpus(3)._3),
+      LangDocEvent(1L, 1100L, "en", corpus(0)._3))
+    q.processAllAvailable()
+    mem.addData(LangDocEvent(6L, 1600L, "en", corpus(5)._3),
+      LangDocEvent(3L, 1300L, "de", corpus(2)._3),
+      LangDocEvent(5L, 1500L, "de", corpus(4)._3),
+      LangDocEvent(2L, 1200L, "en", corpus(1)._3))
+    q.processAllAvailable()
+    mem.addData(LangDocEvent(999L, 100000L, "en", "sentinel")) // flush append
+    q.processAllAvailable()
+    val got = spark.table("dsir_out").filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    q.stop()
+    assert(got == want, s"stream: $got\nbatch: $want")
+  }
 }

@@ -37,7 +37,7 @@ object TextQueries {
 
   /** (doc_id, lang, b): one hashed-feature row per token occurrence — the
     * shared front of tx_dsir and its streaming twin. */
-  private[llm] def dsirFeaturesDF(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def dsirFeaturesDF(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
         explode(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).as("tok"))
@@ -48,7 +48,7 @@ object TextQueries {
     * batch-trained serving artifact the streaming gate pins (the lm-gate /
     * boiler-set stance). One identical double chain per bucket from exact
     * integer counts, quantized at 6 dp. */
-  private[llm] def dsirLrDF(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def dsirLrDF(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val raw = f.groupBy("b").agg(count(lit(1)).as("craw"))
     val tgt = f.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ctgt"))
     val tots = f.agg(count(lit(1)).as("traw"),

@@ -147,6 +147,43 @@ class ThroughputSpec extends SparkSpec {
       "STREAM_RATE_SESSIONS.json")
   }
 
+  test("DSIR gate sustains >=100 docs/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 1000 // 10x the 100 rec/s/partition target
+    graft.functions.GraftFunctions.register(spark)
+    // batch-side training pass: two language slices over a shared vocab
+    val vocab = (0 until 50).map(i => f"w$i%02d")
+    val ref = (1L to 200L).map { i =>
+      (i, if (i % 3 == 0L) "de" else "en",
+        (0 until 12).map(j => vocab(((i * 7 + j * 13) % 50).toInt)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val lr = graft.llm.TextQueries.dsirLrDF(graft.llm.TextQueries.dsirFeaturesDF(ref))
+      .localCheckpoint() // pin the trained table; serving must not retrain per batch
+    val vocabArr = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select(col("value").as("doc_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        lit("en").as("lang"),
+        expr(s"array_join(transform(sequence(0, 11), " +
+          s"j -> element_at($vocabArr, cast((value * 7 + j * 13) % 50 as int) + 1)), ' ')")
+          .as("text"))
+      .as[graft.llm.LangDocEvent]
+    val ckpt = Files.createTempDirectory("rate_dsir_ckpt").toString
+    val q = graft.llm.StreamingCorpusPrep.dsirScoreStream(docs, lr, delay = "5 seconds")
+      .writeStream.format("memory").queryName("rate_dsir")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "doc rate source -> tokenize/hash -> pinned 64-row ratio join -> 5s watermark -> per-doc integer sum -> memory sink (append)",
+      "STREAM_RATE_DSIR.json")
+  }
+
   test("ANN serving sustains >=100 queries/s/partition over >=10s (measured)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1766,6 +1766,50 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Tokenizer fertility by language — the cross-lingual equity metric of
+    // tokenizer reports: chars-per-piece under the corpus-trained BPE
+    // (tx_bpe's own merge chain), rolled up per LANGUAGE. A language whose
+    // fertility runs far below the corpus mean is being fragmented by a
+    // tokenizer trained on someone else's distribution — the signal that
+    // drives vocab rebalancing / per-language byte budgets in mixture
+    // planning. All counts are exact integers; the fertility quotient is
+    // one UNROUNDED double division of exact integers (the tx_bpe_apply
+    // stance). Scale shape: rides the same bpeTrain chain (the honest
+    // self-contained price, like every tx_bpe_* query); the rollup itself
+    // is one map-side-combined lang aggregate over doc-sized rows.
+    Q("tx_fertility",
+      s"""WITH $bpeOracleCtes,
+         |base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |),
+         |per AS (
+         |  SELECT b.lang, b.n_chars,
+         |    CAST(CASE WHEN b.n_tokens = 0 THEN 0 ELSE len(string_split(f.s, '  ')) END AS BIGINT) AS n_pieces
+         |  FROM base b JOIN s${bpeIters + 1} f ON f.doc_id = b.doc_id
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+         |  CAST(sum(n_chars) AS DOUBLE) / greatest(CAST(sum(n_pieces) AS BIGINT), 1) AS chars_per_piece
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (_, finalState) = bpeTrain(docs)
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).cast("long").as("n_tokens"))
+      base.join(finalState, "doc_id")
+        .select(col("lang"), col("n_chars"),
+          when(col("n_tokens") === 0, 0L)
+            .otherwise(size(split(col("s"), "  ")).cast("long")).as("n_pieces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"), sum("n_pieces").as("sum_pieces"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_pieces"),
+          expr("cast(sum_chars as double) / greatest(sum_pieces, 1)").as("chars_per_piece"))
+        .orderBy("lang")
+    },
+
     // Winnowing is row-local: k-gram hashes, sliding-window minima and the
     // per-doc distinct are all array expressions on the doc's own row — no
     // explode, no per-doc window function, no shuffle (a (doc, pos) explode

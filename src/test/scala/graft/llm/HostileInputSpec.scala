@@ -208,4 +208,62 @@ class HostileInputSpec extends SparkSpec {
       Seq(MediaAsset(1L, Multimodal.makeWav(Array.empty[Int], 8000))).toDS()).collect()
     assert(z.head.n_samples == 0L && z.head.n_windows == 0L && z.head.peak == 0L)
   }
+
+  test("soft weights, DSIR, fertility, and mutual-kNN components survive degenerate corpora") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    // component machinery on an EMPTY edge set: empty labels, no crash
+    assert(DedupQueries.componentsOf(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"), "spec_empty").collect().isEmpty)
+
+    // soft weights with an empty component table: every doc is a
+    // weight-1 singleton (the no-duplicates corpus)
+    val plain = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val w = PipelineQueries.softWeightsDF(plain,
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")).collect()
+    assert(w.length == 2 && w.forall(r => r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+
+    // DSIR on an all-target corpus: p_tgt == p_raw bucket for bucket, so
+    // every log-ratio is ln(1) and every score — including the empty and
+    // NULL-text docs — is exactly 0
+    val mono = Seq((0L, "en", "alpha beta gamma"), (1L, "en", ""),
+      (2L, "en", null.asInstanceOf[String])).toDF("doc_id", "lang", "text")
+    val ds = TextQueries.dsirScoreDF(mono).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ds == Map(0L -> 0L, 1L -> 0L, 2L -> 0L), s"$ds")
+
+    // fertility + mutual-kNN components end-to-end on a degenerate dir
+    val dir = java.nio.file.Files.createTempDirectory("hostile_sf3")
+    dir.toFile.deleteOnExit()
+    hostileDocs
+      .withColumn("lang", expr("CASE WHEN doc_id <= 2 THEN 'aa' ELSE 'bb' END"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0L)).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val base = Array.fill(64)(0.5f)
+    val far = Array.fill(64)(5.0f)
+    (Seq((10L, base, 0), (11L, base, 0), (12L, base, 0), (13L, base, 0), // zero-variance cell
+      (20L, base, 1), (21L, far, 1),                                     // 2-vector cell
+      (40L, base, 3)))                                                   // singleton cell
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val q = graft.SparkEntry.queries
+
+    // fertility: degenerate docs contribute 0 pieces; the quotient floor
+    // keeps an all-degenerate language finite instead of dividing by 0
+    val fert = q("tx_fertility")(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(fert.keySet == Set("aa", "bb"), s"$fert")
+
+    // mutual kNN over the degenerate cells: the zero-variance clique is
+    // one component of size 4 (all pairwise distances 0 — ties broken by
+    // id stay mutual), the 2-vector cell pairs mutually by construction,
+    // and the singleton cell self-roots with size 1
+    val comp = q("sim_components")(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(comp(10L) == ((10L, 4L)) && comp(13L) == ((10L, 4L)), s"$comp")
+    assert(comp(20L) == ((20L, 2L)) && comp(21L) == ((20L, 2L)), s"$comp")
+    assert(comp(40L) == ((40L, 1L)), s"singleton self-roots: $comp")
+  }
 }

@@ -112,7 +112,10 @@ object PipelineQueries {
     * analyzed plan with a stub `comp` — building the real one runs the
     * (eager, driver-controlled) clustering loop, which a plan-only test
     * must not pay for. */
-  private[llm] def prepDF(s: SparkSession, d: String, comp: DataFrame): DataFrame = {
+  /** The doc-grain survivor set of the prep keep rule (quality gate ∧
+    * exact-dup keeper ∧ near-dup keeper) with full doc columns — the
+    * chunker's input and the publish stage's payload. */
+  private[graft] def survivorsDF(s: SparkSession, d: String, comp: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val exk = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
     val qual = TextQueries.qualityKeepDF(s, d).filter(col("keep") === 1).select("doc_id")
@@ -121,6 +124,11 @@ object PipelineQueries {
       .join(qual, Seq("doc_id"), "left_semi")
       .join(comp, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  private[llm] def prepDF(s: SparkSession, d: String, comp: DataFrame): DataFrame = {
+    survivorsDF(s, d, comp)
       .select(col("doc_id"), col("text"))
       .withColumn("pos",
         explode(expr(s"sequence(1, greatest(length(text), 1), ${TextQueries.chunkStep})")))

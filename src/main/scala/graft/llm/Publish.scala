@@ -38,6 +38,22 @@ object Publish {
     publish(curated, outDir, maxRecordsPerFile)
   }
 
+  /** Streaming publish — the same lang-partitioned dataset fed by an
+    * ingest stream: the built-in file sink's commit log (`_spark_metadata`)
+    * makes the partitioned write exactly-once across failure/restart
+    * (metadata-aware readers skip uncommitted files), so the live and the
+    * batch publish produce interchangeable datasets. Partition discipline
+    * note: each micro-batch writes at most (its tasks × langs-it-carries)
+    * files; a long-running publish stream compacts downstream with the
+    * BATCH [[publish]] over the accumulated dataset (the standard
+    * lambda-free compaction handoff). */
+  def publishStream(docs: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.format("parquet")
+      .partitionBy("lang")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+
   /** Write `docs` (must carry a `lang` column) partitioned by lang;
     * return the per-lang audit read back from the published dataset. */
   def publish(docs: DataFrame, outDir: String,

@@ -42,4 +42,55 @@ class PublishSpec extends SparkSpec {
     assert(audit2.map { case (l, (n, ch, _)) => l -> ((n, ch)) } ==
       audit.map { case (l, (n, ch, _)) => l -> ((n, ch)) })
   }
+
+  test("streaming publish is exactly-once and partitioned across an injected failure") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = Files.createTempDirectory("pub_in")
+    val out = Files.createTempDirectory("pub_out").resolve("data")
+    val ckpt = Files.createTempDirectory("pub_ckpt")
+    Seq(in, out.getParent, ckpt).foreach(_.toFile.deleteOnExit())
+    // 5 input files x 10 docs, one file per micro-batch (mtime-ordered)
+    (0 until 5).foreach { f =>
+      val staging = in.resolve(s"staging_$f")
+      (0 until 10).map(i => (f * 10 + i).toLong).toDF("value")
+        .withColumn("key", expr("value % 5"))
+        .coalesce(1).write.parquet(staging.toString)
+      val part = staging.toFile.listFiles().map(_.toPath)
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = in.resolve(s"f$f.parquet")
+      Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 60000L))
+    }
+    graft.streaming.FailingMapper.reset()
+    def start() = {
+      import org.apache.spark.sql.types._
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("value", LongType), StructField("key", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString + "/f*.parquet")
+      val mapped = graft.streaming.FailingMapper(src.as[(Long, Long)])(_._1 == 25L)
+        .toDF("doc_id", "key")
+        .select(col("doc_id"), concat(lit("l"), col("key") % 2).as("lang"))
+      Publish.publishStream(mapped, out.toString, ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val q1 = start()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(graft.streaming.FailingMapper.tripped.get, "failure should have been injected")
+    val q2 = start() // same checkpoint: failed batch replays, commits once
+    q2.awaitTermination()
+
+    assert(Files.exists(out.resolve("_spark_metadata")), "commit log present")
+    val dirs = out.toFile.listFiles().map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(dirs == Set("lang=l0", "lang=l1"), s"partition dirs: $dirs")
+    val got = spark.read.parquet(out.toString)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(got.length == 50, s"exactly-once: got ${got.length} rows")
+    assert(got.map(_._1).toSet == (0L until 50L).toSet)
+    assert(got.forall { case (id, lang) => lang == s"l${id % 5 % 2}" })
+  }
 }

@@ -54,6 +54,16 @@ object Publish {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
 
+  /** The compaction handoff that retires a streaming publish's many small
+    * per-batch files: read the source dataset (through its `_spark_metadata`
+    * commit log when one exists — uncommitted orphans never survive
+    * compaction) and re-publish it size-disciplined at a NEW location.
+    * Never mutates the live dataset in place; the consumer flips to
+    * `destDir` when the audit row confirms parity. */
+  def compact(s: SparkSession, srcDir: String, destDir: String,
+      maxRecordsPerFile: Long = 1000000L): DataFrame =
+    publish(s.read.parquet(srcDir), destDir, maxRecordsPerFile)
+
   /** Write `docs` (must carry a `lang` column) partitioned by lang;
     * return the per-lang audit read back from the published dataset. */
   def publish(docs: DataFrame, outDir: String,
@@ -66,7 +76,11 @@ object Publish {
       .partitionBy("lang")
       .parquet(outDir)
     val spark = docs.sparkSession
-    spark.read.parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    // payload schemas without a byte count (e.g. a minimal ingest stream)
+    // still get the row/file audit
+    (if (back.columns.contains("n_chars")) back
+     else back.withColumn("n_chars", lit(0L)))
       .select(col("lang"), col("n_chars"), input_file_name().as("f"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -92,5 +92,24 @@ class PublishSpec extends SparkSpec {
     assert(got.length == 50, s"exactly-once: got ${got.length} rows")
     assert(got.map(_._1).toSet == (0L until 50L).toSet)
     assert(got.forall { case (id, lang) => lang == s"l${id % 5 % 2}" })
+
+    // compaction handoff: plant an uncommitted orphan in a partition dir,
+    // compact to a new location — the commit-log-aware read drops the
+    // orphan, rows survive exactly, and each lang collapses to one file
+    val orphanSrc = Files.createTempDirectory("pub_orphan").resolve("w")
+    Seq((999L, "l0")).toDF("doc_id", "lang").drop("lang")
+      .coalesce(1).write.parquet(orphanSrc.toString)
+    val orphan = orphanSrc.toFile.listFiles().map(_.toPath)
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(orphan, out.resolve("lang=l0").resolve("part-99999-orphan.parquet"))
+    val cOut = Files.createTempDirectory("pub_compact").resolve("data")
+    val cAudit = Publish.compact(spark, out.toString, cOut.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // keys {0,2,4} -> l0 (30 docs), {1,3} -> l1 (20); the planted orphan
+    // (doc 999 in lang=l0) must NOT survive the commit-log-aware read
+    assert(cAudit == Seq(("l0", 30L, 1L), ("l1", 20L, 1L)),
+      s"compacted audit (orphan dropped, one file per lang): $cAudit")
+    val cid = spark.read.parquet(cOut.toString).select("doc_id").as[Long].collect()
+    assert(cid.toSet == (0L until 50L).toSet && !cid.contains(999L))
   }
 }

@@ -32,4 +32,14 @@ class SourcesSpec extends SparkSpec {
     assert(qualityRows(fromJson) == expected, "JSON ingest diverged")
     assert(qualityRows(fromCsv) == expected, "CSV ingest diverged")
   }
+
+  test("ORC ingest produces identical operator results to parquet") {
+    // the columnar alternative a lakehouse migration actually brings:
+    // same pruned-scan/pushdown properties as parquet, zero operator code
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text", "lang")
+    val base = Files.createTempDirectory("graft_sources_orc").toString
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.schema(docs.schema).orc(s"$base/orc")
+    assert(qualityRows(fromOrc) == qualityRows(docs), "ORC ingest diverged")
+  }
 }

@@ -534,6 +534,43 @@ object FunnelQueries {
           expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
         .orderBy("event_type")
     },
+
+    // Seasonal baseline forecast — ev_trend's capacity-planning twin: the
+    // next 7 days per event type forecast from day-of-week means over the
+    // corpus's calendar span (ZERO days count in the denominator — a dow
+    // with no events forecasts 0, not "unknown"). dow = epoch-day mod 7,
+    // a rotation label, deliberately calendar-locale-free. The per-dow
+    // calendar-day count is pure positive-operand integer floor division
+    // (identical in both engines); the forecast is the UNROUNDED exact
+    // int/int quotient. Scale shape: one map-side-combined (type, dow)
+    // count over the day-grain rollup, a 1-row span broadcast, a
+    // type-sized 7-row horizon expand — no corpus-sized shuffle beyond
+    // the day rollup ev_trend already pays.
+    Q("ev_forecast",
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx
+         |  FROM events
+         |),
+         |span AS (SELECT CAST(min(day_idx) AS BIGINT) AS a, CAST(max(day_idx) AS BIGINT) AS b FROM d),
+         |pd AS (SELECT event_type, day_idx % 7 AS dow, CAST(count(*) AS BIGINT) AS c
+         |       FROM d GROUP BY 1, 2),
+         |hz AS (
+         |  SELECT t.event_type, span.b + u.h AS day_idx, (span.b + u.h) % 7 AS dow,
+         |    span.a AS a, span.b AS b
+         |  FROM (SELECT DISTINCT event_type FROM d) t, span,
+         |    unnest(generate_series(1, 7)) AS u(h)
+         |)
+         |SELECT hz.event_type, hz.day_idx, hz.dow,
+         |  CAST(coalesce(pd.c, 0) AS DOUBLE) /
+         |    greatest(((hz.b - hz.dow + 7) // 7) - ((hz.a - 1 - hz.dow + 7) // 7), 1) AS forecast
+         |FROM hz LEFT JOIN pd ON pd.event_type = hz.event_type AND pd.dow = hz.dow
+         |ORDER BY hz.event_type, hz.day_idx""".stripMargin) { (s, d) =>
+      forecastDF(Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
+        .orderBy("event_type", "day_idx")
+    },
     // RFM user segmentation (recency / frequency / monetary — the
     // marketing-analytics workhorse behind churn targeting and LTV
     // tiers): per user, days since last activity, event count, and exact
@@ -694,6 +731,24 @@ object FunnelQueries {
         expr("round(cast(n_days * sxy - sx * sy as double) / (n_days * sxx - sx * sx), 4)")
           .as("slope_per_day"),
         expr("round(cast(sy as double) / n_days, 4)").as("avg_per_day"))
+
+  /** `ev_forecast` body over a (event_type, day_idx) frame — UNORDERED,
+    * the query sorts. See the Q comment for the dow-mean contract. */
+  private[graft] def forecastDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val span = ev.agg(min("day_idx").as("a"), max("day_idx").as("b"))
+    val perDow = ev.withColumn("dow", expr("day_idx % 7"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+    ev.select("event_type").distinct()
+      .crossJoin(broadcast(span)) // 1-row span
+      .withColumn("h", explode(expr("sequence(1, 7)")))
+      .select(col("event_type"), (col("b") + col("h")).as("day_idx"),
+        expr("(b + h) % 7").as("dow"), col("a"), col("b"))
+      .join(perDow, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day_idx"), col("dow"),
+        expr("cast(coalesce(c, 0) as double) / " +
+          "greatest(((b - dow + 7) div 7) - ((a - 1 - dow + 7) div 7), 1)").as("forecast"))
+  }
 
   /** Gap-segmentation core shared by `ev_sessions` and `ev_paths`: appends
     * `sid` (1..n per user in (us, event_id) order) to any frame carrying

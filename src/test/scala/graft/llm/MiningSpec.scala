@@ -134,6 +134,21 @@ class MiningSpec extends SparkSpec {
     assert(out(20L) == ((20L, 50L, 2L)))
   }
 
+  test("ev_forecast: planted weekly season recovers exact dow means; quiet dow forecasts 0") {
+    // span day 700..710 (both dow-0 days 700/707 and dow-3 days 703/710
+    // appear twice). type "w": 3 events per dow-0 day, 1 per dow-3 day,
+    // nothing else -> forecast 3.0 / 1.0 / 0.0 exactly; horizon 711..717.
+    val rows =
+      (for { d <- Seq(700L, 707L); _ <- 0 until 3 } yield ("w", d)) ++
+        Seq(("w", 703L), ("w", 710L))
+    val out = graft.batch.FunnelQueries.forecastDF(rows.toDF("event_type", "day_idx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).sorted.toSeq == (711L to 717L), s"horizon: ${out.toSeq}")
+    val byDow = out.map(t => t._2 -> t._3).toMap
+    assert(byDow(0L) == 3.0 && byDow(3L) == 1.0, s"$byDow")
+    assert(Seq(1L, 2L, 4L, 5L, 6L).forall(byDow(_) == 0.0), s"quiet dows: $byDow")
+  }
+
   test("tx_dsir: target-language docs out-score the rest; empty docs score 0") {
     // the DEFINING property of importance resampling against a lang='en'
     // target: on real data, docs drawn from the target slice must carry a

@@ -88,6 +88,81 @@ object SimilarityQueries {
        |knn AS (SELECT vec_id, neighbor_id, rank, dist FROM rk WHERE rank <= $knnK)""".stripMargin
   }
 
+  /** sim_kmeans geometry: cells and quantization scale. k is a constant
+    * here; at production scale k ∝ sqrt(N) (re-fit per corpus), which is
+    * exactly why the downstream consumers treat the k-row centroid table
+    * as the only broadcastable side. */
+  private val kmK = 8
+  private val kmScale = 10000
+
+  /** DuckDB CTE chain for the sim_kmeans Lloyd chain (seed → assign →
+    * update → re-assign), ending in `a2(vec_id, cid, dist)`; also exposes
+    * `xq` (the kmScale-quantized vectors). Shared by sim_kmeans and the
+    * kmeans-cell components query. */
+  private lazy val kmeansCtes: String = {
+    val dims = LlmHash.dims
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT x.vec_id, c.cid,
+         |      CAST(list_sum(list_transform(generate_series(1, $dims),
+         |        i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT) AS dist
+         |    FROM xq x, $cents c
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+         |)""".stripMargin
+    def updateCte(sums: String, cents: String, asg: String) =
+      s"""$sums AS (
+         |  SELECT a.cid, u.i, CAST(sum(x.xq[CAST(u.i AS INT)]) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM $asg a JOIN xq x USING (vec_id), unnest(generate_series(1, $dims)) AS u(i)
+         |  GROUP BY a.cid, u.i
+         |),
+         |$cents AS (
+         |  SELECT cid, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY i) AS carr
+         |  FROM $sums GROUP BY cid
+         |)""".stripMargin
+    s"""xq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $kmScale, 0) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |),
+       |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < $kmK),
+       |${assignCte("a1", "c0")},
+       |${updateCte("s1", "c1", "a1")},
+       |${assignCte("a2", "c1")}""".stripMargin
+  }
+
+  /** Spark twin of [[kmeansCtes]]: (xq persisted, a2 assignment). xq is
+    * MEMORY_AND_DISK-persisted for the chain's repeated reads — consumers
+    * rely on the Verify/Bench clearCache contract. */
+  private def kmeansLayer(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"vector_quantize(embedding, $kmScale)").as("xq")) // codegen: no per-element lambda on the corpus scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = xq.filter(col("vec_id") < kmK)
+      .select(col("vec_id").as("cid"), col("xq").as("carr"))
+    // integer squared L2 — codegen'd primitive loop (the interpreted
+    // zip_with/aggregate twin is property-tested equal in FunctionsSpec)
+    val distExpr = "vector_l2q(xq, carr)"
+    def assign(cents: DataFrame) = xq
+      .crossJoin(broadcast(cents)) // k×d constant-size table — broadcast by construction
+      .withColumn("dist", expr(distExpr))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    def update(asg: DataFrame) = asg
+      .join(xq, "vec_id")
+      .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
+      .groupBy("cid", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    (xq, assign(update(assign(c0))))
+  }
+
   /** Shared CTE chain ending in `dd(vec_id, label, d)` — every vector's
     * quantized-integer squared distance to its cell centroid (the
     * [[outScale]] grid); consumed by sim_outlier (z-test gate) and
@@ -153,6 +228,34 @@ object SimilarityQueries {
         Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
         .cast("int"))
       .filter(col("rank") <= knnK)
+  }
+
+  /** Mutual-edge components shared by sim_components (label cells) and
+    * sim_components_kmeans (learned cells): mutual filter (a ∈ knn(b) AND
+    * b ∈ knn(a)) over any (vec_id, neighbor_id) edge frame, the audited
+    * pointer-jumping machinery, singleton self-rooting, per-component
+    * sizes. ORDERED by vec_id (the oracle contract of both queries). */
+  private def mutualComponentsDF(knnEdges: DataFrame, allVecs: DataFrame,
+      tag: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val knn = knnEdges.persist(StorageLevel.MEMORY_AND_DISK) // both sides of the mutual join
+    val mut = knn.as("x")
+      .join(knn.as("y"),
+        col("y.vec_id") === col("x.neighbor_id") &&
+          col("y.neighbor_id") === col("x.vec_id") &&
+          col("x.vec_id") < col("x.neighbor_id"))
+      .select(col("x.vec_id").as("d1"), col("x.neighbor_id").as("d2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val comp = DedupQueries.componentsOf(mut, tag)
+      .select(col("node").as("vec_id"), col("lbl").as("component_id"))
+    Seq(knn, mut).foreach(_.unpersist(blocking = false))
+    allVecs
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("component_id"))
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy("component_id")))
+      .orderBy("vec_id")
   }
 
   /** sim_outlier quantization scale — coarse on purpose: the gate needs the
@@ -490,67 +593,11 @@ object SimilarityQueries {
     // centroid table (k constant → broadcast by construction); the update
     // is a (cell, dim) map-side-combined sum — the corpus is touched twice
     // per iteration and never shuffled whole.
-    Q("sim_kmeans", {
-      val k = 8
-      val scale = 10000
-      val dims = LlmHash.dims
-      def assignCte(name: String, cents: String) =
-        s"""$name AS (
-           |  SELECT vec_id, cid, dist FROM (
-           |    SELECT x.vec_id, c.cid,
-           |      CAST(list_sum(list_transform(generate_series(1, $dims),
-           |        i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT) AS dist
-           |    FROM xq x, $cents c
-           |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
-           |)""".stripMargin
-      def updateCte(sums: String, cents: String, asg: String) =
-        s"""$sums AS (
-           |  SELECT a.cid, u.i, CAST(sum(x.xq[CAST(u.i AS INT)]) AS BIGINT) AS sv,
-           |    CAST(count(*) AS BIGINT) AS n
-           |  FROM $asg a JOIN xq x USING (vec_id), unnest(generate_series(1, $dims)) AS u(i)
-           |  GROUP BY a.cid, u.i
-           |),
-           |$cents AS (
-           |  SELECT cid, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY i) AS carr
-           |  FROM $sums GROUP BY cid
-           |)""".stripMargin
-      s"""WITH xq AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $scale, 0) AS BIGINT)) AS xq
-         |  FROM embeddings
-         |),
-         |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < $k),
-         |${assignCte("a1", "c0")},
-         |${updateCte("s1", "c1", "a1")},
-         |${assignCte("a2", "c1")}
-         |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
-      val k = 8
-      val scale = 10000
-      graft.functions.GraftFunctions.register(s)
-      val xq = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr(s"vector_quantize(embedding, $scale)").as("xq")) // codegen: no per-element lambda on the corpus scan
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c0 = xq.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("xq").as("carr"))
-      // integer squared L2 — codegen'd primitive loop (the interpreted
-      // zip_with/aggregate twin is property-tested equal in FunctionsSpec)
-      val distExpr = "vector_l2q(xq, carr)"
-      def assign(cents: org.apache.spark.sql.DataFrame) = xq
-        .crossJoin(broadcast(cents)) // k×d constant-size table — broadcast by construction
-        .withColumn("dist", expr(distExpr))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-      def update(asg: org.apache.spark.sql.DataFrame) = asg
-        .join(xq, "vec_id")
-        .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
-        .groupBy("cid", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-        .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
-      val a2 = assign(update(assign(c0)))
+    Q("sim_kmeans",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+      val (_, a2) = kmeansLayer(s, d)
       a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
         .orderBy("vec_id")
     },
@@ -1036,27 +1083,70 @@ object SimilarityQueries {
          |SELECT vec_id, component_id,
          |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
          |FROM lab ORDER BY vec_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.storage.StorageLevel
-      val knn = knnGraphDF(s, d).select("vec_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the mutual join
-      val mut = knn.as("x")
-        .join(knn.as("y"),
-          col("y.vec_id") === col("x.neighbor_id") &&
-            col("y.neighbor_id") === col("x.vec_id") &&
-            col("x.vec_id") < col("x.neighbor_id"))
-        .select(col("x.vec_id").as("d1"), col("x.neighbor_id").as("d2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val comp = DedupQueries.componentsOf(mut, "sim_components")
-        .select(col("node").as("vec_id"), col("lbl").as("component_id"))
-      Seq(knn, mut).foreach(_.unpersist(blocking = false))
-      val lab = Tables.embeddings(s, d).select("vec_id")
-        .join(comp, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("component_id"), col("vec_id")).as("component_id"))
-      lab
-        .withColumn("component_size",
-          count(lit(1)).over(Window.partitionBy("component_id")))
-        .orderBy("vec_id")
+      mutualComponentsDF(knnGraphDF(s, d).select("vec_id", "neighbor_id"),
+        Tables.embeddings(s, d).select("vec_id"), "sim_components")
+    },
+
+    // sim_components over LEARNED cells — the production k ∝ N shape: the
+    // kNN graph is built per kmeans-assigned cell (the sim_kmeans Lloyd
+    // chain) instead of the corpus's label column, so cell geometry comes
+    // from the data and re-fitting k as the corpus grows keeps per-cell
+    // pair work constant — the SemDeDup regime the label-cell variant can
+    // only document. Same mutual filter, same audited component machinery,
+    // same output contract. Scale shape: the Lloyd chain is two broadcast
+    // assigns + one posexplode centroid aggregate; the per-cell pair join
+    // is hash-partitioned on the ASSIGNED cell.
+    Q("sim_components_kmeans", {
+      val dims = LlmHash.dims
+      val dN =
+        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH RECURSIVE $kmeansCtes,
+         |cv AS (SELECT a.vec_id, a.cid, x.xq FROM a2 a JOIN xq x USING (vec_id)),
+         |kpairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
+         |  FROM cv a JOIN cv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+         |),
+         |krk AS (
+         |  SELECT vec_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
+         |  FROM kpairs
+         |),
+         |kknn AS (SELECT vec_id, neighbor_id FROM krk WHERE rank <= 3),
+         |mut AS (
+         |  SELECT x.vec_id AS d1, x.neighbor_id AS d2
+         |  FROM kknn x JOIN kknn y
+         |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
+         |  WHERE x.vec_id < x.neighbor_id
+         |),
+         |csym AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mut),
+         |reach(dd, r) AS (
+         |  SELECT d1, d1 FROM csym
+         |  UNION
+         |  SELECT s.d2, reach.r FROM reach JOIN csym s ON s.d1 = reach.dd
+         |),
+         |comp AS (SELECT dd AS vec_id, min(r) AS component_id FROM reach GROUP BY dd),
+         |lab AS (
+         |  SELECT e.vec_id, coalesce(c.component_id, e.vec_id) AS component_id
+         |  FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+         |)
+         |SELECT vec_id, component_id,
+         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+         |FROM lab ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val (xq, a2) = kmeansLayer(s, d)
+      val cv = a2.select("vec_id", "cid").join(xq, "vec_id")
+      val knn = cv.select(col("cid"), col("vec_id"), col("xq"))
+        .join(cv.select(col("cid"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+          "cid") // hash-partitioned on the ASSIGNED cell — never all-pairs
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          expr("vector_l2q(xq, xqb)").as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+          .cast("int"))
+        .filter(col("rank") <= 3)
+      mutualComponentsDF(knn.select("vec_id", "neighbor_id"),
+        Tables.embeddings(s, d).select("vec_id"), "sim_components_kmeans")
     },
 
     // Hard-negative mining — the contrastive-training data op: for each

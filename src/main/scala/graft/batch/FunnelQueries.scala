@@ -21,6 +21,30 @@ object FunnelQueries {
   /** Funnel step window: a later stage counts only within 24 h of the
     * previous stage's first occurrence. */
   private val stepUs = 24L * 3600 * 1000 * 1000
+
+  /** Ordered-funnel CTE chain (u/v/c/p: first view, first within-window
+    * click after it, first within-window purchase after that) — shared by
+    * ev_funnel and ev_funnel_time. */
+  private lazy val funnelCtes: String =
+    s"""u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS vt
+       |  FROM events WHERE event_type = 'view' GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+       |  FROM events e JOIN v ON v.user_id = e.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > v.vt AND epoch_us(e.ts) <= v.vt + $stepUs
+       |  GROUP BY 1
+       |),
+       |p AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+       |  FROM events e JOIN c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > c.ct AND epoch_us(e.ts) <= c.ct + $stepUs
+       |  GROUP BY 1
+       |)""".stripMargin
   private val dayUs = 24L * 3600 * 1000 * 1000
 
   /** Session gap: a quiet period this long starts a new session. */
@@ -36,25 +60,7 @@ object FunnelQueries {
     // purchase per user, each step within [[stepUs]] of the previous
     // step's first event. Emits per-user stage timestamps + depth reached.
     Q("ev_funnel",
-      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
-         |v AS (
-         |  SELECT user_id, min(epoch_us(ts)) AS vt
-         |  FROM events WHERE event_type = 'view' GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT e.user_id, min(epoch_us(e.ts)) AS ct
-         |  FROM events e JOIN v ON v.user_id = e.user_id
-         |  WHERE e.event_type = 'click'
-         |    AND epoch_us(e.ts) > v.vt AND epoch_us(e.ts) <= v.vt + $stepUs
-         |  GROUP BY 1
-         |),
-         |p AS (
-         |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
-         |  FROM events e JOIN c ON c.user_id = e.user_id
-         |  WHERE e.event_type = 'purchase'
-         |    AND epoch_us(e.ts) > c.ct AND epoch_us(e.ts) <= c.ct + $stepUs
-         |  GROUP BY 1
-         |)
+      s"""WITH $funnelCtes
          |SELECT u.user_id, v.vt AS view_us, c.ct AS click_us, p.pt AS purchase_us,
          |  CAST(CASE WHEN p.pt IS NOT NULL THEN 3 WHEN c.ct IS NOT NULL THEN 2
          |            WHEN v.vt IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
@@ -66,6 +72,75 @@ object FunnelQueries {
       funnelDF(Tables.events(s, d)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
         .orderBy("user_id")
+    },
+
+    // Time-to-convert distribution — the latency half of the funnel (the
+    // counts say HOW MANY convert; this says HOW FAST): per step, the lag
+    // distribution over converting users — n, mean (UNROUNDED exact µs
+    // quotient), and discrete-rank p50/p90 (the tx_len_quantiles stance:
+    // rank selection on exact integers, never an interpolated float;
+    // (lag, user_id) total order makes tie ranks deterministic). Scale
+    // shape: rides the funnel's user-grain frame; the lag table is ≤3
+    // rows per converting user, the rank window partitions by STEP (3
+    // partitions of user-cardinality rows — the same bounded-partition
+    // envelope as the per-lang quantiles; approx_percentile is the
+    // documented 100 TB swap there and here).
+    Q("ev_funnel_time",
+      s"""WITH $funnelCtes,
+         |lag AS (
+         |  SELECT 'view_to_click' AS step, c.user_id, c.ct - v.vt AS lag_us
+         |  FROM c JOIN v ON v.user_id = c.user_id
+         |  UNION ALL
+         |  SELECT 'click_to_purchase' AS step, p.user_id, p.pt - c.ct AS lag_us
+         |  FROM p JOIN c ON c.user_id = p.user_id
+         |  UNION ALL
+         |  SELECT 'view_to_purchase' AS step, p.user_id, p.pt - v.vt AS lag_us
+         |  FROM p JOIN v ON v.user_id = p.user_id
+         |),
+         |n AS (SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+         |        CAST(sum(lag_us) AS BIGINT) AS sum_lag FROM lag GROUP BY step),
+         |rk AS (
+         |  SELECT step, lag_us,
+         |    row_number() OVER (PARTITION BY step ORDER BY lag_us, user_id) AS rn
+         |  FROM lag
+         |),
+         |q AS (
+         |  SELECT rk.step,
+         |    max(CASE WHEN rn = CAST(ceil(0.50 * n_users) AS BIGINT) THEN lag_us END) AS p50,
+         |    max(CASE WHEN rn = CAST(ceil(0.90 * n_users) AS BIGINT) THEN lag_us END) AS p90
+         |  FROM rk JOIN n USING (step) GROUP BY rk.step
+         |)
+         |SELECT n.step, n.n_users,
+         |  CAST(n.sum_lag AS DOUBLE) / n.n_users AS mean_lag_us,
+         |  CAST(q.p50 AS BIGINT) AS p50_us, CAST(q.p90 AS BIGINT) AS p90_us
+         |FROM n JOIN q USING (step)
+         |ORDER BY n.step""".stripMargin) { (s, d) =>
+      val f = funnelDF(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")))
+      val lag = f.filter(col("click_us").isNotNull)
+        .select(lit("view_to_click").as("step"), col("user_id"),
+          (col("click_us") - col("view_us")).as("lag_us"))
+        .unionByName(f.filter(col("purchase_us").isNotNull)
+          .select(lit("click_to_purchase").as("step"), col("user_id"),
+            (col("purchase_us") - col("click_us")).as("lag_us")))
+        .unionByName(f.filter(col("purchase_us").isNotNull)
+          .select(lit("view_to_purchase").as("step"), col("user_id"),
+            (col("purchase_us") - col("view_us")).as("lag_us")))
+      val n = lag.groupBy("step")
+        .agg(count(lit(1)).as("n_users"), sum("lag_us").as("sum_lag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("step").orderBy(col("lag_us"), col("user_id"))
+      val q = lag.withColumn("rn", row_number().over(w))
+        .join(n.select("step", "n_users"), "step")
+        .groupBy("step")
+        .agg(
+          max(when(col("rn") === expr("cast(ceil(0.50D * n_users) as bigint)"), col("lag_us"))).as("p50"),
+          max(when(col("rn") === expr("cast(ceil(0.90D * n_users) as bigint)"), col("lag_us"))).as("p90"))
+      n.join(q, "step")
+        .select(col("step"), col("n_users"),
+          expr("cast(sum_lag as double) / n_users").as("mean_lag_us"),
+          col("p50").cast("long").as("p50_us"), col("p90").cast("long").as("p90_us"))
+        .orderBy("step")
     },
 
     // Cohort retention: users cohorted by first-seen UTC day, retention

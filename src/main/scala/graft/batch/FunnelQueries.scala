@@ -810,19 +810,33 @@ object FunnelQueries {
   /** `ev_forecast` body over a (event_type, day_idx) frame — UNORDERED,
     * the query sorts. See the Q comment for the dow-mean contract. */
   private[graft] def forecastDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    forecastOfDayCounts(
+      ev.groupBy("event_type", "day_idx").agg(count(lit(1)).as("c")))
+
+  /** The forecast alone, over a pre-counted (event_type, day_idx, c)
+    * frame — the entry the streaming day-count rollup's consumer uses
+    * (AnomalyStream.forecastOf), mirroring [[trendOfDayCounts]]. */
+  private[graft] def forecastOfDayCounts(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    val ev = d
     val span = ev.agg(min("day_idx").as("a"), max("day_idx").as("b"))
-    val perDow = ev.withColumn("dow", expr("day_idx % 7"))
-      .groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
-    ev.select("event_type").distinct()
+    // pivot the dow counts into one 7-slot array per type: no dow join at
+    // all (a self-join of the input's lineage would need reference dedup
+    // that in-memory frames don't always get), one map-side-combined
+    // aggregate, then the horizon expands from the SAME aggregated frame
+    val perType = ev.groupBy("event_type").agg(
+      array((0 to 6).map(w =>
+        coalesce(sum(when(expr(s"day_idx % 7 = $w"), col("c"))), lit(0L))): _*).as("cw"))
+    perType
       .crossJoin(broadcast(span)) // 1-row span
       .withColumn("h", explode(expr("sequence(1, 7)")))
       .select(col("event_type"), (col("b") + col("h")).as("day_idx"),
-        expr("(b + h) % 7").as("dow"), col("a"), col("b"))
-      .join(perDow, Seq("event_type", "dow"), "left")
+        expr("(b + h) % 7").as("dow"), col("a"), col("b"), col("cw"))
       .select(col("event_type"), col("day_idx"), col("dow"),
-        expr("cast(coalesce(c, 0) as double) / " +
-          "greatest(((b - dow + 7) div 7) - ((a - 1 - dow + 7) div 7), 1)").as("forecast"))
+        expr("cast(element_at(cw, cast(dow as int) + 1) as double) / " +
+          "greatest(((b - dow + 7) div 7) - ((a - 1 - dow + 7) div 7), 1)")
+          .as("forecast"))
   }
 
   /** Gap-segmentation core shared by `ev_sessions` and `ev_paths`: appends

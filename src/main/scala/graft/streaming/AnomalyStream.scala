@@ -92,6 +92,14 @@ object AnomalyStream {
   def trendOf(emissions: DataFrame): DataFrame =
     graft.batch.FunnelQueries.trendOfDayCounts(
       emissions.select(col("event_type"), col("day_idx"), col("c")))
+
+  /** The seasonal baseline over [[dailyCountsStream]] emissions: exactly
+    * the batch `ev_forecast` dow means on the closed-day counts — the
+    * online capacity dashboard refreshes its next-week forecast from the
+    * same emitted frame the trend fit consumes. */
+  def forecastOf(emissions: DataFrame): DataFrame =
+    graft.batch.FunnelQueries.forecastOfDayCounts(
+      emissions.select(col("event_type"), col("day_idx"), col("c")))
 }
 
 /** A valued event on the metrics ingest stream (epoch-millis timestamp). */

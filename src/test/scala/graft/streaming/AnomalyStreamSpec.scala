@@ -135,5 +135,15 @@ class AnomalyStreamSpec extends SparkSpec {
     }
     // the planted ramp's slope is exactly 1 event/day
     assert(got("view").getDouble(got("view").fieldIndex("slope_per_day")) == 1.0)
+
+    // the seasonal forecast consumes the SAME emitted frame: dow means
+    // (and the 7-day horizon) equal the batch ev_forecast exactly
+    val gotF = AnomalyStream.forecastOf(spark.table("trend_out"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val wantF = graft.batch.FunnelQueries.forecastDF(
+      events.toDF("user_id", "timestamp", "event_type")
+        .select(col("event_type"), expr(s"timestamp div $DAY").as("day_idx")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(gotF == wantF, s"stream forecast $gotF != batch $wantF")
   }
 }

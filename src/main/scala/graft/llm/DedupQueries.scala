@@ -378,6 +378,12 @@ object DedupQueries {
         withNmin.select(col("node"), col("lbl"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nlbl"))
       } else {
+        // NB a deeper lbl⁴ double-jump was measured and REJECTED: it
+        // halves rounds on pointer-depth-bound graphs (the 4096-path spec
+        // drops 14→8 rounds) but on the real mutual-kNN / near-dup graphs
+        // convergence is bound by the neighbor-hop min wave, not pointer
+        // depth — rounds stayed at ~20 while the two extra node joins
+        // added ~15% per round (sim_components_kmeans 10.4s → 12.1s).
         val jump = labels.select(col("lbl").as("jn"), col("node").as("jnode"))
           .join(labels.select(col("node").as("jn"), col("lbl").as("jl")), "jn")
           .select(col("jnode"), col("jl"))

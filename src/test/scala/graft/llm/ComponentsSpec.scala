@@ -29,6 +29,32 @@ class ComponentsSpec extends SparkSpec {
     assert(bits < 1024, s"label-frame sizeInBytes has $bits bits — stats chain is growing again")
   }
 
+  test("random graphs agree with a reference union-find (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rng = new scala.util.Random(seed)
+      val n = 60
+      // sparse enough to leave several components, dense enough to chain
+      val edges = Seq.fill(45)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: textbook union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = (0 until n).groupBy(find).values
+        .map(g => g.map(_.toLong).toSet -> g.min.toLong)
+        .flatMap { case (m, r) => m.map(_ -> r) }.toMap
+      val got = DedupQueries.componentsOf(edges.toDF("d1", "d2"), s"spec_rand$seed")
+        .as[(Long, Long)].collect().toMap
+      // componentsOf labels only nodes that appear in an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched, s"seed $seed: nodes")
+      got.foreach { case (node, lbl) =>
+        assert(lbl == want(node.toInt), s"seed $seed: node $node -> $lbl != ${want(node.toInt)}")
+      }
+    }
+  }
+
   test("disjoint cliques stay separate; labels are component minima") {
     import spark.implicits._
     // clique A {1,2,3}, clique B {10,11,12}, isolated-by-absence node 20

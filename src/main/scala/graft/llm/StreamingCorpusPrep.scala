@@ -243,6 +243,29 @@ object StreamingCorpusPrep {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("n_tok"), lit(0L))).as("total_tokens"),
         sum("keep").as("quality_pass_docs"))
+
+  /** Live packing-efficiency counters — tx_pack_report's ingest half (the
+    * cardStream stance: running totals in UPDATE mode, no watermark): each
+    * doc contributes its token count and its per-length ceil(t/L) sequence
+    * count; state = one row of three longs per candidate LENGTH (4 keys).
+    * All integer arithmetic, so a closed stream's counters equal the batch
+    * report's columns on the same docs exactly — the utilization quotient
+    * is derived by the consumer from the emitted exact integers, just as
+    * the batch query derives it. */
+  def packReportStream(docs: Dataset[DocEvent]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ls = broadcast(Seq(256L, 512L, 1024L, 2048L).toDF("seq_len"))
+    docs.toDF()
+      .withColumn("t",
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)"))
+      .join(ls) // 4-literal-row constant
+      .withColumn("n_seq", expr("(coalesce(t, 0L) + seq_len - 1) div seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("t"), lit(0L))).as("total_tokens"),
+        sum("n_seq").as("n_seqs"))
+  }
 }
 
 /** Source-tagged document ingest event (the dataset-card stream shape). */

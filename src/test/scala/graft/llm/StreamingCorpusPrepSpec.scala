@@ -216,6 +216,37 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(last("s0")._4 == 1 && last("s1")._4 == 2, s"quality pass counts: $last")
   }
 
+  test("streaming packing counters equal the batch report's integers on stream close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val texts = Seq(
+      (1L, ("w " * 300).trim),   // 300 tokens: straddles 256, fits 512
+      (2L, ("w " * 600).trim),   // 600: 3 seqs at 256, 2 at 512
+      (3L, "a b c"),             // tiny
+      (4L, ""))                  // zero tokens -> 0 seqs at every length
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingCorpusPrep.packReportStream(mem.toDS())
+      .writeStream.format("memory").queryName("pack_out").outputMode("complete").start()
+    mem.addData(DocEvent(1L, 1000L, texts(0)._2), DocEvent(4L, 1100L, texts(3)._2))
+    q.processAllAvailable()
+    mem.addData(DocEvent(2L, 1200L, texts(1)._2), DocEvent(3L, 1300L, texts(2)._2))
+    q.processAllAvailable()
+    val got = spark.table("pack_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    q.stop()
+    // batch twin: the tx_pack_report integers on the same docs
+    val docs = texts.toDF("doc_id", "text")
+    val want = docs.select(
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)").as("t"))
+      .crossJoin(Seq(256L, 512L, 1024L, 2048L).toDF("seq_len"))
+      .withColumn("n_seq", expr("(t + seq_len - 1) div seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"), sum("n_seq").as("n_seqs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"stream $got != batch $want")
+    assert(got(256L)._3 == 2 + 3 + 1 + 0, s"ceil counts at 256: $got")
+  }
+
   test("streaming DSIR gate scores exactly like the batch scorer on the pinned table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -147,6 +147,16 @@ class MiningSpec extends SparkSpec {
     val byDow = out.map(t => t._2 -> t._3).toMap
     assert(byDow(0L) == 3.0 && byDow(3L) == 1.0, s"$byDow")
     assert(Seq(1L, 2L, 4L, 5L, 6L).forall(byDow(_) == 0.0), s"quiet dows: $byDow")
+
+    // the CALENDAR-day denominator is the defining semantics: events on
+    // only one of a dow's two calendar days divide by 2 (zero days count),
+    // not by the number of observed days
+    val sparseRows = Seq(("w", 700L), ("w", 700L), ("w", 700L), ("w", 710L))
+    val sparse = graft.batch.FunnelQueries.forecastDF(
+        sparseRows.toDF("event_type", "day_idx"))
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // span 700..710: dow 0 has days {700, 707}, events only on 700 -> 3/2
+    assert(sparse(0L) == 1.5, s"calendar-mean: $sparse")
   }
 
   test("tx_dsir: target-language docs out-score the rest; empty docs score 0") {

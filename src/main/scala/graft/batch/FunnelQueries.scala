@@ -646,6 +646,51 @@ object FunnelQueries {
           expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
         .orderBy("event_type", "day_idx")
     },
+
+    // Offline CUSUM changepoint — "WHEN did this metric's level shift?"
+    // (deploy regressions, pipeline-source cutovers, bot-wave onsets):
+    // per event type, the split day of the daily-count series maximizing
+    // |cumsum_d − d·μ| — the classic at-most-one-changepoint CUSUM
+    // statistic. Evaluated EXACTLY: with m days and total t, the argmax of
+    // |cumsum_d − d·(t/m)| equals the argmax of |m·cumsum_d − d·t| over
+    // BIGINTs, so no float boundary can move the flagged day; ties break
+    // to the earliest day ((stat DESC, day) total order), and the split
+    // must leave both segments non-empty (d < m — a 1-day series emits
+    // nothing). Only the reported pre/post segment means divide, each one
+    // deterministic double quotient of exact integers. Scale shape: one
+    // pushdown scan → map-side-combined (type, day) rollup; every window
+    // after partitions by event_type over day-grain rows (|types|·|days|),
+    // so the detector costs the day rollup ev_trend already pays.
+    // Overflow: |m·cum| ≤ days·events-per-type — long-safe past 1e14
+    // events/type at 10k days.
+    Q("ev_changepoint",
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2
+         |),
+         |w AS (
+         |  SELECT event_type, day_idx,
+         |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT) AS cum,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS BIGINT) AS idx,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m,
+         |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+         |  FROM d
+         |)
+         |SELECT event_type, day_idx AS cp_day_idx, m AS n_days,
+         |  abs(m * cum - idx * tot) AS stat,
+         |  CAST(cum AS DOUBLE) / idx AS pre_avg,
+         |  CAST(tot - cum AS DOUBLE) / (m - idx) AS post_avg
+         |FROM w WHERE idx < m
+         |QUALIFY row_number() OVER (PARTITION BY event_type
+         |  ORDER BY abs(m * cum - idx * tot) DESC, day_idx) = 1
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      changepointDF(Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
+        .orderBy("event_type")
+    },
     // RFM user segmentation (recency / frequency / monetary — the
     // marketing-analytics workhorse behind churn targeting and LTV
     // tiers): per user, days since last activity, event count, and exact
@@ -813,6 +858,42 @@ object FunnelQueries {
       : org.apache.spark.sql.DataFrame =
     forecastOfDayCounts(
       ev.groupBy("event_type", "day_idx").agg(count(lit(1)).as("c")))
+
+  /** `ev_changepoint` body over a (event_type, day_idx) frame — UNORDERED,
+    * the query sorts. See the Q comment for the exact-integer argmax
+    * contract. */
+  private[graft] def changepointDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    changepointOfDayCounts(
+      ev.groupBy("event_type", "day_idx").agg(count(lit(1)).as("c")))
+
+  /** The detector alone, over a pre-counted (event_type, day_idx, c)
+    * frame — mirroring [[trendOfDayCounts]] so a streaming day-count
+    * rollup can serve it. All windows partition by event_type over
+    * day-grain rows. */
+  private[graft] def changepointOfDayCounts(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy("event_type").orderBy("day_idx")
+    val whole = Window.partitionBy("event_type")
+    d
+      .withColumn("cum", sum("c").over(byDay))
+      .withColumn("idx", row_number().over(byDay).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .withColumn("tot", sum("c").over(whole))
+      .filter(col("idx") < col("m")) // both segments non-empty
+      .withColumn("stat", abs(col("m") * col("cum") - col("idx") * col("tot")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("stat").desc, col("day_idx"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day_idx").as("cp_day_idx"),
+        col("m").as("n_days"), col("stat"),
+        // UNROUNDED exact quotients: int/int ratios land ON 4-dp rounding
+        // ties (the tx_quality_score lesson); the raw double division of
+        // exact longs is bit-identical across engines
+        expr("cast(cum as double) / idx").as("pre_avg"),
+        expr("cast(tot - cum as double) / (m - idx)").as("post_avg"))
+  }
 
   /** The forecast alone, over a pre-counted (event_type, day_idx, c)
     * frame — the entry the streaming day-count rollup's consumer uses

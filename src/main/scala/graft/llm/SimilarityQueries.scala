@@ -193,6 +193,39 @@ object SimilarityQueries {
     * UNORDERED. One posexplode centroid aggregate (map-side combined),
     * k×d centroid broadcast, row-local distances — raw vectors never
     * shuffle. */
+  /** `sim_silhouette` body over a raw (vec_id, embedding, label) frame —
+    * UNORDERED, the query sorts. Rounded-mean centroids on the
+    * [[outScale]] grid ([[cellDistDF]]'s contract), then every vector's
+    * a (own centroid) / b (nearest other centroid) quantized-integer
+    * distances in ONE row-local projection against the broadcast k×d
+    * centroid table, folded map-side to k report rows. Requires
+    * `GraftFunctions.register`. */
+  private[llm] def silhouetteDF(emb: DataFrame): DataFrame = {
+    val xq = emb.select(col("vec_id"), col("label"),
+      expr(s"vector_quantize(embedding, $outScale)").as("xq"))
+    val cent = xq
+      .select(col("label"), posexplode(col("xq")).as(Seq("i", "v")))
+      .groupBy("label", "i")
+      .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    xq
+      .crossJoin(broadcast(cent // k×d centroid table — constant-size by construction
+        .select(col("label").as("clabel"), col("carr"))))
+      .select(col("vec_id"), col("label"),
+        expr("vector_l2q(xq, carr)").as("dist"), col("clabel"))
+      .groupBy("vec_id", "label")
+      .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .select(col("label"),
+        expr("case when b < a then 1L else 0L end").as("misfit"),
+        expr("case when greatest(a, b) = 0 then cast(0 as double) " +
+          "else cast(b - a as double) / greatest(a, b) end").as("s"))
+      .groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n"), sum("misfit").as("n_misfit"),
+        Q.exactAvg("s").as("mean_sil"))
+  }
+
   private def cellDistDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val xq = Tables.embeddings(s, d)
@@ -927,6 +960,50 @@ object SimilarityQueries {
         .select(col("cell"), col("n"), col("min_d"), col("radius"), col("distortion"),
           expr("distortion * 1.0D / n").as("mean_d"))
         .orderBy("cell")
+    },
+
+    // Simplified (centroid-based) silhouette — the cluster-VALIDITY score
+    // on top of sim_coverage's per-cell report: for every vector, a = its
+    // quantized-integer L2 to its OWN cell centroid and b = the min over
+    // the OTHER k−1 centroids; s = (b − a) / max(a, b) ∈ [−1, 1]
+    // (Hruschka's O(n·k) surrogate for the O(n²) pairwise silhouette —
+    // the only form that scales, since it touches no vector pair). The
+    // per-cell report is (n, misfit count, mean s): the misfit flag is
+    // the PURE INTEGER comparison b < a (a nearer foreign centroid — the
+    // re-assignment candidates a curation pass would move or drop), so
+    // no float boundary can flip it; s itself is one deterministic double
+    // quotient of exact BIGINTs, and its mean accumulates as 6-dp scaled
+    // longs (the exactAvg stance — addend-order-free). Scale shape: one
+    // posexplode centroid aggregate (map-side combined), then a row-local
+    // n×k distance projection against the k×d broadcast centroid table
+    // folded map-side to k rows — raw vectors never shuffle, and the
+    // whole report costs one corpus pass at any size.
+    Q("sim_silhouette", {
+      val dN =
+        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH $cellDistCtes,
+         |ab AS (
+         |  SELECT x.vec_id, x.label,
+         |    CAST(min(CASE WHEN c.label = x.label THEN $dN END) AS BIGINT) AS a,
+         |    CAST(min(CASE WHEN c.label <> x.label THEN $dN END) AS BIGINT) AS b
+         |  FROM xq x, cent c
+         |  GROUP BY x.vec_id, x.label
+         |),
+         |sil AS (
+         |  SELECT label,
+         |    CASE WHEN b < a THEN 1 ELSE 0 END AS misfit,
+         |    CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(b - a AS DOUBLE) / greatest(a, b) END AS s
+         |  FROM ab
+         |)
+         |SELECT label AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(misfit) AS BIGINT) AS n_misfit,
+         |  ${Q.sqlExactAvg("s")} AS mean_sil
+         |FROM sil GROUP BY label
+         |ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      silhouetteDF(Tables.embeddings(s, d)).orderBy("cell")
     },
 
     // kNN-graph construction — the neighbor-graph precursor of SemDeDup /

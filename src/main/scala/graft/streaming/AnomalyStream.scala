@@ -100,6 +100,15 @@ object AnomalyStream {
   def forecastOf(emissions: DataFrame): DataFrame =
     graft.batch.FunnelQueries.forecastOfDayCounts(
       emissions.select(col("event_type"), col("day_idx"), col("c")))
+
+  /** The CUSUM changepoint over [[dailyCountsStream]] emissions: exactly
+    * the batch `ev_changepoint` exact-integer argmax on the closed-day
+    * counts — the "did the deploy shift this metric's level, and on which
+    * day?" monitor, refreshed from the same emitted frame the trend and
+    * forecast consumers read. */
+  def changepointOf(emissions: DataFrame): DataFrame =
+    graft.batch.FunnelQueries.changepointOfDayCounts(
+      emissions.select(col("event_type"), col("day_idx"), col("c")))
 }
 
 /** A valued event on the metrics ingest stream (epoch-millis timestamp). */

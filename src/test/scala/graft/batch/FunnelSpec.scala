@@ -147,4 +147,35 @@ class FunnelSpec extends SparkSpec {
     assert(out == Map(("view", "click") -> 2L, ("click", "view") -> 1L,
       ("view", "purchase") -> 1L), s"paths: $out")
   }
+
+  test("ev_changepoint: planted level shift is found at its last low day; ties break earliest") {
+    import spark.implicits._
+    val counts = (
+      // type "shift": 10 days at 2/day then 10 days at 10/day — the CUSUM
+      // argmax must land on day 9 (the last day of the low level)
+      (0 until 10).map(d => ("shift", d.toLong, 2L)) ++
+      (10 until 20).map(d => ("shift", d.toLong, 10L)) ++
+      // type "flat": constant series — every prefix stat is 0, so the
+      // (stat DESC, day) total order must pick the EARLIEST day
+      (0 until 6).map(d => ("flat", d.toLong, 5L)) ++
+      // type "one": a single day cannot split into two non-empty
+      // segments — no row may be emitted
+      Seq(("one", 0L, 7L))
+    ).toDF("event_type", "day_idx", "c")
+    val out = FunnelQueries.changepointOfDayCounts(counts).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("one"), s"1-day series must not emit: ${out.keySet}")
+    val sh = out("shift")
+    assert(sh.getLong(sh.fieldIndex("cp_day_idx")) == 9L, s"shift day: $sh")
+    // m=20, tot=120; at idx 10: |20*20 - 10*120| = 800, strictly above
+    // both neighbors (720) — the planted max
+    assert(sh.getLong(sh.fieldIndex("stat")) == 800L, s"shift stat: $sh")
+    assert(sh.getDouble(sh.fieldIndex("pre_avg")) == 2.0, s"pre: $sh")
+    assert(sh.getDouble(sh.fieldIndex("post_avg")) == 10.0, s"post: $sh")
+    val fl = out("flat")
+    assert(fl.getLong(fl.fieldIndex("cp_day_idx")) == 0L, s"tie -> earliest: $fl")
+    assert(fl.getLong(fl.fieldIndex("stat")) == 0L, s"flat stat: $fl")
+    assert(fl.getDouble(fl.fieldIndex("pre_avg")) == 5.0 &&
+      fl.getDouble(fl.fieldIndex("post_avg")) == 5.0, s"flat means: $fl")
+  }
 }

@@ -173,4 +173,31 @@ class MiningSpec extends SparkSpec {
     assert(enMean > otherMean,
       s"target slice mean $enMean not above non-target mean $otherMean")
   }
+
+  test("sim_silhouette: planted geometry — misfit flagged by integer b<a, means exact") {
+    // cell 0: four members at 0.1 per dim plus ONE misfit planted exactly
+    // on cell 1's centroid (0.9 per dim); cell 1: four members at 0.9.
+    // On the outScale=100 grid: cell-0 centroid = round((4·10+90)/5) = 26
+    // per dim, cell-1 centroid = 90. So (per dim², ×8 dims):
+    //   pure cell-0 member: a = 8·16² = 2048, b = 8·80² = 51200 → s = 0.96
+    //   the misfit:         a = 8·64² = 32768, b = 0           → s = −1, b < a
+    //   cell-1 member:      a = 0,    b = 32768                → s = 1
+    val flat = (v: Float) => Array.fill(8)(v)
+    val emb = (
+      (0 until 4).map(i => (i.toLong, flat(0.1f), 0)) ++
+      Seq((4L, flat(0.9f), 0)) ++
+      (5 until 9).map(i => (i.toLong, flat(0.9f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityQueries.silhouetteDF(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(0)._1 == 5L && out(1)._1 == 4L, s"cell sizes: $out")
+    assert(out(0)._2 == 1L, s"exactly the planted misfit flags: $out")
+    assert(out(1)._2 == 0L, s"tight far cell has no misfit: $out")
+    // mean s in cell 0 = (4·0.96 − 1)/5 = 0.568: each 0.96 addend
+    // quantizes to exactly 960000 on the 6-dp grid (nowhere near a .5
+    // tie), so the long sum is exactly 2 840 000
+    assert(math.abs(out(0)._3 - 0.568) < 1e-12, s"cell-0 mean sil: $out")
+    assert(out(1)._3 == 1.0, s"cell-1 mean sil: $out")
+  }
 }

@@ -145,5 +145,15 @@ class AnomalyStreamSpec extends SparkSpec {
         .select(col("event_type"), expr(s"timestamp div $DAY").as("day_idx")))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(gotF == wantF, s"stream forecast $gotF != batch $wantF")
+
+    // the CUSUM changepoint consumes the SAME emitted frame and must
+    // equal the batch ev_changepoint argmax row-for-row
+    val gotC = AnomalyStream.changepointOf(spark.table("trend_out"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val wantC = graft.batch.FunnelQueries.changepointDF(
+      events.toDF("user_id", "timestamp", "event_type")
+        .select(col("event_type"), expr(s"timestamp div $DAY").as("day_idx")))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(gotC == wantC, s"stream changepoint $gotC != batch $wantC")
   }
 }

@@ -1006,6 +1006,65 @@ object SimilarityQueries {
       silhouetteDF(Tables.embeddings(s, d)).orderBy("cell")
     },
 
+    // k-distance density report — the DBSCAN/OPTICS ε-selection signal
+    // (and the density side of near-dup threshold tuning): per cell, the
+    // distribution of every vector's distance to its knnK-th nearest
+    // same-cell neighbor — the "k-distance plot" practitioners elbow-read
+    // before picking a radius. Quantiles are DISCRETE rank selections
+    // ((kdist, vec_id) total order — an actual element, never an
+    // interpolated float), counts and distances are exact quantized
+    // integers; `n_small` counts vectors with no k-th neighbor (cells
+    // smaller than k+1 — their quantile slots are honestly NULL, not 0).
+    // Scale shape: rides the sim_knn_graph per-cell pair join (the
+    // SemDeDup k ∝ N regime keeps cells ~constant); everything after is
+    // one narrow vec_id join and cell-partitioned windows over one row
+    // per vector, collapsing map-side to k report rows.
+    Q("sim_density",
+      s"""WITH $knnCtes,
+         |kd AS (SELECT vec_id, dist AS kdist FROM knn WHERE rank = $knnK),
+         |lab AS (SELECT vec_id, label FROM xq),
+         |celln AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM xq GROUP BY label),
+         |drk AS (
+         |  SELECT l.label, kd.kdist,
+         |    row_number() OVER (PARTITION BY l.label ORDER BY kd.kdist, kd.vec_id) AS rn
+         |  FROM kd JOIN lab l USING (vec_id)
+         |),
+         |dm AS (SELECT label, CAST(count(*) AS BIGINT) AS nk FROM drk GROUP BY label),
+         |dq AS (
+         |  SELECT drk.label,
+         |    CAST(max(CASE WHEN rn = CAST(ceil(0.50 * nk) AS BIGINT) THEN kdist END) AS BIGINT) AS kdist_p50,
+         |    CAST(max(CASE WHEN rn = CAST(ceil(0.90 * nk) AS BIGINT) THEN kdist END) AS BIGINT) AS kdist_p90,
+         |    CAST(max(kdist) AS BIGINT) AS kdist_max
+         |  FROM drk JOIN dm USING (label) GROUP BY drk.label
+         |)
+         |SELECT c.label AS cell, c.n,
+         |  c.n - coalesce(dm.nk, 0) AS n_small,
+         |  dq.kdist_p50, dq.kdist_p90, dq.kdist_max
+         |FROM celln c LEFT JOIN dm ON dm.label = c.label LEFT JOIN dq ON dq.label = c.label
+         |ORDER BY cell""".stripMargin) { (s, d) =>
+      val kd = knnGraphDF(s, d).filter(col("rank") === knnK)
+        .select(col("vec_id"), col("dist").as("kdist"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val celln = lab.groupBy("label").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("label").orderBy(col("kdist"), col("vec_id"))
+      val rk = kd.join(lab, "vec_id")
+        .withColumn("rn", row_number().over(w))
+        .select("label", "kdist", "rn")
+      val m = rk.groupBy("label").agg(count(lit(1)).as("nk"))
+      val q = rk.join(m, "label").groupBy("label")
+        .agg(
+          max(when(col("rn") === expr("cast(ceil(0.50D * nk) as bigint)"), col("kdist")))
+            .cast("long").as("kdist_p50"),
+          max(when(col("rn") === expr("cast(ceil(0.90D * nk) as bigint)"), col("kdist")))
+            .cast("long").as("kdist_p90"),
+          max("kdist").as("kdist_max"))
+      celln.join(m, Seq("label"), "left").join(q, Seq("label"), "left")
+        .select(col("label").as("cell"), col("n"),
+          expr("n - coalesce(nk, 0L)").as("n_small"),
+          col("kdist_p50"), col("kdist_p90"), col("kdist_max"))
+        .orderBy("cell")
+    },
+
     // kNN-graph construction — the neighbor-graph precursor of SemDeDup /
     // graph clustering / diversity analysis: every vector's top-3 nearest
     // same-cell neighbors by quantized-integer L2 (codegen vector_l2q),

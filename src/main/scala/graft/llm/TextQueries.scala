@@ -2091,6 +2091,46 @@ object TextQueries {
       lineDedupDF(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // LIX readability — the audience-difficulty signal corpus curators
+    // use alongside lexical quality gates (textbook-style filtering,
+    // curriculum bucketing, grade-level mix targets):
+    // LIX = words/sentences + 100·longwords/words, with longword =
+    // a token run of ≥7 chars and sentences = runs of [.!?] (floored at
+    // 1 so a fragment without a terminator still scores). All three
+    // counts are exact integers from codegen'd regexp_extract_all sizes —
+    // no interpreted lambda touches the corpus scan — and the score is a
+    // fixed-association chain of two exact-integer quotients and one add,
+    // identical in both engines, emitted UNROUNDED. Scale shape: one
+    // pushdown scan, three row-local regex counts, zero shuffles before
+    // the output sort.
+    Q("tx_readability",
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{7,}')) AS BIGINT) AS n_long,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sent
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words, n_long, n_sent,
+         |  CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE (CAST(n_words AS DOUBLE) / n_sent)
+         |          + ((100.0 * CAST(n_long AS DOUBLE)) / n_words) END AS lix
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"cast(size(regexp_extract_all(lower(text), '$tokRegex', 0)) as bigint)")
+            .as("n_words"),
+          expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]{7,}', 0)) as bigint)")
+            .as("n_long"),
+          expr("cast(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) as bigint)")
+            .as("n_sent"))
+        .select(col("doc_id"), col("n_words"), col("n_long"), col("n_sent"),
+          expr("case when n_words = 0 then cast(0 as double) " +
+            "else (cast(n_words as double) / n_sent) " +
+            "+ ((100.0D * cast(n_long as double)) / n_words) end").as("lix"))
+        .orderBy("doc_id")
+    },
+
     // The Gopher composite quality gate — the Rae-et-al. repetition +
     // lexical rules as ONE keep/drop decision with a reasons trail, the
     // form a pipeline actually deploys (tx_quality_filter's lexical rules,

@@ -478,4 +478,28 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
     out.unpersist()
   }
+
+  test("tx_readability: planted counts land exactly; fragments floor at one sentence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("readability_sf")
+    dir.toFile.deleteOnExit()
+    Seq(
+      (1L, "The cat sat. It ran!"),          // 5 words, 0 long, 2 sentences
+      (2L, "amazing elephants wandering"),   // 3 words, ALL long, no terminator
+      (3L, ""),                              // empty: words 0 -> lix 0
+      (4L, "Hi?! Ok...")                     // terminator RUNS count once each
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("tx_readability")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((5L, 0L, 2L, 2.5)), s"doc1: ${out(1L)}")
+    // 3/1 + 100·3/3 = 103
+    assert(out(2L) == ((3L, 3L, 1L, 103.0)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1L, 0.0)), s"empty doc: ${out(3L)}")
+    // "?!" and "..." are ONE sentence boundary each: 2/2 + 0 = 1
+    assert(out(4L) == ((2L, 0L, 2L, 1.0)), s"doc4: ${out(4L)}")
+  }
 }

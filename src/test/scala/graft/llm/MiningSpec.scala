@@ -174,6 +174,39 @@ class MiningSpec extends SparkSpec {
       s"target slice mean $enMean not above non-target mean $otherMean")
   }
 
+  test("sim_density: k-distance quantiles exact; small cells report NULL slots honestly") {
+    // cell 0: four identical vectors + one far outlier — the outlier's
+    // 3 nearest are the base points, so its kdist is the planted D and
+    // the cell's kdist series is [0,0,0,0,D] (p50 = 0, p90 = max = D).
+    // cell 1: THREE vectors — size ≤ k, so nobody has a 3rd neighbor:
+    // n_small = 3 and every quantile slot is NULL, not 0.
+    // cell 2: four identical vectors — all-zero k-distances.
+    val dir = java.nio.file.Files.createTempDirectory("density_sf")
+    dir.toFile.deleteOnExit()
+    val flat = (v: Float) => Array.fill(8)(v)
+    ((0 until 4).map(i => (i.toLong, flat(0.1f), 0)) ++
+      Seq((4L, flat(5.0f), 0)) ++
+      (5 until 8).map(i => (i.toLong, flat(0.1f), 1)) ++
+      (8 until 12).map(i => (i.toLong, flat(0.2f), 2)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("sim_density")(spark, dir.toString)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // pqScale=1e4: q(0.1f)=1000, q(5.0f)=50000 → D = 8·49000²
+    val D = 8L * 49000L * 49000L
+    val c0 = out(0)
+    assert(c0.getLong(1) == 5L && c0.getLong(2) == 0L, s"cell0: $c0")
+    assert(c0.getLong(3) == 0L, s"cell0 p50 (rank 3 of [0,0,0,0,D]): $c0")
+    assert(c0.getLong(4) == D && c0.getLong(5) == D, s"cell0 p90/max = D: $c0")
+    val c1 = out(1)
+    assert(c1.getLong(1) == 3L && c1.getLong(2) == 3L, s"cell1 all small: $c1")
+    assert(c1.isNullAt(3) && c1.isNullAt(4) && c1.isNullAt(5),
+      s"cell1 quantiles must be NULL, not 0: $c1")
+    val c2 = out(2)
+    assert(c2.getLong(1) == 4L && c2.getLong(2) == 0L &&
+      c2.getLong(3) == 0L && c2.getLong(4) == 0L && c2.getLong(5) == 0L, s"cell2: $c2")
+  }
+
   test("sim_silhouette: planted geometry — misfit flagged by integer b<a, means exact") {
     // cell 0: four members at 0.1 per dim plus ONE misfit planted exactly
     // on cell 1's centroid (0.9 per dim); cell 1: four members at 0.9.

@@ -109,7 +109,74 @@ object AnomalyStream {
   def changepointOf(emissions: DataFrame): DataFrame =
     graft.batch.FunnelQueries.changepointOfDayCounts(
       emissions.select(col("event_type"), col("day_idx"), col("c")))
+
+  /** Batch-side training half of [[cusumAlarmStream]]: per-type (total,
+    * day-cardinality) over a reference period's day-count rollup — the
+    * exact-integer sufficient statistics of the mean the CUSUM drifts
+    * against (pinned, the anomalyStream argument: a stream re-estimating
+    * its own baseline re-flags the past). */
+  def dayBaseline(dayCounts: DataFrame): DataFrame =
+    dayCounts.groupBy("event_type")
+      .agg(sum("c").as("tot"), count(lit(1)).as("m"))
+
+  /** Online one-sided CUSUM level-shift alarm — `ev_changepoint`'s LIVE
+    * twin: where the batch detector answers "when DID the level shift?"
+    * offline, this fires DURING the shift, keyed per event type over the
+    * closed-day count stream (the [[dailyCountsStream]] emission contract,
+    * re-streamed from its handoff sink in production).
+    *
+    * The recursion S_d = max(0, S_{d-1} + (c_d − μ − slack)), alarm when
+    * S_d ≥ h, runs EXACTLY in per-type scaled integers: with the pinned
+    * baseline (tot, m) — μ = tot/m — everything is multiplied through by
+    * m, so the tracked value is S·m (`cusum_scaled`) and the test is
+    * S·m ≥ h·m. No float ever enters; both the alarm day and the trail
+    * are bit-determined. After an alarm the statistic RESETS to 0 (the
+    * standard CUSUM restart), so a sustained shift re-alarms every
+    * ⌈h/(δ−slack)⌉ days instead of saturating.
+    *
+    * State per key is two longs — bounded by |event types|, independent
+    * of stream length. Rows process in day order within a micro-batch;
+    * a day arriving across batches out of order folds into the newer
+    * state (the asofEnrich processing-time envelope — closed-day
+    * emissions from a watermark-ordered upstream arrive in order by
+    * construction). */
+  def cusumAlarmStream(days: Dataset[DayCount], baseline: DataFrame,
+      slack: Long, h: Long): Dataset[CusumAlarm] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = days.sparkSession
+    import spark.implicits._
+    days.toDF()
+      .join(baseline, "event_type") // static side: |types|-sized baseline
+      .select(col("event_type"), col("day_idx"), col("c"), col("tot"), col("m"))
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumAlarm]
+          rows.toSeq.sortBy(_._2).foreach { case (_, day, c, tot, m) =>
+            val s1 = math.max(0L, st.s + (m * c - tot - m * slack))
+            val alarm = s1 >= m * h
+            out += CusumAlarm(typ, day, s1, alarm)
+            st = CusumState(if (alarm) 0L else s1, day)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** One closed day's count on the rollup stream ([[AnomalyStream.dailyCountsStream]]'s
+  * emission row). */
+case class DayCount(event_type: String, day_idx: Long, c: Long)
+
+/** CUSUM per-key state: the scaled statistic and the newest day folded. */
+case class CusumState(s: Long, lastDay: Long)
+
+/** One day's CUSUM reading: the scaled statistic (units of counts/m) and
+  * whether it crossed the alarm threshold. */
+case class CusumAlarm(event_type: String, day_idx: Long, cusum_scaled: Long, alarm: Boolean)
 
 /** A valued event on the metrics ingest stream (epoch-millis timestamp). */
 case class ValueEvent(event_id: Long, timestamp: Long, event_type: String, value: Double)

@@ -156,4 +156,43 @@ class AnomalyStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(gotC == wantC, s"stream changepoint $gotC != batch $wantC")
   }
+
+  test("cusumAlarmStream: exact scaled recursion, alarm + reset cadence, batch-split-stable") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // baseline: the quiet regime (mu = 20/10 = 2), slack 1, threshold 10.
+    // Planted series: 10 quiet days at 2/day (inc = 10·2−20−10 = −10,
+    // clamped at 0), then 10 shifted days at 10/day (inc = +70): S·m runs
+    // 70, 140 ≥ m·h = 100 → alarm + reset, so alarms land every 2nd
+    // shifted day: 11, 13, 15, 17, 19.
+    val baseline = Seq(("shift", 20L, 10L)).toDF("event_type", "tot", "m")
+    val series = (0 until 10).map(d => DayCount("shift", d.toLong, 2L)) ++
+      (10 until 20).map(d => DayCount("shift", d.toLong, 10L))
+    def run(batches: Seq[Seq[DayCount]]): Seq[(Long, Long, Boolean)] = {
+      val mem = MemoryStream[DayCount]
+      val name = s"cusum_out_${batches.size}"
+      val q = AnomalyStream.cusumAlarmStream(mem.toDS(), baseline, slack = 1L, h = 10L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[CusumAlarm].collect().sortBy(_.day_idx)
+        .map(a => (a.day_idx, a.cusum_scaled, a.alarm)).toSeq
+    }
+    // driver-side reference: the same recursion as a scanLeft
+    val want = series.scanLeft((0L, -1L, 0L, false)) { case ((s, _, _, _), dc) =>
+      val s1 = math.max(0L, s + (10L * dc.c - 20L - 10L * 1L))
+      val alarm = s1 >= 10L * 10L
+      (if (alarm) 0L else s1, dc.day_idx, s1, alarm)
+    }.drop(1).map(t => (t._2, t._3, t._4))
+    val oneShot = run(Seq(series))
+    assert(oneShot == want, s"recursion: $oneShot != $want")
+    // the same series split mid-shift across three micro-batches must
+    // produce the identical trail (state carries S across batches)
+    val split = run(Seq(series.take(7), series.slice(7, 14), series.drop(14)))
+    assert(split == oneShot, s"batch-split drift: $split != $oneShot")
+    val alarms = oneShot.filter(_._3).map(_._1)
+    assert(alarms == Seq(11L, 13L, 15L, 17L, 19L), s"alarm cadence: $alarms")
+    // quiet regime stays clamped at zero — no negative drift accumulates
+    assert(oneShot.take(10).forall(_._2 == 0L), s"quiet trail: ${oneShot.take(10)}")
+  }
 }

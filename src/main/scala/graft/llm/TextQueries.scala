@@ -2106,9 +2106,9 @@ object TextQueries {
     Q("tx_readability",
       s"""WITH c AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '$tokRegex')) AS BIGINT) AS n_words,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{7,}')) AS BIGINT) AS n_long,
-         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sent
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '$tokRegex')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{7,}')) AS BIGINT) AS n_long,
+         |    CAST(greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS BIGINT) AS n_sent
          |  FROM documents
          |)
          |SELECT doc_id, n_words, n_long, n_sent,
@@ -2118,11 +2118,12 @@ object TextQueries {
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr(s"cast(size(regexp_extract_all(lower(text), '$tokRegex', 0)) as bigint)")
+          // NULL text reads as empty (counts 0, lix 0) — not NULL rows
+          expr(s"cast(size(regexp_extract_all(lower(coalesce(text, '')), '$tokRegex', 0)) as bigint)")
             .as("n_words"),
-          expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]{7,}', 0)) as bigint)")
+          expr("cast(size(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{7,}', 0)) as bigint)")
             .as("n_long"),
-          expr("cast(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) as bigint)")
+          expr("cast(greatest(size(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)), 1) as bigint)")
             .as("n_sent"))
         .select(col("doc_id"), col("n_words"), col("n_long"), col("n_sent"),
           expr("case when n_words = 0 then cast(0 as double) " +

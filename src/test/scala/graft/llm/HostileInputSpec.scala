@@ -101,7 +101,7 @@ class HostileInputSpec extends SparkSpec {
     assert(ol.forall(_._2 == 0), s"no cell can clear z>3 here: ${ol.filter(_._2 == 1).toSeq}")
     // empty events: every event-analytics query is empty, none throws
     for (name <- Seq("ev_funnel", "ev_retention", "ev_sessions", "ev_attribution",
-        "ev_paths", "ev_anomaly"))
+        "ev_paths", "ev_anomaly", "ev_changepoint"))
       assert(q(name)(spark, dir.toString).collect().isEmpty, s"$name not empty")
     // mixture apply: the keep decision is a pure doc_id-hash-vs-band rule
     // (text-independent — a NULL-text doc keeps iff its key clears its
@@ -112,6 +112,38 @@ class HostileInputSpec extends SparkSpec {
     assert(mix.nonEmpty, "tokened languages must produce bands")
     assert(mix.forall { case (_, key, band) => key < band && band <= 1000000L },
       s"kept rows must clear their band: ${mix.toSeq}")
+
+    // readability: NULL and empty text read as zero-count docs (lix 0,
+    // sentence floor 1), never NULL rows; the mega-run is ONE long word
+    // (lix = 1/1 + 100·1/1 = 101)
+    val rd = q("tx_readability")(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rd(5L) == ((0L, 0L, 1L, 0.0)), s"null text: ${rd(5L)}")
+    assert(rd(0L) == ((0L, 0L, 1L, 0.0)), s"empty text: ${rd(0L)}")
+    assert(rd(3L) == ((1L, 1L, 1L, 101.0)), s"mega-run: ${rd(3L)}")
+
+    // silhouette on this geometry: cell 0's members sit ON their centroid
+    // (s = 1 everywhere); cell 1's base member is nearer cell 0's centroid
+    // than its own mixed one (integer b < a -> misfit); in cell 2 ALL
+    // members are pulled off-centroid by the far outlier and each has a
+    // purer foreign centroid nearer than its own — every member misfits
+    val sil = q("sim_silhouette")(spark, dir.toString).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(sil(0) == ((4L, 0L, 1.0)), s"tight cell: ${sil(0)}")
+    assert(sil(1)._1 == 2L && sil(1)._2 == 1L, s"mixed 2-cell: ${sil(1)}")
+    assert(sil(2)._1 == 4L && sil(2)._2 == 4L, s"polluted cell: ${sil(2)}")
+
+    // k-distance density: the 2-vector cell has no 3rd neighbor (honest
+    // NULL slots); in cell 2 every member's 3rd neighbor is across the
+    // base/far gap, so all quantiles equal the planted D
+    val den = q("sim_density")(spark, dir.toString).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val D = 64L * 45000L * 45000L // pqScale=1e4: q(0.5f)=5000, q(5f)=50000
+    assert(den(0).getLong(3) == 0L && den(0).getLong(5) == 0L, s"${den(0)}")
+    assert(den(1).getLong(2) == 2L && den(1).isNullAt(3), s"${den(1)}")
+    assert(den(2).getLong(3) == D && den(2).getLong(4) == D &&
+      den(2).getLong(5) == D, s"${den(2)}")
   }
 
   test("snapshot diff, novelty, and pagerank survive the degenerate corpus") {

@@ -938,6 +938,77 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-eval-doc leakage score — tx_decontam's MIRROR report: where
+    // decontam scores each TRAIN doc's contaminated-gram fraction (what to
+    // drop from training), this scores each EVAL doc's fraction of grams
+    // present anywhere in the train split (how compromised each benchmark
+    // item already is — the report an eval-integrity pass reads to PRUNE
+    // or re-weight eval items, since a leaked eval doc can't be fixed by
+    // cleaning the corpus after the fact). Same gram unit, same hashed
+    // 4-gram machinery; the membership side collapses the train split to
+    // its DISTINCT gram set (corpus-sized but gram-deduped) and the probe
+    // side is benchmark-sized. Ratio is an UNROUNDED exact-integer
+    // quotient. Scale shape: the train gram set is the one corpus-sized
+    // stage (one map-side-deduped shuffle); eval grams semi-join into it
+    // partitioned on the gram hash; everything after is benchmark-sized.
+    Q("tx_eval_leakage", {
+      val gramDuck = duckH(s"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${decontamGram - 1} AS INT)), ' ')")
+      s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
+         |eg AS (
+         |  SELECT DISTINCT doc_id, $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod = 0
+         |),
+         |tg AS (
+         |  SELECT DISTINCT $gramDuck AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - ${decontamGram - 1})) AS t(i)
+         |  WHERE len(toks) >= $decontamGram AND doc_id % $evalMod <> 0
+         |),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM eg GROUP BY doc_id),
+         |hits AS (
+         |  SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+         |  FROM eg JOIN tg USING (gh) GROUP BY eg.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_grams, 0) AS n_grams,
+         |  coalesce(h.n_leaked, 0) AS n_leaked,
+         |  CAST(coalesce(h.n_leaked, 0) AS DOUBLE) / greatest(coalesce(t.n_grams, 0), 1) AS leak_ratio
+         |FROM documents d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % $evalMod = 0
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)").as("toks"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= decontamGram)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(1, size(toks) - ${decontamGram - 1})")).as("i"))
+        .select(col("doc_id"),
+          expr(sparkH(s"array_join(slice(toks, i, $decontamGram), ' ')")).as("gh"))
+      val eg = grams(tk.filter(col("doc_id") % evalMod === 0))
+        .repartition(col("doc_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // train side: gram-hash-deduped, the one corpus-sized stage
+      val tg = grams(tk.filter(col("doc_id") % evalMod =!= 0)).select("gh").distinct()
+      val tot = eg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hits = eg.join(tg, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") % evalMod === 0)
+        .select("doc_id")
+        .join(tot, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          expr("cast(coalesce(n_leaked, 0L) as double) / greatest(coalesce(n_grams, 0L), 1)").as("leak_ratio"))
+        .orderBy("doc_id")
+    },
+
     // Bloom-prefiltered decontamination — the 100 TB shape of tx_decontam's
     // membership test: the benchmark gram set compresses into a ~1.4 MB
     // bloom filter (vs broadcasting/shuffling the gram table itself), the
@@ -2116,19 +2187,55 @@ object TextQueries {
          |       ELSE (CAST(n_words AS DOUBLE) / n_sent)
          |          + ((100.0 * CAST(n_long AS DOUBLE)) / n_words) END AS lix
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          // NULL text reads as empty (counts 0, lix 0) — not NULL rows
-          expr(s"cast(size(regexp_extract_all(lower(coalesce(text, '')), '$tokRegex', 0)) as bigint)")
-            .as("n_words"),
-          expr("cast(size(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{7,}', 0)) as bigint)")
-            .as("n_long"),
-          expr("cast(greatest(size(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)), 1) as bigint)")
-            .as("n_sent"))
-        .select(col("doc_id"), col("n_words"), col("n_long"), col("n_sent"),
-          expr("case when n_words = 0 then cast(0 as double) " +
-            "else (cast(n_words as double) / n_sent) " +
-            "+ ((100.0D * cast(n_long as double)) / n_words) end").as("lix"))
+      readabilityDF(Tables.documents(s, d))
+        .select("doc_id", "n_words", "n_long", "n_sent", "lix")
+        .orderBy("doc_id")
+    },
+
+    // Curriculum phase manifest — the easy→hard training schedule
+    // (curriculum learning: feed low-difficulty text first, harden over
+    // phases): per language, docs rank by LIX difficulty ((lix, doc_id)
+    // total order — lix values are bit-identical deterministic doubles,
+    // doc_id breaks ties) and split into three equal phases by PURE
+    // INTEGER rank arithmetic: phase = 1 + (rank−1)·3 div n — no
+    // percentile float, no boundary a double could flip. Per-language
+    // (not global) is both the deployable semantics (mixing is a separate
+    // knob — tx_mix_plan) and the scale shape: every window partitions by
+    // lang. The 100 TB swap for a mega-language is the documented
+    // tx_len_quantiles stance (approx-quantile threshold VALUES instead
+    // of a full per-lang rank sort); the rank form is the exact operator.
+    Q("tx_curriculum",
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '$tokRegex')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{7,}')) AS BIGINT) AS n_long,
+         |    CAST(greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1) AS BIGINT) AS n_sent
+         |  FROM documents
+         |),
+         |lx AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE (CAST(n_words AS DOUBLE) / n_sent)
+         |            + ((100.0 * CAST(n_long AS DOUBLE)) / n_words) END AS lix
+         |  FROM c
+         |),
+         |lrk AS (
+         |  SELECT doc_id, lang, lix,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY lix, doc_id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM lx
+         |)
+         |SELECT doc_id, lang, lix,
+         |  CAST(1 + ((rn - 1) * 3) // n AS INT) AS phase
+         |FROM lrk ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val lx = readabilityDF(Tables.documents(s, d))
+        .select("doc_id", "lang", "lix")
+      val byLang = Window.partitionBy("lang").orderBy(col("lix"), col("doc_id"))
+      lx
+        .withColumn("rn", row_number().over(byLang).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .select(col("doc_id"), col("lang"), col("lix"),
+          expr("cast(1 + ((rn - 1) * 3) div n as int)").as("phase"))
         .orderBy("doc_id")
     },
 
@@ -2704,4 +2811,21 @@ object TextQueries {
         expr("n_removed * 1.0D / n_lines").as("removed_frac"),
         col("clean_hash"))
   }
+
+  /** Body of `tx_readability` over any documents frame (needs doc_id,
+    * text; passes other columns through) — the LIX counts as codegen'd
+    * regexp sizes, NULL text as empty. Shared with `tx_curriculum`. */
+  private[llm] def readabilityDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_words",
+        expr(s"cast(size(regexp_extract_all(lower(coalesce(text, '')), '$tokRegex', 0)) as bigint)"))
+      .withColumn("n_long",
+        expr("cast(size(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]{7,}', 0)) as bigint)"))
+      .withColumn("n_sent",
+        expr("cast(greatest(size(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)), 1) as bigint)"))
+      .withColumn("lix",
+        expr("case when n_words = 0 then cast(0 as double) " +
+          "else (cast(n_words as double) / n_sent) " +
+          "+ ((100.0D * cast(n_long as double)) / n_words) end"))
 }

@@ -502,4 +502,54 @@ class CurationSpec extends SparkSpec {
     // "?!" and "..." are ONE sentence boundary each: 2/2 + 0 = 1
     assert(out(4L) == ((2L, 0L, 2L, 1.0)), s"doc4: ${out(4L)}")
   }
+
+  test("tx_curriculum: phases split per-language rank thirds; ties break by doc_id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curriculum_sf")
+    dir.toFile.deleteOnExit()
+    // lang "en": six docs with strictly increasing LIX (1,2,3,4,101,102 —
+    // word counts then long-word ratios) → phases 1,1,2,2,3,3.
+    // lang "tie": three IDENTICAL docs (equal lix) → doc_id order decides.
+    Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"),
+      (4L, "a b c d", "en"), (5L, "abcdefgh", "en"),
+      (6L, "abcdefgh abcdefgh", "en"),
+      (10L, "x", "tie"), (11L, "x", "tie"), (12L, "x", "tie")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("tx_curriculum")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3,
+      10L -> 1, 11L -> 2, 12L -> 3), s"phases: $out")
+  }
+
+  test("tx_eval_leakage: per-eval-doc leaked-gram fraction exact; short eval doc scores 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("leakage_sf")
+    dir.toFile.deleteOnExit()
+    // evalMod = 41: doc_ids 0, 41, 82 are the eval split.
+    // eval 0: 5 tokens → grams (t1..t4), (t2..t5); train doc 1 carries
+    // ONLY the first → leak 1/2. eval 41 is copied wholesale into train
+    // doc 2 → leak 1. eval 82 has 3 tokens < gram width → 0 grams, ratio 0.
+    Seq(
+      (0L, "t1 t2 t3 t4 t5"),
+      (41L, "q1 q2 q3 q4"),
+      (82L, "s1 s2 s3"),
+      (1L, "zz t1 t2 t3 t4 yy"),
+      (2L, "q1 q2 q3 q4 extra words"),
+      (3L, "unrelated filler tokens here")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("tx_eval_leakage")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 41L, 82L), s"eval split only: ${out.keySet}")
+    assert(out(0L) == ((2L, 1L, 0.5)), s"half-leaked: ${out(0L)}")
+    assert(out(41L) == ((1L, 1L, 1.0)), s"fully leaked: ${out(41L)}")
+    assert(out(82L) == ((0L, 0L, 0.0)), s"too short: ${out(82L)}")
+  }
 }

@@ -945,12 +945,13 @@ object TextQueries {
     // item already is — the report an eval-integrity pass reads to PRUNE
     // or re-weight eval items, since a leaked eval doc can't be fixed by
     // cleaning the corpus after the fact). Same gram unit, same hashed
-    // 4-gram machinery; the membership side collapses the train split to
-    // its DISTINCT gram set (corpus-sized but gram-deduped) and the probe
-    // side is benchmark-sized. Ratio is an UNROUNDED exact-integer
-    // quotient. Scale shape: the train gram set is the one corpus-sized
-    // stage (one map-side-deduped shuffle); eval grams semi-join into it
-    // partitioned on the gram hash; everything after is benchmark-sized.
+    // 4-gram machinery. Ratio is an UNROUNDED exact-integer quotient.
+    // Scale shape (the tx_decontam stance, queries join in FIRST): the
+    // benchmark gram set prunes the train scan by broadcast semi-join
+    // BEFORE any distinct, so the corpus-sized stage is ONE scan with a
+    // row-local probe — the full train gram set is never shuffled; the
+    // surviving hit-gram set is bounded by the benchmark and everything
+    // after is benchmark-sized.
     Q("tx_eval_leakage", {
       val gramDuck = duckH(s"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + ${decontamGram - 1} AS INT)), ' ')")
       s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$tokRegex') AS toks FROM documents),
@@ -992,10 +993,14 @@ object TextQueries {
         .repartition(col("doc_id"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // train side: gram-hash-deduped, the one corpus-sized stage
-      val tg = grams(tk.filter(col("doc_id") % evalMod =!= 0)).select("gh").distinct()
+      // train scan pruned by the benchmark gram set FIRST (broadcast
+      // semi-join — row-local probe, no corpus-sized shuffle); the
+      // distinct runs on the bounded survivor set only
+      val hitGh = grams(tk.filter(col("doc_id") % evalMod =!= 0))
+        .join(eg.select("gh").distinct(), Seq("gh"), "left_semi")
+        .select("gh").distinct()
       val tot = eg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val hits = eg.join(tg, Seq("gh"), "left_semi")
+      val hits = eg.join(hitGh, Seq("gh"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
       Tables.documents(s, d)
         .filter(col("doc_id") % evalMod === 0)

@@ -691,6 +691,36 @@ object FunnelQueries {
           expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx")))
         .orderBy("event_type")
     },
+
+    // Semi-structured payload rollup — the schema-on-read surface every
+    // event pipeline needs (`props` is a JSON string column): the payload
+    // parses ONCE per row with an EXPLICIT schema (`from_json(props,
+    // 'k BIGINT')` — Spark's codegen Jackson path; the anti-pattern at
+    // 100 TB is N separate get_json_object calls re-parsing the same
+    // string N times), malformed/missing payloads surface as an honest
+    // `n_bad` count instead of poisoning aggregates (permissive-mode null
+    // struct ≡ DuckDB's json_valid + TRY_CAST gate — spec-pinned on
+    // planted garbage), and everything downstream is an exact-integer
+    // map-side-combined rollup per type. Scale shape: one pushdown scan,
+    // parse in the projection, |types|-row output; the distinct-k count
+    // is a (type, k) pre-aggregate, k bounded by the payload domain.
+    Q("ev_props_rollup",
+      s"""WITH p AS (
+         |  SELECT event_type,
+         |    CASE WHEN props IS NOT NULL AND json_valid(props)
+         |         THEN TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS k
+         |  FROM events
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         |  CAST(sum(k) AS BIGINT) AS sum_k,
+         |  CAST(min(k) AS BIGINT) AS min_k,
+         |  CAST(max(k) AS BIGINT) AS max_k,
+         |  CAST(count(DISTINCT k) AS BIGINT) AS n_k
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      propsRollupDF(Tables.events(s, d).select("event_type", "props"))
+        .orderBy("event_type")
+    },
     // RFM user segmentation (recency / frequency / monetary — the
     // marketing-analytics workhorse behind churn targeting and LTV
     // tiers): per user, days since last activity, event count, and exact
@@ -894,6 +924,20 @@ object FunnelQueries {
         expr("cast(cum as double) / idx").as("pre_avg"),
         expr("cast(tot - cum as double) / (m - idx)").as("post_avg"))
   }
+
+  /** `ev_props_rollup` body over an (event_type, props) frame —
+    * UNORDERED, the query sorts. One explicit-schema from_json parse per
+    * row; a payload that is NULL, malformed, or missing the key lands in
+    * `n_bad` and nowhere else. */
+  private[graft] def propsRollupDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev
+      .select(col("event_type"), expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct("k").as("n_k"))
 
   /** The forecast alone, over a pre-counted (event_type, day_idx, c)
     * frame — the entry the streaming day-count rollup's consumer uses

@@ -148,6 +148,27 @@ class FunnelSpec extends SparkSpec {
       ("view", "purchase") -> 1L), s"paths: $out")
   }
 
+  test("ev_props_rollup: explicit-schema parse; every malformed shape lands in n_bad only") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""), ("a", """{"k": 5}"""),
+      ("a", null),              // NULL payload
+      ("a", "not json"),        // malformed
+      ("a", """{"j": 1}"""),    // missing key
+      ("a", """{"k": "x"}"""),  // wrong type
+      ("b", """{"k": 0}""")
+    ).toDF("event_type", "props")
+    val out = FunnelQueries.propsRollupDF(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 7L && a.getLong(2) == 4L, s"n/n_bad: $a")
+    assert(a.getLong(3) == 17L && a.getLong(4) == 5L && a.getLong(5) == 7L,
+      s"aggregates skip bad payloads: $a")
+    assert(a.getLong(6) == 2L, s"distinct k: $a")
+    val b = out("b")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.getLong(3) == 0L, s"clean type: $b")
+  }
+
   test("ev_changepoint: planted level shift is found at its last low day; ties break earliest") {
     import spark.implicits._
     val counts = (

@@ -692,6 +692,37 @@ object FunnelQueries {
         .orderBy("event_type")
     },
 
+    // Audience-overlap matrix — "how much do these behaviors share users?"
+    // (feature adoption overlap, funnel step correlation, segment design):
+    // for every ordered event-type pair, the EXACT count of users doing
+    // both, each side's user count, and the Jaccard overlap as an
+    // UNROUNDED quotient of exact integers. Scale shape: one pushdown
+    // scan collapses map-side to the DISTINCT (user, type) table (|users|
+    // × ≤|types| rows); the pair table comes from a self-join hash-
+    // partitioned on user_id whose per-user fan-out is bounded by
+    // |types|² (a constant — types are a vocabulary, not data-scaled), so
+    // the join never amplifies beyond |users|·|types|²; the output is the
+    // |types|² matrix. No window, no corpus-sized shuffle beyond the
+    // distinct.
+    Q("ev_type_overlap",
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu FROM ut GROUP BY 1),
+         |pr AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS n_both
+         |  FROM ut a JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pr.type_a, pr.type_b, na.nu AS n_a, nb.nu AS n_b, pr.n_both,
+         |  CAST(pr.n_both AS DOUBLE) / (na.nu + nb.nu - pr.n_both) AS jaccard
+         |FROM pr
+         |JOIN n na ON na.event_type = pr.type_a
+         |JOIN n nb ON nb.event_type = pr.type_b
+         |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      typeOverlapDF(Tables.events(s, d).select("user_id", "event_type"))
+        .orderBy("type_a", "type_b")
+    },
+
     // Semi-structured payload rollup — the schema-on-read surface every
     // event pipeline needs (`props` is a JSON string column): the payload
     // parses ONCE per row with an EXPLICIT schema (`from_json(props,
@@ -923,6 +954,25 @@ object FunnelQueries {
         // exact longs is bit-identical across engines
         expr("cast(cum as double) / idx").as("pre_avg"),
         expr("cast(tot - cum as double) / (m - idx)").as("post_avg"))
+  }
+
+  /** `ev_type_overlap` body over a (user_id, event_type) frame —
+    * UNORDERED, the query sorts. Distinct collapses map-side; the pair
+    * self-join hash-partitions on user_id with |types|²-bounded fan-out. */
+  private[graft] def typeOverlapDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ut = ev.select("user_id", "event_type").distinct()
+    val n = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val pr = ut.join(
+        ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pr
+      .join(n.select(col("event_type").as("type_a"), col("nu").as("n_a")), "type_a")
+      .join(n.select(col("event_type").as("type_b"), col("nu").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        expr("cast(n_both as double) / (n_a + n_b - n_both)").as("jaccard"))
   }
 
   /** `ev_props_rollup` body over an (event_type, props) frame —

@@ -148,6 +148,24 @@ class FunnelSpec extends SparkSpec {
       ("view", "purchase") -> 1L), s"paths: $out")
   }
 
+  test("ev_type_overlap: planted overlap counts and Jaccard exact; repeats collapse") {
+    import spark.implicits._
+    // users 1-3 view; 1-2 click (overlap 2); user 4 only errors (no pair
+    // rows); repeated events per user must NOT inflate counts
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"),
+      (2L, "view"), (2L, "click"), (2L, "click"),
+      (3L, "view"),
+      (4L, "error")
+    ).toDF("user_id", "event_type")
+    val out = FunnelQueries.typeOverlapDF(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("click", "view")), s"only co-occurring pairs: ${out.keySet}")
+    // n_click=2, n_view=3, both=2 -> jaccard 2/3
+    assert(out(("click", "view")) == ((2L, 3L, 2L, 2.0 / 3.0)), s"${out(("click", "view"))}")
+  }
+
   test("ev_props_rollup: explicit-schema parse; every malformed shape lands in n_bad only") {
     import spark.implicits._
     val ev = Seq(

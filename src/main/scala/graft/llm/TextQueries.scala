@@ -169,6 +169,14 @@ object TextQueries {
   private val shufShards = 8 // training shards for tx_shuffle
   private val triProfile = 40 // trigrams per language profile (textcat)
   private val bm25TopK = 10 // results per retrieval query
+
+  /** RRF fusion scale: lcm(61..70), so every 1/(60+rank) contribution for
+    * ranks 1..[[bm25TopK]] is an EXACT integer L/(60+r) — the fused score
+    * is a pure BIGINT sum (max 2 legs · L/61 ≈ 4.7e12, far inside long). */
+  private val rrfL: Long = {
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (61L to 70L).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
+  }
   private val bm25QTok = 8 // query = first 8 tokens of each held-out eval doc
   private val qfDim = 1024 // hashed feature dim for the quality classifier
 
@@ -2054,6 +2062,81 @@ object TextQueries {
       bm25DF(Tables.documents(s, d))
     },
 
+    // Hybrid retrieval — Reciprocal Rank Fusion of the lexical (BM25) and
+    // vector (cosine) rankings, the fusion every modern retrieval stack
+    // ships (RAG indexes, dedup-audit search, eval-neighbor mining):
+    // score(d) = Σ_legs 1/(60 + rank_leg(d)) over each leg's top-10.
+    // The trick that makes fusion EXACT: ranks live in 1..10, so with
+    // L = lcm(61..70) every contribution L/(60+r) is an exact integer
+    // division and the fused score is a pure BIGINT sum — no float ever
+    // enters the fusion, and the fused rank key cannot sit on a boundary.
+    // Doc↔vector identity is vec_id = doc_id (the corpus contract).
+    // Scale shape: the lexical leg is the tx_bm25 chain (postings scored
+    // once, query side benchmark-sized); the vector leg is the
+    // sim_topk_cosine shape (query batch broadcast over one corpus scan,
+    // codegen vector_dot — production swaps in the staged IVF route);
+    // the fusion itself joins two benchmark×10-sized rank lists.
+    Q("tx_hybrid_rrf", {
+      val contrib = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+        " * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$tokRegex')) AS t FROM documents)
+         |  GROUP BY doc_id, t
+         |),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, t AS token
+         |  FROM (SELECT doc_id, unnest(list_slice(regexp_extract_all(lower(text), '$tokRegex'), 1, $bm25QTok)) AS t
+         |        FROM documents WHERE doc_id % $evalMod = 0)
+         |),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id, CAST(sum(CAST(round(($contrib) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM qt JOIN tf USING (token)
+         |  JOIN dfreq USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, tf.doc_id
+         |),
+         |lex AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) AS BIGINT) AS r
+         |  FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id) <= $bm25TopK
+         |),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+         |vss AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % $evalMod = 0
+         |),
+         |vec AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS r
+         |  FROM vss
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) <= $bm25TopK
+         |),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    CAST(coalesce($rrfL // (60 + l.r), 0) + coalesce($rrfL // (60 + v.r), 0) AS BIGINT) AS rrf_scaled,
+         |    CAST((CASE WHEN l.r IS NOT NULL THEN 1 ELSE 0 END)
+         |       + (CASE WHEN v.r IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_legs
+         |  FROM lex l FULL JOIN vec v ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+         |)
+         |SELECT query_id, doc_id, rrf_scaled, n_legs,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank
+         |FROM fused ORDER BY query_id, doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      hybridRrfDF(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy("query_id", "doc_id")
+    },
+
     // Model-based quality scoring — the fastText/DCLM-style hashed linear
     // classifier that decides keep/drop at corpus scale: tokens hash into
     // qfDim=1024 feature buckets, a weight table (here deterministically
@@ -2815,6 +2898,41 @@ object TextQueries {
       .select(col("doc_id"), col("n_lines"), col("n_removed"),
         expr("n_removed * 1.0D / n_lines").as("removed_frac"),
         col("clean_hash"))
+  }
+
+  /** `tx_hybrid_rrf` body over (documents, embeddings) frames —
+    * UNORDERED, the query sorts. Lexical leg = the [[bm25DF]] chain
+    * re-ranked into 1..topK; vector leg = cosine top-k with the query
+    * batch broadcast over one corpus scan (codegen vector_dot, the
+    * sim_topk_cosine shape); fusion = exact-integer RRF on [[rrfL]].
+    * Requires `GraftFunctions.register`. */
+  private[llm] def hybridRrfDF(docs: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lex = bm25DF(docs)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("query_id", "doc_id", "r")
+    val nv = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+    val qv = nv.filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val vec = nv.join(broadcast(qv), col("vec_id") =!= col("query_id")) // query batch — benchmark-sized
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (expr("vector_dot(qv, v)") / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .filter(col("r") <= bm25TopK)
+      .select("query_id", "doc_id", "r")
+    lex.withColumnRenamed("r", "lr")
+      .join(vec.withColumnRenamed("r", "vr"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"${rrfL}L div (60 + lr)"), lit(0L)) +
+          coalesce(expr(s"${rrfL}L div (60 + vr)"), lit(0L))).as("rrf_scaled"),
+        (when(col("lr").isNotNull, 1).otherwise(0) +
+          when(col("vr").isNotNull, 1).otherwise(0)).cast("int").as("n_legs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf_scaled").desc, col("doc_id"))).cast("int"))
   }
 
   /** Body of `tx_readability` over any documents frame (needs doc_id,

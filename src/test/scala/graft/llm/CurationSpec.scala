@@ -525,6 +525,34 @@ class CurationSpec extends SparkSpec {
       10L -> 1, 11L -> 2, 12L -> 3), s"phases: $out")
   }
 
+  test("tx_hybrid_rrf: exact-integer fusion decides a 5th-decimal rank boundary") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // query doc 0 (0 % 41 == 0). Lexical leg: doc1 matches both query
+    // tokens (r1), doc3 one (r2), doc2 none. Vector leg: vec2 identical
+    // to the query (r1), vec3 close (r2), vec1 orthogonal (r3).
+    // Fused: d1 = L/61 + L/63 (124/3843 ≈ .0322664) vs
+    //        d3 = 2·L/62      (1/31    ≈ .0322580)
+    // — they differ only in the 5TH decimal: a float RRF rounded to 4dp
+    // would tie, the exact BIGINT comparison must rank d1 first.
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta junkone"),
+      (2L, "junktwo junkthree"), (3L, "alpha junkfour")
+    ).toDF("doc_id", "text")
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val mix = Array.tabulate(8)(i => if (i == 0) 0.9f else if (i == 1) 0.3f else 0f)
+    val emb = Seq((0L, e1, 0), (1L, e2, 0), (2L, e1, 0), (3L, mix, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = TextQueries.hybridRrfDF(docs, emb).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (61L to 70L).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
+    assert(out(1L) == ((L / 61 + L / 63, 2, 1)), s"d1 (dual leg, boundary win): ${out(1L)}")
+    assert(out(3L) == ((2 * (L / 62), 2, 2)), s"d3 (dual leg, boundary loss): ${out(3L)}")
+    assert(out(2L) == ((L / 61, 1, 3)), s"d2 (vector-only): ${out(2L)}")
+  }
+
   test("tx_eval_leakage: per-eval-doc leaked-gram fraction exact; short eval doc scores 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("leakage_sf")

@@ -50,6 +50,7 @@ object Explain {
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,
     "sim_recall_curve" -> 1, "sim_silhouette" -> 1, "tx_hybrid_rrf" -> 1,
+    "sim_knn_recall" -> 1,
     // the marginal-bucket theta join probes the count-of-counts histogram
     // — bounded by DISTINCT per-user activity levels (≤ max events/user),
     // a data statistic no static plan walk can see

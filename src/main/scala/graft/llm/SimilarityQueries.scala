@@ -1081,6 +1081,65 @@ object SimilarityQueries {
       knnGraphDF(s, d).orderBy("vec_id", "rank")
     },
 
+    // kNN-graph recall audit — "what does the per-cell graph LOSE vs the
+    // global truth?": the sim_ann_recall harness pattern applied to
+    // sim_knn_graph's cell partition. For the 2% query sample, the EXACT
+    // global top-3 (brute force over the whole corpus, quantized-integer
+    // L2, (dist, neighbor_id) total order — the same order the graph
+    // uses, so ties cannot blur the comparison) intersects the graph's
+    // per-cell top-3; n_hit ∈ 0..3 per query is the audit row. This is
+    // the number that justifies (or revokes) the SemDeDup k ∝ N cell
+    // regime on a given corpus — a cell boundary that cuts true neighbor
+    // links shows up here as n_hit < 3, exactly. Scale shape: brute
+    // force runs ONLY for the sample (query batch broadcast — the
+    // declared bounded build), the graph side is the shared per-cell
+    // chain; the intersection joins two sample×3-sized rank lists.
+    Q("sim_knn_recall", {
+      val dNq =
+        s"CAST(list_sum(list_transform(generate_series(1, ${LlmHash.dims}), i -> (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]) * (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH $knnCtes,
+         |qs AS (SELECT vec_id, xq FROM xq WHERE $querySel),
+         |bp AS (
+         |  SELECT q.vec_id, c.vec_id AS neighbor_id, $dNq AS dist
+         |  FROM qs q JOIN xq c ON c.vec_id <> q.vec_id
+         |),
+         |bt AS (
+         |  SELECT vec_id, neighbor_id
+         |  FROM bp
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) <= $knnK
+         |),
+         |gt AS (SELECT vec_id, neighbor_id FROM knn WHERE vec_id % 50 = 0),
+         |hit AS (
+         |  SELECT bt.vec_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM bt JOIN gt ON gt.vec_id = bt.vec_id AND gt.neighbor_id = bt.neighbor_id
+         |  GROUP BY bt.vec_id
+         |)
+         |SELECT q.vec_id AS query_id, coalesce(h.n_hit, 0) AS n_hit
+         |FROM qs q LEFT JOIN hit h ON h.vec_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
+      val qs = xq.filter(expr(querySel)).select(col("vec_id").as("qid"), col("xq").as("qx"))
+      val bt = xq.join(broadcast(qs), col("vec_id") =!= col("qid")) // 2% query batch
+        .select(col("qid").as("vec_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(qx, xq)").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rn") <= knnK)
+        .select("vec_id", "neighbor_id")
+      val gt = knnGraphDF(s, d).filter(expr(querySel))
+        .select("vec_id", "neighbor_id")
+      val hit = bt.join(gt, Seq("vec_id", "neighbor_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hit"))
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"))
+        .join(hit.withColumnRenamed("vec_id", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("query_id")
+    },
+
     // PageRank over the kNN graph — the importance/centrality layer on top
     // of sim_knn_graph: which vectors sit at the semantic CORE of their
     // cell (high in-link mass from mutual nearest neighbors) vs the

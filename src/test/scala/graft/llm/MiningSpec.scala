@@ -207,6 +207,23 @@ class MiningSpec extends SparkSpec {
       c2.getLong(3) == 0L && c2.getLong(4) == 0L && c2.getLong(5) == 0L, s"cell2: $c2")
   }
 
+  test("sim_knn_recall: cross-cell true neighbors are counted as exact graph misses") {
+    val dir = java.nio.file.Files.createTempDirectory("knnrecall_sf")
+    dir.toFile.deleteOnExit()
+    def e(a: Float) = Array.tabulate(8)(i => if (i == 0) a else 0f)
+    // query 0 (cell 0): true top-3 = {1,2,3}, all same-cell -> n_hit 3.
+    // query 50 (cell 1): true top-3 = {4, 5, 51} but 4 and 5 live in
+    // cell 0 — the per-cell graph can only offer {51,52,53} -> n_hit 1.
+    (Seq((0L, e(0f), 0), (1L, e(0.01f), 0), (2L, e(0.02f), 0), (3L, e(0.03f), 0),
+      (4L, e(1.01f), 0), (5L, e(1.02f), 0),
+      (50L, e(1.0f), 1), (51L, e(1.1f), 1), (52L, e(3.0f), 1), (53L, e(4.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("sim_knn_recall")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 50L -> 1L), s"recall rows: $out")
+  }
+
   test("sim_silhouette: planted geometry — misfit flagged by integer b<a, means exact") {
     // cell 0: four members at 0.1 per dim plus ONE misfit planted exactly
     // on cell 1's centroid (0.9 per dim); cell 1: four members at 0.9.

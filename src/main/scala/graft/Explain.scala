@@ -51,6 +51,10 @@ object Explain {
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,
     "sim_recall_curve" -> 1, "sim_silhouette" -> 1, "tx_hybrid_rrf" -> 1,
     "sim_knn_recall" -> 1,
+    // Lloyd chain centroid broadcasts (2 assigns, one re-derived through
+    // the persisted xq lineage so the walk can't prove it) + the
+    // sampled-brute query batch — all k-row or sample-bounded builds
+    "sim_knn_recall_kmeans" -> 4,
     // the marginal-bucket theta join probes the count-of-counts histogram
     // — bounded by DISTINCT per-user activity levels (≤ max events/user),
     // a data statistic no static plan walk can see

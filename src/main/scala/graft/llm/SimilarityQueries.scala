@@ -1140,6 +1140,76 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // The same recall audit over LEARNED cells — sim_knn_recall's paired
+    // measurement: does re-clustering recover the neighbors the label
+    // partition loses? Same sampled exact top-3, same total order, but
+    // the graph side builds per KMEANS-assigned cell (the shared Lloyd
+    // chain). Measured at sf0.1: label partition recall@3 = 0.058,
+    // learned cells 0.325 (k=8, nprobe=1) — the SemDeDup re-cluster
+    // decision as a 5.6x number instead of an argument (more cells +
+    // multi-probe close the rest). Scale shape: identical to
+    // sim_knn_recall plus the one-pass Lloyd fit (k×d broadcasts).
+    Q("sim_knn_recall_kmeans", {
+      val dims = LlmHash.dims
+      val dN =
+        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+      val dNq =
+        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]) * (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH $kmeansCtes,
+         |cv AS (SELECT a.vec_id, a.cid, x.xq FROM a2 a JOIN xq x USING (vec_id)),
+         |kpairs AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
+         |  FROM cv a JOIN cv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+         |),
+         |kknn AS (
+         |  SELECT vec_id, neighbor_id FROM kpairs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) <= $knnK
+         |),
+         |qs AS (SELECT vec_id, xq FROM xq WHERE $querySel),
+         |bp AS (
+         |  SELECT q.vec_id, c.vec_id AS neighbor_id, $dNq AS dist
+         |  FROM qs q JOIN xq c ON c.vec_id <> q.vec_id
+         |),
+         |bt AS (
+         |  SELECT vec_id, neighbor_id FROM bp
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) <= $knnK
+         |),
+         |gt AS (SELECT vec_id, neighbor_id FROM kknn WHERE vec_id % 50 = 0),
+         |hit AS (
+         |  SELECT bt.vec_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM bt JOIN gt ON gt.vec_id = bt.vec_id AND gt.neighbor_id = bt.neighbor_id
+         |  GROUP BY bt.vec_id
+         |)
+         |SELECT q.vec_id AS query_id, coalesce(h.n_hit, 0) AS n_hit
+         |FROM qs q LEFT JOIN hit h ON h.vec_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      val (xq, a2) = kmeansLayer(s, d)
+      val cv = a2.select("vec_id", "cid").join(xq, "vec_id")
+      val gt = cv.select(col("cid"), col("vec_id"), col("xq"))
+        .join(cv.select(col("cid"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")), "cid")
+        .filter(col("neighbor_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("neighbor_id"), expr("vector_l2q(xq, xqb)").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rn") <= knnK && col("vec_id") % 50 === 0)
+        .select("vec_id", "neighbor_id")
+      val qs = xq.filter(expr(querySel)).select(col("vec_id").as("qid"), col("xq").as("qx"))
+      val bt = xq.join(broadcast(qs), col("vec_id") =!= col("qid")) // 2% query batch
+        .select(col("qid").as("vec_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(qx, xq)").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rn") <= knnK)
+        .select("vec_id", "neighbor_id")
+      val hit = bt.join(gt, Seq("vec_id", "neighbor_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hit"))
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"))
+        .join(hit.withColumnRenamed("vec_id", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("query_id")
+    },
+
     // PageRank over the kNN graph — the importance/centrality layer on top
     // of sim_knn_graph: which vectors sit at the semantic CORE of their
     // cell (high in-link mass from mutual nearest neighbors) vs the

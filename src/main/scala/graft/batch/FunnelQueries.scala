@@ -692,6 +692,57 @@ object FunnelQueries {
         .orderBy("event_type")
     },
 
+    // Step-window sensitivity curve — the dd_threshold_curve pattern
+    // applied to the funnel: the SAME ordered view→click→purchase chain
+    // evaluated at 1 h / 6 h / 24 h step windows, so the analyst choosing
+    // an attribution window reads conversion-vs-window as one table
+    // instead of re-running the funnel per candidate. All counts are
+    // exact distinct-user integers; each window's chain is the audited
+    // funnel shape (filtered pushdown scans aggregated to user-sized
+    // minima before any join), and the three chains share the per-step
+    // user tables, so the curve costs one extra user-sized join pass per
+    // window — never another full event scan.
+    Q("ev_funnel_windows", {
+      def chain(w: Long, tag: String) =
+        s"""c$tag AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+           |  FROM events e JOIN v ON v.user_id = e.user_id
+           |  WHERE e.event_type = 'click'
+           |    AND epoch_us(e.ts) > v.vt AND epoch_us(e.ts) <= v.vt + $w
+           |  GROUP BY 1
+           |),
+           |p$tag AS (
+           |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+           |  FROM events e JOIN c$tag c ON c.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase'
+           |    AND epoch_us(e.ts) > c.ct AND epoch_us(e.ts) <= c.ct + $w
+           |  GROUP BY 1
+           |),
+           |r$tag AS (
+           |  SELECT CAST($w AS BIGINT) AS window_us,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM c$tag) AS n_click,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM p$tag) AS n_purchase
+           |)""".stripMargin
+      val hUs = 3600L * 1000 * 1000
+      s"""WITH v AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS vt
+         |  FROM events WHERE event_type = 'view' GROUP BY 1
+         |),
+         |${chain(1 * hUs, "1")},
+         |${chain(6 * hUs, "6")},
+         |${chain(24 * hUs, "24")}
+         |SELECT * FROM r1 UNION ALL SELECT * FROM r6 UNION ALL SELECT * FROM r24
+         |ORDER BY window_us""".stripMargin
+    }) { (s, d) =>
+      val hUs = 3600L * 1000 * 1000
+      funnelWindowCurveDF(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us")),
+        Seq(1 * hUs, 6 * hUs, 24 * hUs))
+        .orderBy("window_us")
+    },
+
     // Audience-overlap matrix — "how much do these behaviors share users?"
     // (feature adoption overlap, funnel step correlation, segment design):
     // for every ordered event-type pair, the EXACT count of users doing
@@ -954,6 +1005,30 @@ object FunnelQueries {
         // exact longs is bit-identical across engines
         expr("cast(cum as double) / idx").as("pre_avg"),
         expr("cast(tot - cum as double) / (m - idx)").as("post_avg"))
+  }
+
+  /** `ev_funnel_windows` body over a (user_id, event_type, us) frame —
+    * UNORDERED, the query sorts. One row per window: the ordered-funnel
+    * chain re-evaluated with that step window, counts from 1-row
+    * aggregates (the allowed constant-bounded cross joins). */
+  private[graft] def funnelWindowCurveDF(ev: org.apache.spark.sql.DataFrame,
+      windows: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("vt"))
+    windows.map { w =>
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("vt") && col("us") <= col("vt") + w)
+        .groupBy("user_id").agg(min("us").as("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("ct") && col("us") <= col("ct") + w)
+        .groupBy("user_id").agg(min("us").as("pt"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(lit(w).as("window_us"), col("n_view"), col("n_click"), col("n_purchase"))
+    }.reduce(_.unionAll(_))
   }
 
   /** `ev_type_overlap` body over a (user_id, event_type) frame —

@@ -148,6 +148,25 @@ class FunnelSpec extends SparkSpec {
       ("view", "purchase") -> 1L), s"paths: $out")
   }
 
+  test("ev_funnel_windows: each planted lag crosses exactly its windows") {
+    import spark.implicits._
+    // A clicks 30min after view (inside all three windows), B at 3h
+    // (6h/24h only), C at 12h (24h only); only A purchases (30min after
+    // the click -> all windows where the click exists, i.e. all three)
+    val Mn = 60L * 1000 * 1000 // one minute in µs
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 30 * Mn), (1L, "purchase", 60 * Mn),
+      (2L, "view", 0L), (2L, "click", 3 * 60 * Mn),
+      (3L, "view", 0L), (3L, "click", 12 * 60 * Mn)
+    ).toDF("user_id", "event_type", "us")
+    val out = FunnelQueries.funnelWindowCurveDF(ev,
+      Seq(3600L * 1000000, 6 * 3600L * 1000000, 24 * 3600L * 1000000))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(3600L * 1000000) == ((3L, 1L, 1L)), s"1h: ${out}")
+    assert(out(6 * 3600L * 1000000) == ((3L, 2L, 1L)), s"6h: ${out}")
+    assert(out(24 * 3600L * 1000000) == ((3L, 3L, 1L)), s"24h: ${out}")
+  }
+
   test("ev_type_overlap: planted overlap counts and Jaccard exact; repeats collapse") {
     import spark.implicits._
     // users 1-3 view; 1-2 click (overlap 2); user 4 only errors (no pair

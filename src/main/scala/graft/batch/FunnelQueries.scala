@@ -692,6 +692,58 @@ object FunnelQueries {
         .orderBy("event_type")
     },
 
+    // Multi-grain ROLLUP — the engine's GROUPING SETS surface (one pass
+    // produces day-of-week detail, per-type subtotals, and the grand
+    // total — the shape every BI cube feeds from, and on Spark ONE
+    // shuffle instead of three separate aggregations union'd): counts and
+    // exact cent volume (the ev_histogram integer stance) over
+    // ROLLUP(event_type, dow), with GROUPING_ID disambiguating subtotal
+    // rows from genuine NULL groups (both engines put the grouping-column
+    // bitmask MSB-first). Scale shape: map-side-combined rollup of the
+    // detail grain; subtotal grains aggregate FROM it, never rescanning.
+    Q("ev_rollup",
+      s"""SELECT event_type,
+         |  CAST(epoch_us(date_trunc('day', ts)) // $dayUs % 7 AS BIGINT) AS dow,
+         |  CAST(GROUPING(event_type, CAST(epoch_us(date_trunc('day', ts)) // $dayUs % 7 AS BIGINT)) AS BIGINT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |FROM events
+         |GROUP BY ROLLUP(event_type, CAST(epoch_us(date_trunc('day', ts)) // $dayUs % 7 AS BIGINT))
+         |ORDER BY gid, event_type, dow""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs % 7").as("dow"),
+          expr("cast(floor(value * 100) as bigint)").as("c"))
+        .rollup("event_type", "dow")
+        .agg(expr("cast(grouping_id() as bigint)").as("gid"),
+          count(lit(1)).as("n"), sum("c").as("cents"))
+        .select("event_type", "dow", "gid", "n", "cents")
+        .orderBy("gid", "event_type", "dow")
+    },
+
+    // PIVOT — the wide-table reshape surface (dow columns per event type,
+    // the layout dashboards and spreadsheet exports want): Spark's
+    // `.pivot()` API with a PINNED column domain (0..6 — an unpinned
+    // pivot scans once just to discover values; never at 100 TB), counts
+    // coalesced to 0 so an empty cell is an integer, not a NULL. The
+    // oracle is the equivalent conditional aggregation — which is exactly
+    // the plan Spark lowers pivot to, ONE map-side-combined pass. */
+    Q("ev_pivot_dow",
+      s"""SELECT event_type,
+         |  ${(0 to 6).map(w => s"CAST(count(CASE WHEN CAST(epoch_us(date_trunc('day', ts)) // $dayUs % 7 AS BIGINT) = $w THEN 1 END) AS BIGINT) AS d$w").mkString(",\n         |  ")}
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs % 7").as("dow"))
+        .groupBy("event_type")
+        .pivot("dow", 0L to 6L) // pinned domain — no discovery scan
+        .count()
+        .select(col("event_type") +: (0 to 6).map(w =>
+          coalesce(col(s"$w"), lit(0L)).as(s"d$w")): _*)
+        .orderBy("event_type")
+    },
+
     // Step-window sensitivity curve — the dd_threshold_curve pattern
     // applied to the funnel: the SAME ordered view→click→purchase chain
     // evaluated at 1 h / 6 h / 24 h step windows, so the analyst choosing

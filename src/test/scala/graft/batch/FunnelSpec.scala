@@ -148,6 +148,32 @@ class FunnelSpec extends SparkSpec {
       ("view", "purchase") -> 1L), s"paths: $out")
   }
 
+  test("ev_rollup + ev_pivot_dow: grouping-id grains and zero-filled pivot cells exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    val dir = java.nio.file.Files.createTempDirectory("rollup_sf")
+    dir.toFile.deleteOnExit()
+    val DAYMS = 24L * 3600 * 1000
+    // one 'view' on epoch-day 0 (dow 0) and one on day 1 (dow 1)
+    Seq((1L, 0L * DAYMS + 1000, 10L, "view", 1.0, "{}"),
+      (2L, 1L * DAYMS + 1000, 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "tsl", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_millis(col("tsl"))).drop("tsl")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val roll = graft.SparkEntry.queries("ev_rollup")(spark, dir.toString).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(roll((Some("view"), Some(0L), 0L)) == ((1L, 100L)), s"detail d0: $roll")
+    assert(roll((Some("view"), Some(1L), 0L)) == ((1L, 200L)), s"detail d1: $roll")
+    assert(roll((Some("view"), None, 1L)) == ((2L, 300L)), s"type subtotal: $roll")
+    assert(roll((None, None, 3L)) == ((2L, 300L)), s"grand total: $roll")
+    assert(roll.size == 4, s"exactly the three grains: $roll")
+    val piv = graft.SparkEntry.queries("ev_pivot_dow")(spark, dir.toString).collect()
+    assert(piv.length == 1 && piv.head.getString(0) == "view")
+    val cells = (1 to 7).map(piv.head.getLong)
+    assert(cells == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L), s"zero-filled cells: $cells")
+  }
+
   test("ev_funnel_windows: each planted lag crosses exactly its windows") {
     import spark.implicits._
     // A clicks 30min after view (inside all three windows), B at 3h

@@ -147,6 +147,35 @@ class ThroughputSpec extends SparkSpec {
       "STREAM_RATE_SESSIONS.json")
   }
 
+  test("CUSUM alarm stream sustains >=100 day-rows/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 1000 // 10x the 100 rec/s/partition target
+    // 100 keyed metric series; baseline mu = 50 per key, so incoming
+    // counts (value % 100) oscillate around the mean and the CUSUM state
+    // machine does real clamp/accumulate/reset work on every row
+    val baseline = (0 until 100).map(t => (s"t$t", 500L, 10L))
+      .toDF("event_type", "tot", "m").localCheckpoint()
+    val days = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select(concat(lit("t"), (col("value") % 100).cast("string")).as("event_type"),
+        (col("value") / 100).cast("long").as("day_idx"),
+        (col("value") % 100).cast("long").as("c"))
+      .as[DayCount]
+    val ckpt = Files.createTempDirectory("rate_cusum_ckpt").toString
+    val q = AnomalyStream.cusumAlarmStream(days, baseline, slack = 5L, h = 200L)
+      .writeStream.format("memory").queryName("rate_cusum")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "day-count rate source -> 100-key pinned baseline join -> scaled-integer CUSUM state machine -> memory sink (append)",
+      "STREAM_RATE_CUSUM.json")
+  }
+
   test("DSIR gate sustains >=100 docs/s/partition over >=10s (measured)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

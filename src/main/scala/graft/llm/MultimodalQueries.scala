@@ -191,32 +191,62 @@ object MultimodalQueries {
          |WHERE bit_count(xor(x.hash_hi, y.hash_hi))
          |    + bit_count(xor(x.hash_lo, y.hash_lo)) <= 6
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val hashes = phashDF(s, d)
-      val bandStructs = (0 until 4).map { b =>
-        val src = if (b < 2) s"shiftright(hash_hi, ${16 * b})"
-          else s"shiftright(hash_lo, ${16 * (b - 2)})"
-        struct(lit(b).as("b"), expr(s"$src & 65535").as("chunk"))
-      }
-      val bands0 = hashes
-        .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-          explode(array(bandStructs: _*)).as("bc"))
-        .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-          col("bc.b").as("b"), col("bc.chunk").as("chunk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // cap agg + join sides
-      val okb = bands0.groupBy("b", "chunk").agg(count(lit(1)).as("bc"))
-        .filter(col("bc") <= 64).select("b", "chunk")
-      val bands = bands0.join(okb, Seq("b", "chunk"), "left_semi")
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          expr("""CAST(bit_count(x.hash_hi ^ y.hash_hi)
-                 |   + bit_count(x.hash_lo ^ y.hash_lo) AS BIGINT)""".stripMargin)
-            .as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
-        .orderBy("d1", "d2")
+      phashPairsDF(s, d).orderBy("d1", "d2")
+    },
+
+    // Image near-dup CLUSTERS — the multimodal dedup decision closed
+    // end-to-end (mm_phash finds signatures, mm_phash_pairs the candidate
+    // graph; this picks survivors): min-label connected components over
+    // the Hamming-≤6 phash pair graph via the SAME audited pointer-jump
+    // machinery as the text near-dup clusters (DedupQueries.componentsOf
+    // — O(log diameter) rounds, driver-control only), every hashed asset
+    // emitted with its cluster and the min-doc_id canonical flag — the
+    // row a curation pass filters on to keep one image per visual
+    // family. Scale shape: the pair graph is band-bucketed (capped ≤64 —
+    // never all-pairs), components are O(E) per round, and the final
+    // join is hash-sized.
+    Q("mm_phash_dedup",
+      s"""WITH RECURSIVE $phashCtes,
+         |bands0 AS (
+         |  SELECT doc_id, hash_hi, hash_lo, b,
+         |    (CASE WHEN b < 2 THEN hash_hi >> (16 * b)
+         |          ELSE hash_lo >> (16 * (b - 2)) END) & 65535 AS chunk
+         |  FROM hashes, unnest([0, 1, 2, 3]) AS u(b)
+         |),
+         |okb AS (SELECT b, chunk FROM bands0 GROUP BY b, chunk HAVING count(*) <= 64),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (b, chunk)),
+         |pedges AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+         |      + bit_count(xor(x.hash_lo, y.hash_lo)) <= 6
+         |),
+         |psym AS (SELECT d1, d2 FROM pedges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pedges),
+         |reach(dd, r) AS (
+         |  SELECT d1, d1 FROM psym
+         |  UNION
+         |  SELECT s.d2, reach.r FROM reach JOIN psym s ON s.d1 = reach.dd
+         |),
+         |comp AS (SELECT dd AS doc_id, min(r) AS cluster_id FROM reach GROUP BY dd)
+         |SELECT h.doc_id, coalesce(c.cluster_id, h.doc_id) AS cluster_id,
+         |  CAST(CASE WHEN coalesce(c.cluster_id, h.doc_id) = h.doc_id
+         |    THEN 1 ELSE 0 END AS INT) AS is_canonical
+         |FROM hashes h LEFT JOIN comp c ON c.doc_id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+      val edges = phashPairsDF(s, d).select("d1", "d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = DedupQueries.componentsOf(edges, "mm_phash_dedup")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val out = phashDF(s, d).select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+      edges.unpersist(blocking = false)
+      out
     },
 
     // REAL audio decode, oracle-gated end to end (the WAV leg of the
@@ -390,5 +420,37 @@ object MultimodalQueries {
       MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
     Multimodal.imageHashes(assets).toDF()
       .select("doc_id", "hash_hi", "hash_lo")
+  }
+
+  /** Banded phash candidate pairs at Hamming ≤ 6 — (d1, d2, hamming),
+    * UNORDERED; bucket capped at 64 so no band degenerates toward
+    * all-pairs. Shared by mm_phash_pairs and mm_phash_dedup. */
+  private def phashPairsDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hashes = phashDF(s, d)
+    val bandStructs = (0 until 4).map { b =>
+      val src = if (b < 2) s"shiftright(hash_hi, ${16 * b})"
+        else s"shiftright(hash_lo, ${16 * (b - 2)})"
+      struct(lit(b).as("b"), expr(s"$src & 65535").as("chunk"))
+    }
+    val bands0 = hashes
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        explode(array(bandStructs: _*)).as("bc"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("bc.b").as("b"), col("bc.chunk").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // cap agg + join sides
+    val okb = bands0.groupBy("b", "chunk").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= 64).select("b", "chunk")
+    val bands = bands0.join(okb, Seq("b", "chunk"), "left_semi")
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("""CAST(bit_count(x.hash_hi ^ y.hash_hi)
+               |   + bit_count(x.hash_lo ^ y.hash_lo) AS BIGINT)""".stripMargin)
+          .as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
   }
 }

@@ -136,4 +136,24 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("mm_phash_dedup: identical assets cluster under the min-id canonical; distinct stay singleton") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("phashdedup_sf")
+    dir.toFile.deleteOnExit()
+    // docs 1 and 2 share TEXT -> identical checksum -> identical generated
+    // BMP -> Hamming 0 -> one visual family with doc 1 canonical; doc 3's
+    // different text makes a different image -> singleton, self-canonical
+    Seq((1L, "same picture text"), (2L, "same picture text"), (3L, "a different image"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("mm_phash_dedup")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((1L, 1)), s"canonical of the pair: $out")
+    assert(out(2L) == ((1L, 0)), s"duplicate folds under min id: $out")
+    assert(out(3L) == ((3L, 1)), s"distinct image stays singleton: $out")
+  }
 }

@@ -319,51 +319,122 @@ object MultimodalQueries {
     // spec-planted (MultimodalSpec), since the fixture's hash-random
     // signals have no true audio near-dups. Downstream pairing rides the
     // mm_phash_pairs band pattern unchanged (two longs per recording).
-    Q("mm_audio_fp", {
-      import Multimodal.AudioFpWin
-      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
-         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
-         |g AS (
-         |  SELECT doc_id, CAST(256 + h % 256 AS BIGINT) AS n, h % 65536 AS seed
-         |  FROM m
-         |),
-         |s AS (
-         |  SELECT doc_id, n,
-         |    ((seed + 17 * ii.i + (ii.i * ii.i) % 97) % 256) - 128 AS a,
-         |    ii.i // $AudioFpWin AS w
-         |  FROM g, unnest(generate_series(0, n - 1)) AS ii(i)
-         |),
-         |win AS (SELECT doc_id, n, w, sum(a * a) AS e FROM s GROUP BY doc_id, n, w),
-         |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM win GROUP BY doc_id),
-         |bits AS (
-         |  SELECT x.doc_id, x.w,
-         |    CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
-         |  FROM win x JOIN win y ON y.doc_id = x.doc_id AND y.w = x.w + 1
-         |  WHERE x.w < 63
-         |)
-         |SELECT nw.doc_id, nw.n_windows,
-         |  coalesce(CAST(sum(CASE WHEN b.w >= 32 THEN CAST(b.bit AS BIGINT) << (b.w - 32) ELSE 0 END) AS BIGINT), 0) AS fp_hi,
-         |  coalesce(CAST(sum(CASE WHEN b.w < 32 THEN CAST(b.bit AS BIGINT) << b.w ELSE 0 END) AS BIGINT), 0) AS fp_lo
-         |FROM nw LEFT JOIN bits b ON b.doc_id = nw.doc_id
-         |GROUP BY nw.doc_id, nw.n_windows
-         |ORDER BY nw.doc_id""".stripMargin
-    }) { (s, d) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val spec = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("checksum"))
-        .withColumn("h", expr(sparkH("checksum")))
-        .select(col("doc_id"), expr("cast(256 + h % 256 as int)").as("n"),
-          expr("h % 65536").as("seed"))
-        .as[(Long, Int, Long)]
-      val assets = spec.map { case (id, n, seed) =>
-        MediaAsset(id, Multimodal.makeWav(Multimodal.genSamples(n, seed), 8000)) }
-      Multimodal.decodeAudioFp(assets)
-        .toDF()
+    Q("mm_audio_fp",
+      s"""WITH $audioFpCtes
+         |SELECT doc_id, n_windows, fp_hi, fp_lo FROM afp
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      audioFpDF(s, d)
         .orderBy("doc_id")
         .select("doc_id", "n_windows", "fp_hi", "fp_lo")
     },
+
+    // Audio near-dup CLUSTERS — mm_phash_dedup's audio twin, closing the
+    // dedup decision for the second real decode chain: the 64-bit
+    // energy-envelope fingerprints band into 4×16-bit buckets (capped
+    // ≤64), pairs verify at Hamming ≤ 6, and min-label connected
+    // components (the shared componentsOf machinery) emit every recording
+    // with its cluster and min-id canonical flag — re-encoded/re-hosted
+    // audio collapses to one keeper. Same scale shape as the image side:
+    // banded candidate graph, O(E)-per-round components, hash-sized
+    // output join.
+    Q("mm_audio_dedup",
+      s"""WITH RECURSIVE $audioFpCtes,
+         |abands0 AS (
+         |  SELECT doc_id, fp_hi, fp_lo, b,
+         |    (CASE WHEN b < 2 THEN fp_hi >> (16 * b)
+         |          ELSE fp_lo >> (16 * (b - 2)) END) & 65535 AS chunk
+         |  FROM afp, unnest([0, 1, 2, 3]) AS u(b)
+         |),
+         |aokb AS (SELECT b, chunk FROM abands0 GROUP BY b, chunk HAVING count(*) <= 64),
+         |abands AS (SELECT abands0.* FROM abands0 JOIN aokb USING (b, chunk)),
+         |aedges AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM abands x JOIN abands y
+         |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.fp_hi, y.fp_hi))
+         |      + bit_count(xor(x.fp_lo, y.fp_lo)) <= 6
+         |),
+         |asym AS (SELECT d1, d2 FROM aedges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM aedges),
+         |areach(dd, r) AS (
+         |  SELECT d1, d1 FROM asym
+         |  UNION
+         |  SELECT s.d2, areach.r FROM areach JOIN asym s ON s.d1 = areach.dd
+         |),
+         |acomp AS (SELECT dd AS doc_id, min(r) AS cluster_id FROM areach GROUP BY dd)
+         |SELECT f.doc_id, coalesce(c.cluster_id, f.doc_id) AS cluster_id,
+         |  CAST(CASE WHEN coalesce(c.cluster_id, f.doc_id) = f.doc_id
+         |    THEN 1 ELSE 0 END AS INT) AS is_canonical
+         |FROM afp f LEFT JOIN acomp c ON c.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val fps = audioFpDF(s, d)
+        .select(col("doc_id"), col("fp_hi").as("hash_hi"), col("fp_lo").as("hash_lo"))
+      val edges = bandedHammingPairsDF(fps).select("d1", "d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = DedupQueries.componentsOf(edges, "mm_audio_dedup")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val out = fps.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+      edges.unpersist(blocking = false)
+      out
+    },
   )
+
+  /** Oracle CTE chain ending in `afp(doc_id, n_windows, fp_hi, fp_lo)` —
+    * the generation-formula recomputation of the windowed-energy audio
+    * fingerprint; shared by mm_audio_fp and mm_audio_dedup. */
+  private lazy val audioFpCtes: String = {
+    import Multimodal.AudioFpWin
+    s"""ab AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+       |am AS (SELECT doc_id, ${duckH("checksum")} AS h FROM ab),
+       |ag AS (
+       |  SELECT doc_id, CAST(256 + h % 256 AS BIGINT) AS n, h % 65536 AS seed
+       |  FROM am
+       |),
+       |asamp AS (
+       |  SELECT doc_id, n,
+       |    ((seed + 17 * ii.i + (ii.i * ii.i) % 97) % 256) - 128 AS a,
+       |    ii.i // $AudioFpWin AS w
+       |  FROM ag, unnest(generate_series(0, n - 1)) AS ii(i)
+       |),
+       |awin AS (SELECT doc_id, n, w, sum(a * a) AS e FROM asamp GROUP BY doc_id, n, w),
+       |anw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM awin GROUP BY doc_id),
+       |abits AS (
+       |  SELECT x.doc_id, x.w,
+       |    CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+       |  FROM awin x JOIN awin y ON y.doc_id = x.doc_id AND y.w = x.w + 1
+       |  WHERE x.w < 63
+       |),
+       |afp AS (
+       |  SELECT anw.doc_id, anw.n_windows,
+       |    coalesce(CAST(sum(CASE WHEN b.w >= 32 THEN CAST(b.bit AS BIGINT) << (b.w - 32) ELSE 0 END) AS BIGINT), 0) AS fp_hi,
+       |    coalesce(CAST(sum(CASE WHEN b.w < 32 THEN CAST(b.bit AS BIGINT) << b.w ELSE 0 END) AS BIGINT), 0) AS fp_lo
+       |  FROM anw LEFT JOIN abits b ON b.doc_id = anw.doc_id
+       |  GROUP BY anw.doc_id, anw.n_windows
+       |)""".stripMargin
+  }
+
+  /** Spark twin of [[audioFpCtes]]'s `afp`: generate each doc's WAV,
+    * decode with javax.sound, windowed-energy fingerprint
+    * (Multimodal.decodeAudioFp). UNORDERED. */
+  private def audioFpDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val spec = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("checksum"))
+      .withColumn("h", expr(sparkH("checksum")))
+      .select(col("doc_id"), expr("cast(256 + h % 256 as int)").as("n"),
+        expr("h % 65536").as("seed"))
+      .as[(Long, Int, Long)]
+    val assets = spec.map { case (id, n, seed) =>
+      MediaAsset(id, Multimodal.makeWav(Multimodal.genSamples(n, seed), 8000)) }
+    Multimodal.decodeAudioFp(assets).toDF()
+  }
 
   /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the
     * generation-formula recomputation of the integer aHash; shared by
@@ -423,11 +494,17 @@ object MultimodalQueries {
   }
 
   /** Banded phash candidate pairs at Hamming ≤ 6 — (d1, d2, hamming),
-    * UNORDERED; bucket capped at 64 so no band degenerates toward
-    * all-pairs. Shared by mm_phash_pairs and mm_phash_dedup. */
+    * UNORDERED. Shared by mm_phash_pairs and mm_phash_dedup. */
   private def phashPairsDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    bandedHammingPairsDF(phashDF(s, d))
+
+  /** Banded Hamming-≤6 candidate pairs over ANY 64-bit signature frame
+    * (doc_id, hash_hi, hash_lo) — 4×16-bit bands, bucket capped at 64 so
+    * no band degenerates toward all-pairs. Shared by the image (phash)
+    * and audio (energy-envelope fp) dedup chains. */
+  private def bandedHammingPairsDF(hashes: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val hashes = phashDF(s, d)
     val bandStructs = (0 until 4).map { b =>
       val src = if (b < 2) s"shiftright(hash_hi, ${16 * b})"
         else s"shiftright(hash_lo, ${16 * (b - 2)})"

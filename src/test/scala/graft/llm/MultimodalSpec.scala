@@ -155,5 +155,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ((1L, 1)), s"canonical of the pair: $out")
     assert(out(2L) == ((1L, 0)), s"duplicate folds under min id: $out")
     assert(out(3L) == ((3L, 1)), s"distinct image stays singleton: $out")
+
+    // the audio twin sees the same identity structure: same text ->
+    // same generated WAV -> Hamming-0 fingerprints -> one cluster
+    val audio = graft.SparkEntry.queries("mm_audio_dedup")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(audio(1L) == ((1L, 1)) && audio(2L) == ((1L, 0)),
+      s"identical recordings fold under the min id: $audio")
+    assert(audio(3L)._2 == 1, s"distinct recording self-canonical: $audio")
   }
 }

@@ -54,6 +54,17 @@ object FunnelQueries {
     * far before it. */
   private val attrUs = 7L * 24 * 3600 * 1000 * 1000
 
+  /** SCD2 tier boundaries (exact cents): ≥ [[scdT3]] → tier 3,
+    * ≥ [[scdT2]] → tier 2, else 1 — the corpus day-spend terciles at both
+    * test SFs (measured ~6.0k/14.8k), pinned as constants so the
+    * segmentation never pays a quantile pass (the ev_rfm thresholds are
+    * data-adaptive; a dimension build wants STABLE boundaries or every
+    * threshold move would rewrite history). NOTE: must be defined BEFORE
+    * [[all]] — the oracle SQL strings interpolate them eagerly at object
+    * init, and a forward reference would silently bake in 0. */
+  private val scdT2 = 6000L
+  private val scdT3 = 15000L
+
   val all: Seq[Q] = Seq(
 
     // Ordered-funnel conversion: earliest completion of view -> click ->
@@ -914,7 +925,94 @@ object FunnelQueries {
           expr("cast(floor(value * 100) as bigint)").as("cents")))
         .orderBy("user_id")
     },
+    // SCD type-2 dimension build — the warehouse operator the K3 upsert
+    // sink deliberately does NOT provide: where the Derby sink OVERWRITES
+    // a key's row (SCD-1), this builds the full validity-interval HISTORY
+    // of each user's daily-spend tier (reference ch. 8's idempotent-upsert
+    // sink is the streaming SCD-1 face; dimension history is its batch
+    // complement). Tier boundaries are fixed exact-cent thresholds
+    // ([[scdT2]]/[[scdT3]] — corpus terciles at both test SFs), so the
+    // segmentation is pure integer comparison; change points come from
+    // lag(), segment ids from a running sum of change flags (the
+    // ev_sessions gap-segmentation pattern on the tier axis), and each
+    // segment closes at the NEXT segment's open day via lead() — half-open
+    // [from, to) intervals, NULL to = current row, the exact contract a
+    // point-in-time `BETWEEN` lookup join needs. Scale shape: the only
+    // corpus-sized pass is the map-side-combined (user, day) cent rollup;
+    // every window runs over user-partitioned DAY-GRAIN rows (per-user day
+    // counts, never corpus-sized), and the output is segment-sized.
+    Q("ev_scd2",
+      s"""WITH d AS (
+         |  SELECT user_id,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2
+         |),
+         |t AS (
+         |  SELECT user_id, day_idx,
+         |    CASE WHEN cents >= $scdT3 THEN 3 WHEN cents >= $scdT2 THEN 2 ELSE 1 END AS tier
+         |  FROM d
+         |),
+         |c AS (
+         |  SELECT user_id, day_idx, tier,
+         |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
+         |),
+         |g AS (
+         |  SELECT user_id, day_idx, tier,
+         |    sum(chg) OVER (PARTITION BY user_id ORDER BY day_idx
+         |                   ROWS UNBOUNDED PRECEDING) AS seg
+         |  FROM c
+         |),
+         |r AS (
+         |  SELECT user_id, seg, min(tier) AS tier, min(day_idx) AS valid_from_day,
+         |    CAST(count(*) AS BIGINT) AS n_active_days
+         |  FROM g GROUP BY 1, 2
+         |)
+         |SELECT user_id, CAST(tier AS INT) AS tier, valid_from_day,
+         |  lead(valid_from_day) OVER u AS valid_to_day, n_active_days,
+         |  CAST(CASE WHEN lead(valid_from_day) OVER u IS NULL THEN 1 ELSE 0 END AS INT)
+         |    AS is_current
+         |FROM r WINDOW u AS (PARTITION BY user_id ORDER BY valid_from_day)
+         |ORDER BY user_id, valid_from_day""".stripMargin) { (s, d) =>
+      scd2DF(Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"),
+          expr("cast(floor(value * 100) as bigint)").as("cents")))
+        .orderBy("user_id", "valid_from_day")
+    },
   ) :+ sessionQ
+
+  /** Body of `ev_scd2` over any (user_id, day_idx, cents) frame — factored
+    * so the planted-history spec drives the real segmentation. Emits one
+    * row per (user, tier) validity segment: half-open [valid_from_day,
+    * valid_to_day) with NULL close on the current segment. */
+  private[graft] def scd2DF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy("user_id").orderBy("day_idx")
+    val run = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = ev.groupBy("user_id", "day_idx").agg(sum("cents").as("cents"))
+      .select(col("user_id"), col("day_idx"),
+        when(col("cents") >= scdT3, 3).when(col("cents") >= scdT2, 2).otherwise(1)
+          .as("tier"))
+      .withColumn("chg",
+        when(lag("tier", 1).over(byDay).isNull ||
+          lag("tier", 1).over(byDay) =!= col("tier"), 1).otherwise(0))
+      .withColumn("seg", sum("chg").over(run))
+      .groupBy("user_id", "seg")
+      .agg(min("tier").as("tier"), min("day_idx").as("valid_from_day"),
+        count(lit(1)).as("n_active_days"))
+    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_day")
+    seg
+      .select(col("user_id"), col("tier").cast("int").as("tier"),
+        col("valid_from_day"),
+        lead("valid_from_day", 1).over(byFrom).as("valid_to_day"),
+        col("n_active_days"),
+        when(lead("valid_from_day", 1).over(byFrom).isNull, 1).otherwise(0)
+          .cast("int").as("is_current"))
+  }
 
   /** Body of `ev_rfm` over any (user_id, day_idx, cents) frame — factored
     * so the planted-tercile spec drives the real threshold selection. */

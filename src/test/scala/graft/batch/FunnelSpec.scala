@@ -262,4 +262,34 @@ class FunnelSpec extends SparkSpec {
     assert(fl.getDouble(fl.fieldIndex("pre_avg")) == 5.0 &&
       fl.getDouble(fl.fieldIndex("post_avg")) == 5.0, s"flat means: $fl")
   }
+
+  test("ev_scd2: tier changes open segments, half-open close-out, gaps don't split") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: t1 (days 0-1) -> t2 (days 2-3) -> t1 (day 5): three
+      // segments; segment 2 closes at day 5 (the NEXT open), not at its
+      // own last active day 3 — half-open [from, to) contract
+      (1L, 0L, 100L), (1L, 1L, 200L), (1L, 2L, 7000L), (1L, 3L, 6500L),
+      (1L, 5L, 50L),
+      // user 2: single tier-3 day => one current segment
+      (2L, 10L, 20000L),
+      // user 3: two same-day rows SUM to exactly the 6000-cent boundary
+      // (inclusive => tier 2), then a 5999 day (tier 1)
+      (3L, 0L, 3000L), (3L, 0L, 3000L), (3L, 1L, 5999L),
+      // user 4: same tier across a 9-day activity gap stays ONE segment
+      (4L, 0L, 10L), (4L, 9L, 20L)
+    ).toDF("user_id", "day_idx", "cents")
+    val out = FunnelQueries.scd2DF(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getInt(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getInt(5)))).toMap
+    // (user, valid_from) -> (tier, valid_to, n_active_days, is_current)
+    assert(out.size == 7, s"segments: ${out.keySet}")
+    assert(out((1L, 0L)) == ((1, Some(2L), 2L, 0)), s"u1 s1: ${out((1L, 0L))}")
+    assert(out((1L, 2L)) == ((2, Some(5L), 2L, 0)), s"u1 s2 closes at next OPEN: ${out((1L, 2L))}")
+    assert(out((1L, 5L)) == ((1, None, 1L, 1)), s"u1 current: ${out((1L, 5L))}")
+    assert(out((2L, 10L)) == ((3, None, 1L, 1)), s"u2 singleton: ${out((2L, 10L))}")
+    assert(out((3L, 0L)) == ((2, Some(1L), 1L, 0)), s"u3 boundary day sums to tier 2: ${out((3L, 0L))}")
+    assert(out((3L, 1L)) == ((1, None, 1L, 1)), s"u3 5999 is tier 1: ${out((3L, 1L))}")
+    assert(out((4L, 0L)) == ((1, None, 2L, 1)), s"u4 gap does not split: ${out((4L, 0L))}")
+  }
 }

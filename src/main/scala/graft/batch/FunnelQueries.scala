@@ -925,6 +925,49 @@ object FunnelQueries {
           expr("cast(floor(value * 100) as bigint)").as("cents")))
         .orderBy("user_id")
     },
+    // Cohort LTV curve — the REVENUE twin of ev_cohort_matrix: cumulative
+    // cents per signup cohort by day offset, averaged over the cohort's
+    // FIXED size (users who later go quiet keep weighing the denominator —
+    // that is what makes it an LTV curve and not a per-active-user
+    // average). The running total is a prefix sum over the (cohort, offset)
+    // rollup — a days²-sized frame partitioned by cohort day, so the
+    // window pass never sees user- or event-grain rows; offsets with zero
+    // activity carry no row (the curve is read at its jump points), which
+    // keeps the frame sparse and the prefix sum exact. Cents are the
+    // ev_histogram integer stance; avg_ltv_cents is the unrounded
+    // exact-integer quotient.
+    Q("ev_ltv",
+      s"""WITH ud AS (
+         |  SELECT user_id,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2
+         |),
+         |coh AS (SELECT user_id, min(day_idx) AS cday FROM ud GROUP BY 1),
+         |siz AS (SELECT cday, CAST(count(*) AS BIGINT) AS n_users FROM coh GROUP BY 1),
+         |o AS (
+         |  SELECT coh.cday, ud.day_idx - coh.cday AS offset_days,
+         |    CAST(sum(ud.cents) AS BIGINT) AS cents
+         |  FROM coh JOIN ud ON ud.user_id = coh.user_id
+         |  GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT cday, offset_days,
+         |    sum(cents) OVER (PARTITION BY cday ORDER BY offset_days
+         |                     ROWS UNBOUNDED PRECEDING) AS cum_cents
+         |  FROM o
+         |)
+         |SELECT c.cday AS cohort_day, c.offset_days, siz.n_users,
+         |  CAST(c.cum_cents AS BIGINT) AS cum_cents,
+         |  c.cum_cents * 1.0 / siz.n_users AS avg_ltv_cents
+         |FROM c JOIN siz ON siz.cday = c.cday
+         |ORDER BY cohort_day, offset_days""".stripMargin) { (s, d) =>
+      ltvDF(Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"),
+          expr("cast(floor(value * 100) as bigint)").as("cents")))
+        .orderBy("cohort_day", "offset_days")
+    },
     // SCD type-2 dimension build — the warehouse operator the K3 upsert
     // sink deliberately does NOT provide: where the Derby sink OVERWRITES
     // a key's row (SCD-1), this builds the full validity-interval HISTORY
@@ -983,6 +1026,29 @@ object FunnelQueries {
         .orderBy("user_id", "valid_from_day")
     },
   ) :+ sessionQ
+
+  /** Body of `ev_ltv` over any (user_id, day_idx, cents) frame — factored
+    * so the planted-cohort spec drives the real curve. One row per
+    * (cohort_day, offset_days) with activity; cum_cents is the running
+    * cohort total at that offset, avg_ltv_cents divides by the FIXED
+    * cohort size. */
+  private[graft] def ltvDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = ev.groupBy("user_id", "day_idx").agg(sum("cents").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // coh + offset join
+    val coh = ud.groupBy("user_id").agg(min("day_idx").as("cday"))
+    val siz = coh.groupBy("cday").agg(count(lit(1)).as("n_users"))
+    val cum = Window.partitionBy("cday").orderBy("offset_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    coh.join(ud, "user_id")
+      .select(col("cday"), (col("day_idx") - col("cday")).as("offset_days"), col("cents"))
+      .groupBy("cday", "offset_days").agg(sum("cents").as("cents"))
+      .withColumn("cum_cents", sum("cents").over(cum))
+      .join(siz, "cday") // day-grain both sides
+      .select(col("cday").as("cohort_day"), col("offset_days"), col("n_users"),
+        col("cum_cents"), expr("cum_cents * 1.0D / n_users").as("avg_ltv_cents"))
+  }
 
   /** Body of `ev_scd2` over any (user_id, day_idx, cents) frame — factored
     * so the planted-history spec drives the real segmentation. Emits one

@@ -292,4 +292,26 @@ class FunnelSpec extends SparkSpec {
     assert(out((3L, 1L)) == ((1, None, 1L, 1)), s"u3 5999 is tier 1: ${out((3L, 1L))}")
     assert(out((4L, 0L)) == ((1, None, 2L, 1)), s"u4 gap does not split: ${out((4L, 0L))}")
   }
+
+  test("ev_ltv: cohort anchors at first day, prefix sum accumulates, quiet users keep weighing") {
+    import spark.implicits._
+    val ev = Seq(
+      // cohort day 10: user 1 spends 100 on d10 and 50 on d12; user 2
+      // spends 200 on d10 and NOTHING after (stays in the denominator)
+      (1L, 10L, 100L), (1L, 12L, 50L), (2L, 10L, 200L),
+      // split-day rows sum before the curve: user 1's d12 also has +10
+      (1L, 12L, 10L),
+      // cohort day 11: singleton user 3, one purchase
+      (3L, 11L, 70L)
+    ).toDF("user_id", "day_idx", "cents")
+    val out = FunnelQueries.ltvDF(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // (cohort_day, offset) -> (n_users, cum_cents, avg_ltv_cents)
+    assert(out.keySet == Set((10L, 0L), (10L, 2L), (11L, 0L)), s"rows: ${out.keySet}")
+    assert(out((10L, 0L)) == ((2L, 300L, 150.0)), s"day-0 cum: ${out((10L, 0L))}")
+    // offset 2 adds user 1's 60; user 2 is quiet but still divides
+    assert(out((10L, 2L)) == ((2L, 360L, 180.0)), s"quiet user weighs: ${out((10L, 2L))}")
+    assert(out((11L, 0L)) == ((1L, 70L, 70.0)), s"singleton cohort: ${out((11L, 0L))}")
+  }
 }

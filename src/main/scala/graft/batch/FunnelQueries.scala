@@ -62,8 +62,14 @@ object FunnelQueries {
     * threshold move would rewrite history). NOTE: must be defined BEFORE
     * [[all]] — the oracle SQL strings interpolate them eagerly at object
     * init, and a forward reference would silently bake in 0. */
-  private val scdT2 = 6000L
-  private val scdT3 = 15000L
+  private[graft] val scdT2 = 6000L
+  private[graft] val scdT3 = 15000L
+
+  /** Scalar twin of the scd2DF tier expression — the streaming maintainer
+    * (`StreamingScd2`) folds with THIS so both faces share one boundary
+    * definition. */
+  private[graft] def tierOf(cents: Long): Int =
+    if (cents >= scdT3) 3 else if (cents >= scdT2) 2 else 1
 
   val all: Seq[Q] = Seq(
 

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming SCD type-2 dimension MAINTENANCE — the incremental face of the
+  * batch `ev_scd2` build (`graft.batch.FunnelQueries.scd2DF`): daily-spend
+  * rows stream in, and each user's tier-validity segment is emitted the
+  * moment the watermark proves it CLOSED, batch-identically.
+  *
+  * Reference framing: ch. 8's idempotent upsert sink maintains the SCD-1
+  * "current row" under replay (`chapter8/DerbyUpsertSink` — our K3); this
+  * operator maintains the SCD-2 HISTORY the batch build would recompute
+  * from scratch — append-only closed segments, the open segment carried in
+  * state (the row a point-in-time consumer reads as "current").
+  *
+  * Exactness contract (the asofEnrichExact envelope): a day's spend
+  * finalizes when the watermark passes the day's event time — by then every
+  * on-time row of that day has arrived, so its tier is final and the
+  * fold is the batch fold. Rows later than that are watermark-late and
+  * dropped (documented envelope boundary, same as the exec's late-row drop
+  * for built-in stateful ops — flatMapGroupsWithState must enforce it
+  * itself). Because the watermark is monotone, every newly ACCEPTED day is
+  * strictly later than every already-folded day, so folding pending days in
+  * ascending day order reproduces the batch segmentation exactly.
+  *
+  * State is O(watermark window), not O(stream): a pending (day → cents) map
+  * bounded by the watermark delay in days, plus the O(1) open segment. An
+  * event-time timer fires when the watermark passes the oldest pending day,
+  * so segments close without further traffic on the key (clamped to
+  * watermark+1 — the r4 ADVICE timer rule).
+  */
+object StreamingScd2 {
+
+  /** One day of one user's spend (pre-aggregated or raw — same-day rows
+    * sum while the day is pending). */
+  case class SpendRow(user_id: Long, day_idx: Long, cents: Long)
+
+  /** A CLOSED validity segment: half-open [valid_from_day, valid_to_day),
+    * batch-identical to an `ev_scd2` row with is_current = 0. */
+  case class Scd2Segment(user_id: Long, tier: Int, valid_from_day: Long,
+      valid_to_day: Long, n_active_days: Long)
+
+  /** Per-user state: pending not-yet-final (day, cents) pairs + the open
+    * segment (openTier 0 = none yet). */
+  case class Scd2State(pendDays: Seq[Long], pendCents: Seq[Long],
+      openTier: Int, openFrom: Long, openDays: Long)
+
+  private[streaming] val dayMs = 24L * 3600 * 1000
+
+  def scd2Stream(rows: Dataset[SpendRow], watermarkDelay: String = "2 days")
+      : Dataset[Scd2Segment] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val wm = rows
+      .withColumn("ets", timestamp_millis(col("day_idx") * dayMs))
+      .withWatermark("ets", watermarkDelay)
+      .as[SpendRow]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Segment](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[Scd2State]) =>
+          val w = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(Scd2State(Nil, Nil, 0, 0L, 0L))
+          val pend = scala.collection.mutable.Map
+            .from(st.pendDays.zip(st.pendCents))
+          // accept only days the watermark hasn't passed — a late row's day
+          // already folded (or will this invocation) with a FINAL tier; the
+          // envelope drops it rather than un-close a segment. (Spark 4's
+          // FlatMapGroupsWithStateExec already filters rows with event time
+          // <= watermark before the function under EventTimeTimeout —
+          // verified empirically; this check is the in-function restatement
+          // of the same boundary so the fold's invariant is local.)
+          it.foreach { r =>
+            if (r.day_idx * dayMs >= w)
+              pend(r.day_idx) = pend.getOrElse(r.day_idx, 0L) + r.cents
+          }
+          val (ready, still) = pend.toSeq.sortBy(_._1)
+            .partition { case (d, _) => d * dayMs < w }
+          var tier = st.openTier
+          var from = st.openFrom
+          var nd = st.openDays
+          val out = Seq.newBuilder[Scd2Segment]
+          ready.foreach { case (d, c) =>
+            val t = graft.batch.FunnelQueries.tierOf(c)
+            if (tier == 0) { tier = t; from = d; nd = 1 }
+            else if (t == tier) nd += 1
+            else {
+              out += Scd2Segment(uid, tier, from, d, nd)
+              tier = t; from = d; nd = 1
+            }
+          }
+          if (still.nonEmpty) {
+            state.update(Scd2State(still.map(_._1), still.map(_._2), tier, from, nd))
+            // re-fire when the watermark passes the oldest pending day
+            state.setTimeoutTimestamp(math.max(still.map(_._1).min * dayMs + 1, w + 1))
+          } else if (tier != 0) {
+            // only the open segment remains — no timer needed: it can only
+            // close on new traffic for this user
+            state.update(Scd2State(Nil, Nil, tier, from, nd))
+          } else {
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingScd2.{dayMs, SpendRow, Scd2Segment}
+
+/** The streaming SCD2 maintainer must equal the batch build's CLOSED rows
+  * under shuffled multi-batch arrival, fold same-day spend that splits
+  * across batches, close segments purely off event-time timers (the
+  * finalizing traffic is on OTHER keys), and drop watermark-late days
+  * without un-closing history. */
+class StreamingScd2Spec extends SparkSpec {
+
+  test("scd2Stream equals the batch twin's closed segments under shuffled arrival") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SpendRow]
+    val out = StreamingScd2.scd2Stream(in.toDS(), watermarkDelay = "2 days")
+    val q = out.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+
+    def emitted(): Set[(Long, Int, Long, Long, Long)] =
+      spark.table("scd2_stream").as[Scd2Segment].collect()
+        .map(s => (s.user_id, s.tier, s.valid_from_day, s.valid_to_day, s.n_active_days))
+        .toSet
+
+    // batch 1 arrives OUT of event-time order, and day 12's spend is only
+    // half here — the other half lands in batch 2 (same-day merge while
+    // the day is pending)
+    in.addData(SpendRow(1L, 12L, 3500L), SpendRow(1L, 10L, 100L))
+    q.processAllAvailable() // watermark: max(12d) - 2d = 10d boundary
+    in.addData(SpendRow(1L, 12L, 3500L), SpendRow(1L, 11L, 200L),
+      SpendRow(1L, 13L, 6500L), SpendRow(1L, 15L, 50L))
+    q.processAllAvailable() // watermark: 15d - 2d = 13d -> days 10,11,12 final
+    assert(emitted() == Set((1L, 1, 10L, 12L, 2L)),
+      s"first tier change closes [10,12): ${emitted()}")
+
+    // sentinel on ANOTHER key advances the watermark; user 1's days 13 and
+    // 15 can only fold via its event-time TIMER
+    in.addData(SpendRow(99L, 200L, 1L))
+    q.processAllAvailable() // watermark: 198d -> finalizes user 1 fully
+    val after = emitted()
+    assert(after == Set((1L, 1, 10L, 12L, 2L), (1L, 2, 12L, 15L, 2L)),
+      s"timer-driven close-out: $after")
+
+    // a watermark-late day must be dropped, not un-close history or open
+    // a phantom segment
+    in.addData(SpendRow(1L, 20L, 99999L))
+    q.processAllAvailable()
+    in.addData(SpendRow(98L, 201L, 1L))
+    q.processAllAvailable()
+    assert(emitted() == after, s"late day dropped: ${emitted()}")
+    q.stop()
+
+    // the batch twin over the SAME accepted rows: closed rows must match
+    val batch = graft.batch.FunnelQueries.scd2DF(Seq(
+      (1L, 12L, 3500L), (1L, 10L, 100L), (1L, 12L, 3500L), (1L, 11L, 200L),
+      (1L, 13L, 6500L), (1L, 15L, 50L)
+    ).toDF("user_id", "day_idx", "cents"))
+      .filter("is_current = 0").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.get(3).asInstanceOf[Long], r.getLong(4))).toSet
+    assert(after == batch, s"stream $after != batch $batch")
+  }
+}

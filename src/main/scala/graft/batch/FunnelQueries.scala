@@ -65,6 +65,10 @@ object FunnelQueries {
   private[graft] val scdT2 = 6000L
   private[graft] val scdT3 = 15000L
 
+  /** Snapshot grid step in days for `ev_tier_snapshot` (weekly). Same
+    * before-[[all]] placement rule as the tier boundaries. */
+  private val snapStep = 7L
+
   /** Scalar twin of the scd2DF tier expression — the streaming maintainer
     * (`StreamingScd2`) folds with THIS so both faces share one boundary
     * definition. */
@@ -1031,7 +1035,91 @@ object FunnelQueries {
           expr("cast(floor(value * 100) as bigint)").as("cents")))
         .orderBy("user_id", "valid_from_day")
     },
+    // Point-in-time dimension readout — the query the SCD2 dimension
+    // EXISTS for: user-base tier composition at every [[snapStep]]-day
+    // snapshot day, each user resolved to the validity interval COVERING
+    // the snapshot (mid-interval days and the NULL-open current segment
+    // included — nothing here re-reads spend). No range join: a segment
+    // knows arithmetically which snapshot indexes it covers
+    // (ceil/floor integer division against the 1-row corpus day bounds),
+    // so coverage is a row-local explode bounded by the calendar, then a
+    // map-side-combined (snapshot, tier) count — segments × grid never
+    // materializes. Intervals partition each user's timeline, so the
+    // per-snapshot counts sum to exactly the users active by then.
+    Q("ev_tier_snapshot",
+      s"""WITH d AS (
+         |  SELECT user_id,
+         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2
+         |),
+         |t AS (
+         |  SELECT user_id, day_idx,
+         |    CASE WHEN cents >= $scdT3 THEN 3 WHEN cents >= $scdT2 THEN 2 ELSE 1 END AS tier
+         |  FROM d
+         |),
+         |c AS (
+         |  SELECT user_id, day_idx, tier,
+         |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
+         |),
+         |g AS (
+         |  SELECT user_id, day_idx, tier,
+         |    sum(chg) OVER (PARTITION BY user_id ORDER BY day_idx
+         |                   ROWS UNBOUNDED PRECEDING) AS seg
+         |  FROM c
+         |),
+         |r AS (
+         |  SELECT user_id, seg, min(tier) AS tier, min(day_idx) AS valid_from_day
+         |  FROM g GROUP BY 1, 2
+         |),
+         |sg AS (
+         |  SELECT user_id, tier, valid_from_day,
+         |    lead(valid_from_day) OVER (PARTITION BY user_id ORDER BY valid_from_day)
+         |      AS valid_to_day
+         |  FROM r
+         |),
+         |mn AS (SELECT min(day_idx) AS mnd, max(day_idx) AS mxd FROM d),
+         |ks AS (
+         |  SELECT mn.mnd + $snapStep * k AS snap_day
+         |  FROM mn, unnest(generate_series(0, (mn.mxd - mn.mnd) // $snapStep)) AS t(k)
+         |),
+         |cov AS (
+         |  SELECT ks.snap_day, sg.tier
+         |  FROM sg JOIN ks ON sg.valid_from_day <= ks.snap_day
+         |    AND (sg.valid_to_day IS NULL OR ks.snap_day < sg.valid_to_day)
+         |)
+         |SELECT snap_day, CAST(tier AS INT) AS tier,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM cov GROUP BY 1, 2 ORDER BY snap_day, tier""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(date_trunc('DAY', ts)) div $dayUs").as("day_idx"),
+          expr("cast(floor(value * 100) as bigint)").as("cents"))
+      tierSnapshotDF(ev).orderBy("snap_day", "tier")
+    },
   ) :+ sessionQ
+
+  /** Body of `ev_tier_snapshot`: [[scd2DF]] segments resolved onto the
+    * [[snapStep]]-day snapshot grid by row-local index arithmetic —
+    * k ranges over ceil((from−mn)/step) .. floor((to−1−mn)/step), the
+    * NULL-open current segment capped at the grid's last index. */
+  private[graft] def tierSnapshotDF(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val seg = scd2DF(ev)
+    val mn = ev.agg(min("day_idx").as("mnd"), max("day_idx").as("mxd"))
+    seg.crossJoin(broadcast(mn)) // 1-row corpus day bounds
+      .select(col("tier"), col("mnd"),
+        expr(s"(valid_from_day - mnd + ${snapStep - 1}) div $snapStep").as("k_lo"),
+        coalesce(expr(s"(valid_to_day - 1 - mnd) div $snapStep"),
+          expr(s"(mxd - mnd) div $snapStep")).as("k_hi"))
+      .filter(col("k_hi") >= col("k_lo")) // short segment between grid points
+      .select(col("tier"), col("mnd"), explode(expr("sequence(k_lo, k_hi)")).as("k"))
+      .select((col("mnd") + col("k") * lit(snapStep)).as("snap_day"),
+        col("tier").cast("int").as("tier"))
+      .groupBy("snap_day", "tier").agg(count(lit(1)).as("n_users"))
+  }
 
   /** Body of `ev_ltv` over any (user_id, day_idx, cents) frame — factored
     * so the planted-cohort spec drives the real curve. One row per

@@ -314,4 +314,21 @@ class FunnelSpec extends SparkSpec {
     assert(out((10L, 2L)) == ((2L, 360L, 180.0)), s"quiet user weighs: ${out((10L, 2L))}")
     assert(out((11L, 0L)) == ((1L, 70L, 70.0)), s"singleton cohort: ${out((11L, 0L))}")
   }
+
+  test("ev_tier_snapshot: mid-interval and NULL-open coverage, pre-signup absence") {
+    import spark.implicits._
+    // weekly grid anchored at min day 0, max day 10 -> snapshots at 0 and 7
+    val ev = Seq(
+      // user 1: t1 from day 0, t2 from day 10 — snapshot 7 falls MID the
+      // [0,10) interval; the current [10,inf) segment covers no grid point
+      (1L, 0L, 100L), (1L, 10L, 7000L),
+      // user 2: signs up day 7 at t3 — absent at snapshot 0, covered at 7
+      // by its NULL-open current segment
+      (2L, 7L, 20000L)
+    ).toDF("user_id", "day_idx", "cents")
+    val out = FunnelQueries.tierSnapshotDF(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1, 1L), (7L, 1, 1L), (7L, 3, 1L)),
+      s"snapshot composition: $out")
+  }
 }

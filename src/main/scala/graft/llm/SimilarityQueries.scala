@@ -263,6 +263,36 @@ object SimilarityQueries {
       .filter(col("rank") <= knnK)
   }
 
+  /** Body of `sim_triangles` over any undirected (u, v) edge frame with
+    * u < v — factored so the planted-graph spec drives the real wedge-close
+    * chain. Emits one row per vector in `allVecs` (zeros for isolated
+    * nodes): (vec_id, degree, n_triangles, clustering_coef). */
+  private[graft] def trianglesOf(mutEdges: DataFrame, allVecs: DataFrame): DataFrame = {
+    val mut = mutEdges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // deg + 3 join legs
+    val deg = mut.select(col("u").as("vec_id"))
+      .unionByName(mut.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    // wedge a<b<c on the shared middle node, closed back onto the edge set
+    val tri = mut.as("e1")
+      .join(mut.as("e2"), col("e2.u") === col("e1.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(mut.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
+      .select("a", "b", "c")
+    val pn = tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_triangles"))
+    allVecs
+      .join(deg, Seq("vec_id"), "left")
+      .join(pn, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coef",
+        when(col("degree") >= 2,
+          expr("(2.0D * n_triangles) / (degree * (degree - 1))"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Mutual-edge components shared by sim_components (label cells) and
     * sim_components_kmeans (learned cells): mutual filter (a ∈ knn(b) AND
     * b ∈ knn(a)) over any (vec_id, neighbor_id) edge frame, the audited
@@ -1268,6 +1298,65 @@ object SimilarityQueries {
             (lit(150000L) + coalesce(col("contrib"), lit(0L))).as("r"))
       }
       r.select(col("vec_id"), col("r").as("pagerank")).orderBy("vec_id")
+    },
+
+    // Graph-density audit — triangle counts + local clustering coefficient
+    // over the MUTUAL kNN graph (the sim_components edge set): how
+    // tightly does each vector's neighborhood interconnect? High
+    // coefficient = genuine semantic cluster; low = hub/chain artifact —
+    // the readout that separates the two BEFORE trusting component-based
+    // dedup decisions. Shape is the canonical distributed triangle count:
+    // wedges from an equi-join of the edge list on its middle node, closed
+    // by a second equi-join back to the edge list — with a<b<c ordering so
+    // each triangle materializes exactly once. Mutual degree ≤ k caps
+    // wedges at |V|·k² rows; everything is hash-partitioned equi-joins,
+    // never all-pairs. Coefficient = 2T/(deg·(deg−1)) as one exact-integer
+    // multiply then one double division (unrounded, the house quotient
+    // stance); degree < 2 pins 0.
+    Q("sim_triangles",
+      s"""WITH $knnCtes,
+         |mut AS (
+         |  SELECT x.vec_id AS u, x.neighbor_id AS v
+         |  FROM knn x JOIN knn y ON y.vec_id = x.neighbor_id
+         |    AND y.neighbor_id = x.vec_id AND x.vec_id < x.neighbor_id
+         |),
+         |deg AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT u AS vec_id FROM mut UNION ALL SELECT v AS vec_id FROM mut
+         |  ) GROUP BY 1
+         |),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM mut e1
+         |  JOIN mut e2 ON e2.u = e1.v
+         |  JOIN mut e3 ON e3.u = e1.u AND e3.v = e2.v
+         |),
+         |pn AS (
+         |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |    SELECT a AS vec_id FROM tri
+         |    UNION ALL SELECT b AS vec_id FROM tri
+         |    UNION ALL SELECT c AS vec_id FROM tri
+         |  ) GROUP BY 1
+         |)
+         |SELECT x.vec_id, coalesce(deg.degree, 0) AS degree,
+         |  coalesce(pn.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN coalesce(deg.degree, 0) >= 2
+         |       THEN (2.0 * coalesce(pn.n_triangles, 0)) / (deg.degree * (deg.degree - 1))
+         |       ELSE 0.0 END AS clustering_coef
+         |FROM xq x
+         |LEFT JOIN deg ON deg.vec_id = x.vec_id
+         |LEFT JOIN pn ON pn.vec_id = x.vec_id
+         |ORDER BY x.vec_id""".stripMargin) { (s, d) =>
+      val knn = knnGraphDF(s, d).select("vec_id", "neighbor_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mut = knn.as("x")
+        .join(knn.as("y"),
+          col("y.vec_id") === col("x.neighbor_id") &&
+            col("y.neighbor_id") === col("x.vec_id") &&
+            col("x.vec_id") < col("x.neighbor_id"))
+        .select(col("x.vec_id").as("u"), col("x.neighbor_id").as("v"))
+      trianglesOf(mut, Tables.embeddings(s, d).select("vec_id"))
+        .orderBy("vec_id")
     },
 
     // Recall@k harness — the evaluation query every ANN deployment needs:

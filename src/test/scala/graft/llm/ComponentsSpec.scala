@@ -65,4 +65,18 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
+
+  test("sim_triangles: wedge-close counts each triangle once; pendant and isolated pin 0") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant edge (3,4) + isolated node 5
+    val mut = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val vecs = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val out = SimilarityQueries.trianglesOf(mut, vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)), s"n1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1.0)), s"n2: ${out(2L)}")
+    assert(out(3L) == ((3L, 1L, 2.0 / 6.0)), s"n3 coef 1/3: ${out(3L)}")
+    assert(out(4L) == ((1L, 0L, 0.0)), s"pendant: ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0.0)), s"isolated: ${out(5L)}")
+  }
 }

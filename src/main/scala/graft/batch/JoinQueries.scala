@@ -61,6 +61,50 @@ object JoinQueries {
         .orderBy("r_name")
     },
 
+    // TPC-H Q7 shape — cross-nation trade volume by ship year: the deepest
+    // join tree in the relational suite (lineitem ⋈ supplier ⋈ orders ⋈
+    // customer ⋈ nation ⋈ nation — six relations, nation twice under
+    // different roles). The optimizer-shape test q5 doesn't exercise:
+    // Catalyst must push the n1<>n2 cross-nation filter above both dim
+    // joins, keep the two nation legs as independent broadcasts, and
+    // chain the fact-side hash joins without materializing the raw
+    // lineitem more than once. Volume sums via the exactSum quantized
+    // path (q5's magnitude reasoning applies).
+    Q("q7_nation_trade",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${sqlExactSum("volume")} AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS INT) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE n1.n_name <> n2.n_name
+         |)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1")) // constant 25-row dim
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"),
+          expr("l_extendedprice * (1 - l_discount)").as("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(exactSum("volume").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // TPC-H Q1 shape — pricing summary; the canonical partial-agg benchmark
     Q("q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,

@@ -14,11 +14,19 @@ import graft.SparkSpec
 class PartitionPruningSpec extends SparkSpec {
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collectFirst { case s: FileSourceScanExec => s }.get
+    // AQE nests the final plan inside AdaptiveSparkPlanExec and wraps join
+    // legs in QueryStageExec — descend through both to reach the file scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val all = scans(df.queryExecution.executedPlan)
+    // a join plan also contains the dim's scan — the subject is always the
+    // partitioned fact scan
+    all.find(_.partitionFilters.nonEmpty).getOrElse(all.head)
   }
 
   test("lang-partitioned layout: slice queries prune to one partition's files") {
@@ -51,6 +59,53 @@ class PartitionPruningSpec extends SparkSpec {
       s"ReadSchema pruned to the projection: ${scan.requiredSchema.fieldNames.toSeq}")
     // and the pruned read returns exactly the unpartitioned filter's rows
     assert(sliced.count() ==
+      graft.core.Tables.documents(spark, sf("sf0.01")).filter("lang = 'de'").count())
+  }
+
+  test("dynamic partition pruning: a filtered dim prunes the fact scan at runtime") {
+    import spark.implicits._
+    // the 100 TB star-schema case: the slice key arrives via a JOIN to a
+    // filtered dimension, not as a literal — static pruning can't fire, so
+    // the fact scan must carry a DYNAMIC pruning filter fed by the dim's
+    // broadcast (Spark's DPP broadcast-reuse path, on by default)
+    val dir = java.nio.file.Files.createTempDirectory("dpp_docs")
+    dir.toFile.deleteOnExit()
+    graft.core.Tables.documents(spark, sf("sf0.01"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+    val part = spark.read.parquet(dir.toString)
+    val allLangs = part.select("lang").distinct().as[String].collect().sorted
+    assert(allLangs.length >= 3, "testdata has several languages")
+    // the dim must be a FILE relation: a literal in-memory dim gets
+    // constant-folded (ConvertToLocalRelation) before the DPP rule looks
+    // for a selective predicate, and no real dimension table is a literal
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim")
+    dimDir.toFile.deleteOnExit()
+    allLangs.toSeq.toDF("lang")
+      .withColumn("keep", when(col("lang") === "de", 1).otherwise(0))
+      .write.mode("overwrite").parquet(dimDir.toString)
+    val dim = spark.read.parquet(dimDir.toString)
+    // the stats-based benefit check declines DPP on a KB-sized toy fact
+    // table (pruning overhead > estimated savings); at 100 TB the same
+    // stats JUSTIFY it — disable the estimate so the mechanism itself is
+    // what this spec pins (Spark's own DPP suite does the same)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val (rows, scanJ) = try {
+      val joined = part.join(dim.filter(col("keep") === 1), Seq("lang"))
+        .select("doc_id", "lang")
+      (joined.collect(), joined)
+    } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    val joined = scanJ
+    val scan = scanOf(joined)
+    // the runtime filter shows up as a dynamicpruning partition filter
+    assert(scan.partitionFilters.mkString(",").contains("dynamicpruning"),
+      s"expected a dynamic pruning filter on the fact scan, got ${scan.partitionFilters}")
+    // and the executed scan physically touched ONLY the de partition's
+    // files (the numFiles metric is the post-pruning count)
+    val allFiles = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"DPP must read fewer files than the table has ($readFiles vs $allFiles)")
+    assert(rows.length ==
       graft.core.Tables.documents(spark, sf("sf0.01")).filter("lang = 'de'").count())
   }
 }

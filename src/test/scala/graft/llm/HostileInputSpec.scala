@@ -101,8 +101,20 @@ class HostileInputSpec extends SparkSpec {
     assert(ol.forall(_._2 == 0), s"no cell can clear z>3 here: ${ol.filter(_._2 == 1).toSeq}")
     // empty events: every event-analytics query is empty, none throws
     for (name <- Seq("ev_funnel", "ev_retention", "ev_sessions", "ev_attribution",
-        "ev_paths", "ev_anomaly", "ev_changepoint"))
+        "ev_paths", "ev_anomaly", "ev_changepoint", "ev_scd2", "ev_ltv",
+        "ev_tier_snapshot"))
       assert(q(name)(spark, dir.toString).collect().isEmpty, s"$name not empty")
+    // triangle audit on the degenerate embeddings: the 4 identical vectors
+    // in cell 0 form a mutual K4 (4 triangles of 3 each -> every member in
+    // 3, coefficient 1), the 2-vector cell can't form a wedge — and
+    // nothing throws on zero-distance ties
+    val tri = q("sim_triangles")(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(tri.size == 10, s"all vectors emitted: ${tri.size}")
+    for (v <- Seq(10L, 11L, 12L, 13L))
+      assert(tri(v) == ((3L, 1.0)), s"K4 member $v: ${tri(v)}")
+    for (v <- Seq(20L, 21L))
+      assert(tri(v)._1 == 0L, s"2-cell has no wedge: $v ${tri(v)}")
     // mixture apply: the keep decision is a pure doc_id-hash-vs-band rule
     // (text-independent — a NULL-text doc keeps iff its key clears its
     // language's band, same as the oracle); nothing throws, and every

@@ -1666,6 +1666,52 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Temperature-reweighted mixture — the OTHER standard target-share
+    // scheme (tx_mix_plan pins shares by hand; this derives them from the
+    // data): sampling share ∝ n_tokens^α with α = 1/2, the classic
+    // low-resource-language upweighting. α = 1/2 is computed as sqrt —
+    // IEEE-754 requires sqrt correctly rounded, so both engines get the
+    // SAME double (a general pow(x, α) would not be safe cross-engine).
+    // Each sqrt then quantizes to a scaled BIGINT before summing (the
+    // exactSum stance: float partial-agg order can never matter), and the
+    // shares/boosts are unrounded exact-integer-quotient doubles. boost =
+    // temp_share / current_share is the per-language upweighting factor a
+    // sampler applies on top of natural frequency. Scale shape: one
+    // map-side-combined token count per language; everything after is a
+    // language-cardinality frame with a 1-row total broadcast.
+    Q("tx_mix_temperature",
+      s"""WITH tl AS (
+         |  SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '$tokRegex'))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |),
+         |w AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+         |  FROM tl
+         |),
+         |t AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total, CAST(sum(wq) AS BIGINT) AS wtot
+         |  FROM w
+         |)
+         |SELECT lang, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / total AS current_share,
+         |  CAST(wq AS DOUBLE) / wtot AS temp_share,
+         |  (CAST(wq AS DOUBLE) / wtot) / (CAST(n_tokens AS DOUBLE) / total) AS boost
+         |FROM w CROSS JOIN t ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(expr(s"regexp_extract_all(lower(text), '$tokRegex', 0)")).cast("long")).as("n_tokens"))
+        .withColumn("wq",
+          expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"))
+      val t = w.agg(sum("n_tokens").as("total"), sum("wq").as("wtot"))
+      w.crossJoin(broadcast(t)) // 1-row totals
+        .select(col("lang"), col("n_tokens"),
+          expr("cast(n_tokens as double) / total").as("current_share"),
+          expr("cast(wq as double) / wtot").as("temp_share"),
+          expr("(cast(wq as double) / wtot) / (cast(n_tokens as double) / total)").as("boost"))
+        .orderBy("lang")
+    },
+
     // Mixture APPLY — the sampler that EXECUTES the tx_mix_plan rates,
     // completing the report → plan → apply family: each doc keeps iff its
     // content-independent hash key falls under its language's planned rate.

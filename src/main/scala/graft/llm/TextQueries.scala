@@ -116,6 +116,11 @@ object TextQueries {
     * thousandths of the weight unit (qscore ≥ t/1000). */
   private val qCurveTs = Seq(-50, -20, 0, 20, 50)
 
+  /** tx_budget_select token budget, in mills of the corpus total (400 =
+    * keep the best 40% of tokens). Declared BEFORE [[all]] — the oracle
+    * SQL interpolates it eagerly at object init. */
+  private val budgetMill = 400L
+
   /** Hashed-linear quality model CTEs shared by tx_quality_score and
     * tx_quality_curve: `agg(doc_id, raw, n_tokens)` — exact-integer score
     * numerator per doc. (Initialized before `all`; see the annCtes note.) */
@@ -2252,6 +2257,56 @@ object TextQueries {
         .orderBy("t_mill")
     },
 
+    // Token-budget-constrained selection — the data-constrained-regime
+    // curation op ("give me the best 40% of tokens"): keep the highest
+    // quality-score LEVELS whose cumulative token count fits the budget.
+    // No global doc sort: docs bin to integer score-mill levels (floor of
+    // a deterministic double chain — BIGINT `div` is out because Spark
+    // truncates negatives toward zero while DuckDB floors), the level
+    // HISTOGRAM takes a descending prefix sum (a bounded constant-
+    // partition window over score-level summaries — the documented
+    // ev_concentration exception, never doc-sized), and the keep
+    // threshold is the lowest level still inside budget, broadcast back
+    // as a 1-row aggregate. Level-granular by design: a partial marginal
+    // level would need a within-level global ranking — the exact shape
+    // this op exists to avoid; the budget is a floor, not a target.
+    Q("tx_budget_select", {
+      s"""WITH $qualityAggCtes,
+         |base AS (
+         |  SELECT d.doc_id, coalesce(a.raw, 0) AS raw,
+         |    coalesce(a.n_tokens, 0) AS n
+         |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |),
+         |lv AS (
+         |  SELECT doc_id, n,
+         |    CAST(floor(CAST(raw AS DOUBLE) * 1000 / greatest(n, 1)) AS BIGINT) AS smill
+         |  FROM base
+         |),
+         |bud AS (SELECT CAST(sum(n) * $budgetMill // 1000 AS BIGINT) AS budget FROM lv),
+         |hist AS (SELECT smill, CAST(sum(n) AS BIGINT) AS toks FROM lv GROUP BY 1),
+         |cum AS (
+         |  SELECT smill,
+         |    sum(toks) OVER (ORDER BY smill DESC ROWS UNBOUNDED PRECEDING) AS ctoks
+         |  FROM hist
+         |),
+         |thr AS (
+         |  SELECT min(CASE WHEN cum.ctoks <= bud.budget THEN cum.smill END) AS t,
+         |    CAST(max(bud.budget) AS BIGINT) AS budget
+         |  FROM cum CROSS JOIN bud
+         |)
+         |SELECT lv.doc_id, lv.smill, lv.n AS n_tokens, thr.budget,
+         |  CAST(CASE WHEN thr.t IS NOT NULL AND lv.smill >= thr.t
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM lv CROSS JOIN thr ORDER BY lv.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.documents(s, d).select("doc_id")
+        .join(qualityAggDF(s, Tables.documents(s, d)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("raw"), lit(0L)).as("raw"),
+          coalesce(col("n_tokens"), lit(0L)).as("n"))
+      budgetSelectDF(base).orderBy("doc_id")
+    },
+
     // Cross-document boilerplate LINE removal — the CCNet/RefinedWeb
     // line-dedup pass, and the corrective counterpart of dd_spans'
     // detection: a line whose corpus document-frequency reaches
@@ -2707,6 +2762,31 @@ object TextQueries {
   /** Hashed-linear quality model numerator shared by tx_quality_score and
     * tx_quality_curve: `(doc_id, raw, n_tokens)` with raw an exact BIGINT.
     * Requires GraftFunctions registered. */
+  /** Body of `tx_budget_select` over any (doc_id, raw, n) frame — factored
+    * so the planted-levels spec drives the real threshold selection. See
+    * the Q comment for the level-granular contract. */
+  private[llm] def budgetSelectDF(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = base.select(col("doc_id"), col("n"),
+      expr("cast(floor(cast(raw as double) * 1000 / greatest(n, 1)) as bigint)").as("smill"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // hist + final join
+    val bud = lv.agg(expr(s"cast(sum(n) * $budgetMill div 1000 as bigint)").as("budget"))
+    val hist = lv.groupBy("smill").agg(sum("n").as("toks"))
+    // constant-partition window over the score-LEVEL histogram — bounded
+    // by distinct score levels, never doc-sized (the documented exception)
+    val cum = hist.withColumn("ctoks", sum("toks").over(
+      Window.partitionBy(lit(1)).orderBy(col("smill").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val thr = cum.crossJoin(broadcast(bud)) // 1-row budget
+      .agg(min(when(col("ctoks") <= col("budget"), col("smill"))).as("t"),
+        max(col("budget")).as("budget"))
+    lv.crossJoin(broadcast(thr)) // 1-row threshold
+      .select(col("doc_id"), col("smill"), col("n").as("n_tokens"), col("budget"),
+        when(col("t").isNotNull && col("smill") >= col("t"), 1).otherwise(0)
+          .cast("int").as("keep"))
+  }
+
   private def qualityAggDF(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wts = s.range(qfDim).select(col("id").cast("long").as("idx"),

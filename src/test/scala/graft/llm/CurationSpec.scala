@@ -580,4 +580,28 @@ class CurationSpec extends SparkSpec {
     assert(out(41L) == ((1L, 1L, 1.0)), s"fully leaked: ${out(41L)}")
     assert(out(82L) == ((0L, 0L, 0.0)), s"too short: ${out(82L)}")
   }
+
+  test("tx_budget_select: level-granular budget floor, same-level docs move together, negative floors") {
+    import spark.implicits._
+    // total 22 tokens -> budget = 22*400 div 1000 = 8; levels desc:
+    // 300000 (3 toks, cum 3 <= 8 KEEP), 200000 (3 toks across TWO docs,
+    // cum 6 <= 8 KEEP), 10000 (10 toks, cum 16 > 8 DROP), negatives DROP
+    val base = Seq(
+      (1L, 900L, 3L),   // smill 300000
+      (2L, 200L, 1L),   // smill 200000 — same level as doc 3
+      (3L, 400L, 2L),   // smill 200000
+      (4L, 100L, 10L),  // smill 10000 — overshoots the budget
+      (5L, -300L, 3L),  // smill -100000 (exact)
+      (6L, -301L, 3L)   // floor(-100333.33) = -100334, NOT -100333: floor,
+                        // not truncate-toward-zero, on negative scores
+    ).toDF("doc_id", "raw", "n")
+    val out = TextQueries.budgetSelectDF(base).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getInt(4)))).toMap
+    assert(out.values.forall(_._2 == 8L), s"budget floor 8: ${out.values.map(_._2)}")
+    assert(out(1L) == ((300000L, 8L, 1)), s"top level kept: ${out(1L)}")
+    assert(out(2L)._3 == 1 && out(3L)._3 == 1, s"same level moves together: ${out(2L)} ${out(3L)}")
+    assert(out(4L)._3 == 0, s"overshooting level dropped whole: ${out(4L)}")
+    assert(out(5L) == ((-100000L, 8L, 0)), s"negative exact: ${out(5L)}")
+    assert(out(6L)._1 == -100334L, s"negative floors down, not toward zero: ${out(6L)}")
+  }
 }

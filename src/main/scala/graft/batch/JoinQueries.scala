@@ -105,6 +105,33 @@ object JoinQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Correlated-subquery surface — customers above their nation's average
+    // balance, written as SQL TEXT with two correlated scalar subqueries
+    // and executed through `spark.sql` (the one suite query exercising the
+    // SQL-string front door + Catalyst's decorrelation: the optimizer
+    // rewrites both subqueries into ONE per-nation aggregate joined back —
+    // never a per-row subquery execution; `.explain` shows a plain
+    // Aggregate + Join tree). The comparison is the exact-integer
+    // cross-product cents·count > sum_cents — comparing against a FLOAT
+    // average would sit rows exactly on the boundary where partial-agg
+    // summation order diverges across engines.
+    Q("q_above_nation_avg",
+      s"""SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+         |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) *
+         |    (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         |  > (SELECT sum(CAST(floor(c3.c_acctbal * 100) AS BIGINT))
+         |     FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql(
+        s"""SELECT c_custkey, c_nationkey, c_acctbal FROM customer_v c
+           |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) *
+           |    (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+           |  > (SELECT sum(CAST(floor(c3.c_acctbal * 100) AS BIGINT))
+           |     FROM customer_v c3 WHERE c3.c_nationkey = c.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin)
+    },
+
     // TPC-H Q1 shape — pricing summary; the canonical partial-agg benchmark
     Q("q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,

@@ -293,6 +293,91 @@ object SimilarityQueries {
           .otherwise(lit(0.0)))
   }
 
+  /** Shared sim_components_kmeans / sim_components_kmeans_staged oracle:
+    * Lloyd chain → within-assigned-cell kNN → mutual edges → recursive
+    * reachability components. (Lazy: safe to sit below [[all]].) */
+  private lazy val kmComponentsOracle: String = {
+    val dims = LlmHash.dims
+    val dN =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+    s"""WITH RECURSIVE $kmeansCtes,
+       |cv AS (SELECT a.vec_id, a.cid, x.xq FROM a2 a JOIN xq x USING (vec_id)),
+       |kpairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
+       |  FROM cv a JOIN cv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+       |),
+       |krk AS (
+       |  SELECT vec_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
+       |  FROM kpairs
+       |),
+       |kknn AS (SELECT vec_id, neighbor_id FROM krk WHERE rank <= 3),
+       |mut AS (
+       |  SELECT x.vec_id AS d1, x.neighbor_id AS d2
+       |  FROM kknn x JOIN kknn y
+       |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
+       |  WHERE x.vec_id < x.neighbor_id
+       |),
+       |csym AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mut),
+       |reach(dd, r) AS (
+       |  SELECT d1, d1 FROM csym
+       |  UNION
+       |  SELECT s.d2, reach.r FROM reach JOIN csym s ON s.d1 = reach.dd
+       |),
+       |comp AS (SELECT dd AS vec_id, min(r) AS component_id FROM reach GROUP BY dd),
+       |lab AS (
+       |  SELECT e.vec_id, coalesce(c.component_id, e.vec_id) AS component_id
+       |  FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+       |)
+       |SELECT vec_id, component_id,
+       |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+       |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
+  /** Within-assigned-cell kNN → mutual components, over any (vec_id, cid)
+    * assignment frame + kmScale-quantized vector table — the shared body
+    * of the self-contained and staged kmeans-components queries. */
+  private def kmComponentsFrom(s: org.apache.spark.sql.SparkSession, d: String,
+      asg: DataFrame, xq: DataFrame, tag: String): DataFrame = {
+    val cv = asg.select("vec_id", "cid").join(xq, "vec_id")
+    val knn = cv.select(col("cid"), col("vec_id"), col("xq"))
+      .join(cv.select(col("cid"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+        "cid") // hash-partitioned on the ASSIGNED cell — never all-pairs
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("vector_l2q(xq, xqb)").as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+        .cast("int"))
+      .filter(col("rank") <= 3)
+    mutualComponentsDF(knn.select("vec_id", "neighbor_id"),
+      Tables.embeddings(s, d).select("vec_id"), tag)
+  }
+
+  /** Stage the Lloyd ASSIGNMENT table (vec_id, cid) behind the
+    * fingerprint-validated cross-session staging (the stageIvfCentroids
+    * pattern): reuse on matching corpus content + algorithm constants,
+    * recompute on any mismatch. */
+  private[llm] def stageKmeansAssign(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+        .head
+      s"km-asg-v1;dims=${LlmHash.dims};k=$kmK;scale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_km_asg_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (vec_id BIGINT, cid BIGINT) USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      val (_, a2) = kmeansLayer(s, d)
+      a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+    }
+  }
+
   /** Mutual-edge components shared by sim_components (label cells) and
     * sim_components_kmeans (learned cells): mutual filter (a ∈ knn(b) AND
     * b ∈ knn(a)) over any (vec_id, neighbor_id) edge frame, the audited
@@ -1450,57 +1535,27 @@ object SimilarityQueries {
     // same output contract. Scale shape: the Lloyd chain is two broadcast
     // assigns + one posexplode centroid aggregate; the per-cell pair join
     // is hash-partitioned on the ASSIGNED cell.
-    Q("sim_components_kmeans", {
-      val dims = LlmHash.dims
-      val dN =
-        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
-      s"""WITH RECURSIVE $kmeansCtes,
-         |cv AS (SELECT a.vec_id, a.cid, x.xq FROM a2 a JOIN xq x USING (vec_id)),
-         |kpairs AS (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
-         |  FROM cv a JOIN cv b ON b.cid = a.cid AND b.vec_id <> a.vec_id
-         |),
-         |krk AS (
-         |  SELECT vec_id, neighbor_id,
-         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank
-         |  FROM kpairs
-         |),
-         |kknn AS (SELECT vec_id, neighbor_id FROM krk WHERE rank <= 3),
-         |mut AS (
-         |  SELECT x.vec_id AS d1, x.neighbor_id AS d2
-         |  FROM kknn x JOIN kknn y
-         |    ON y.vec_id = x.neighbor_id AND y.neighbor_id = x.vec_id
-         |  WHERE x.vec_id < x.neighbor_id
-         |),
-         |csym AS (SELECT d1, d2 FROM mut UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mut),
-         |reach(dd, r) AS (
-         |  SELECT d1, d1 FROM csym
-         |  UNION
-         |  SELECT s.d2, reach.r FROM reach JOIN csym s ON s.d1 = reach.dd
-         |),
-         |comp AS (SELECT dd AS vec_id, min(r) AS component_id FROM reach GROUP BY dd),
-         |lab AS (
-         |  SELECT e.vec_id, coalesce(c.component_id, e.vec_id) AS component_id
-         |  FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
-         |)
-         |SELECT vec_id, component_id,
-         |  CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
-         |FROM lab ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+    Q("sim_components_kmeans", kmComponentsOracle) { (s, d) =>
       val (xq, a2) = kmeansLayer(s, d)
-      val cv = a2.select("vec_id", "cid").join(xq, "vec_id")
-      val knn = cv.select(col("cid"), col("vec_id"), col("xq"))
-        .join(cv.select(col("cid"), col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
-          "cid") // hash-partitioned on the ASSIGNED cell — never all-pairs
-        .filter(col("neighbor_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          expr("vector_l2q(xq, xqb)").as("dist"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
-          .cast("int"))
-        .filter(col("rank") <= 3)
-      mutualComponentsDF(knn.select("vec_id", "neighbor_id"),
-        Tables.embeddings(s, d).select("vec_id"), "sim_components_kmeans")
+      kmComponentsFrom(s, d, a2.select("vec_id", "cid"), xq, "sim_components_kmeans")
+    },
+
+    // The staged production face of sim_components_kmeans: the Lloyd
+    // assignment table persists once per corpus version behind the SAME
+    // fingerprint-validated staging as the IVF/PQ indexes (content hash +
+    // algorithm constants — a changed corpus or constant recomputes, a
+    // matching one reuses across sessions), and the per-run cost is the
+    // knn-within-cell + components chain only. Same oracle: the Lloyd
+    // chain is deterministic, so the staged assignment IS the computed
+    // one. (The self-contained twin stays in the suite and pays the
+    // honest full price — the llm_corpus_prep/staged precedent.)
+    Q("sim_components_kmeans_staged", kmComponentsOracle) { (s, d) =>
+      val table = stageKmeansAssign(s, d)
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kmComponentsFrom(s, d, s.table(table), xq, "sim_components_kmeans_staged")
     },
 
     // Hard-negative mining — the contrastive-training data op: for each

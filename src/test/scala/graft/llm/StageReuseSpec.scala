@@ -172,4 +172,29 @@ class StageReuseSpec extends SparkSpec {
       "changed vectors invalidate the staged PQ index and rebuild")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("kmeans assignment table: fingerprint match adopts across sessions without a Lloyd pass") {
+    val dir = Files.createTempDirectory("stage_kmasg")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val table = "graft_km_asg_" + math.abs(corpus.hashCode).toString
+    def asg() = spark.table(SimilarityQueries.stageKmeansAssign(spark, corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val base = PipelineQueries.stagingsComputed
+    val a1 = asg()
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call runs the Lloyd chain")
+    assert(a1.nonEmpty, "assignments staged")
+
+    // "new process": memo gone, catalog entry gone, files + sidecar on disk
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val a2 = asg()
+    assert(PipelineQueries.stagingsComputed == base + 1,
+      "matching fingerprint adopts the assignment table without a Lloyd pass")
+    assert(a2 == a1, "adopted assignments are identical")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

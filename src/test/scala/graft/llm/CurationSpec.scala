@@ -604,4 +604,33 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((-100000L, 8L, 0)), s"negative exact: ${out(5L)}")
     assert(out(6L)._1 == -100334L, s"negative floors down, not toward zero: ${out(6L)}")
   }
+
+  test("tx_budget_select property: kept tokens never exceed budget, and the selection is maximal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 10) {
+      val docs = (1 to 30).map { i =>
+        (i.toLong, rnd.between(-500L, 500L), rnd.between(0L, 20L))
+      }
+      val out = TextQueries.budgetSelectDF(docs.toDF("doc_id", "raw", "n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      val budget = out.head._4
+      val keptTokens = out.filter(_._5 == 1).map(_._3).sum
+      assert(keptTokens <= budget, s"trial $trial: kept $keptTokens > budget $budget")
+      // maximality at level granularity: the BEST dropped level would
+      // overshoot if added
+      val dropped = out.filter(_._5 == 0)
+      if (dropped.nonEmpty) {
+        val bestDropped = dropped.map(_._2).max
+        val bestDroppedToks = dropped.filter(_._2 == bestDropped).map(_._3).sum
+        assert(keptTokens + bestDroppedToks > budget,
+          s"trial $trial: level $bestDropped (+$bestDroppedToks toks) would still fit " +
+            s"($keptTokens kept, budget $budget) — selection not maximal")
+      }
+      // level granularity: equal levels never split
+      val byLevel = out.groupBy(_._2).values
+      assert(byLevel.forall(g => g.map(_._5).distinct.size == 1),
+        s"trial $trial: a score level split its keep decision")
+    }
+  }
 }

@@ -633,4 +633,35 @@ class CurationSpec extends SparkSpec {
         s"trial $trial: a score level split its keep decision")
     }
   }
+
+  test("tx_len_quantiles 100TB swap: approx_percentile lands within the GK rank bound") {
+    // Sharpens the bracketing spec above (accuracy 1000, generous rank
+    // envelopes) to the FORMAL GK contract: each sketch answer's RANK in
+    // the exact sorted list must sit within n/accuracy (+1 for the ceil
+    // convention) of the target rank — at deliberately LOW accuracy (100)
+    // so the sketch genuinely approximates at this corpus size instead of
+    // degenerating exact, and including the tail p99 the envelope spec
+    // leaves out.
+    import org.apache.spark.sql.functions._
+    val acc = 100
+    val rows = graft.core.Tables.documents(spark, sf("sf0.01"))
+      .select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byLang = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = graft.core.Tables.documents(spark, sf("sf0.01"))
+      .groupBy("lang")
+      .agg(expr(s"approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    for ((lang, sorted) <- byLang; (q, v) <- qs.zip(approx(lang))) {
+      val n = sorted.length
+      val target = math.ceil(q * n).toLong
+      val rankLo = sorted.count(_ < v) + 1L  // smallest rank v could hold
+      val rankHi = sorted.count(_ <= v).toLong // largest
+      val bound = n.toDouble / acc + 1
+      assert(rankLo - bound <= target && target <= rankHi + bound,
+        s"$lang p$q: approx $v holds ranks [$rankLo,$rankHi] of $n, " +
+          s"target $target outside ±$bound")
+    }
+  }
 }

@@ -331,4 +331,66 @@ class FunnelSpec extends SparkSpec {
     assert(out == Set((0L, 1, 1L), (7L, 1, 1L), (7L, 3, 1L)),
       s"snapshot composition: $out")
   }
+
+  test("ev_concentration: marginal-level ties are coverage-invariant, percentile cuts exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val dir = java.nio.file.Files.createTempDirectory("conc_ev")
+    dir.toFile.deleteOnExit()
+    // 40 users: 2x10 events, a TEN-user tie at 4 events (the k=4 cut for
+    // pct=10 lands INSIDE it — any choice of 2 of the 10 tied users covers
+    // the same 28 events, which is exactly what the no-ranking histogram
+    // formula must produce), 28x1 event. total e = 88.
+    val counts = Seq.fill(2)(10) ++ Seq.fill(10)(4) ++ Seq.fill(28)(1)
+    val rows = counts.zipWithIndex.flatMap { case (c, u) =>
+      (0 until c).map(i => (u.toLong * 1000 + i, u.toLong, 1000000L + i))
+    }
+    rows.toDF("event_id", "user_id", "tsl")
+      .withColumn("ts", expr("timestamp_millis(tsl)")).drop("tsl")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("ev_concentration")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(5)))).toMap
+    // (pct -> (k_users, events_covered, coverage))
+    assert(out(1L) == ((1L, 10L, 10.0 / 88)), s"pct1: ${out(1L)}")
+    assert(out(5L) == ((2L, 20L, 20.0 / 88)), s"pct5: ${out(5L)}")
+    assert(out(10L) == ((4L, 28L, 28.0 / 88)), s"pct10 cuts INSIDE the tie: ${out(10L)}")
+    assert(out(50L) == ((20L, 68L, 68.0 / 88)), s"pct50: ${out(50L)}")
+    assert(out(100L) == ((40L, 88L, 1.0)), s"pct100 covers everything: ${out(100L)}")
+  }
+
+  test("ev_cohort_matrix: cohort anchors at first-seen day, same-day repeats count once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val dir = java.nio.file.Files.createTempDirectory("cohort_ev")
+    dir.toFile.deleteOnExit()
+    val D = 24L * 3600 * 1000 // one day in ms
+    // user 1: days 0 (x2 events — must count once), 1, 7; user 2: day 0
+    // only; user 3: first seen day 1, again day 7 (offset 6 in ITS cohort)
+    val rows = Seq(
+      (10L, 1L, 0 * D), (11L, 1L, 0 * D + 5), (12L, 1L, 1 * D), (13L, 1L, 7 * D),
+      (20L, 2L, 0 * D),
+      (30L, 3L, 1 * D), (31L, 3L, 7 * D)
+    )
+    rows.toDF("event_id", "user_id", "tsl")
+      .withColumn("ts", expr("timestamp_millis(tsl)")).drop("tsl")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("ev_cohort_matrix")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0) / (D * 1000), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // (cohort_day, offset) -> (n_active, n_users, retention)
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (0L, 7L), (1L, 0L), (1L, 6L)),
+      s"triangular cells only: ${out.keySet}")
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)), s"day-0 full cohort once: ${out((0L, 0L))}")
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)), s"offset 1 half retained: ${out((0L, 1L))}")
+    assert(out((0L, 7L)) == ((1L, 2L, 0.5)), s"offset 7: ${out((0L, 7L))}")
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)) && out((1L, 6L)) == ((1L, 1L, 1.0)),
+      s"user 3's cohort anchors at ITS first day: ${out((1L, 0L))} ${out((1L, 6L))}")
+  }
 }

@@ -57,4 +57,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(12L) == ((Some(11L), Some(110.0))),
       s"pure carry across empty buckets: ${out(12L)}")
   }
+
+  test("j_interval: inclusive 2-min bounds, no bucket-replication duplicates, user isolation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("intv_ev")
+    dir.toFile.deleteOnExit()
+    val S = 1000L
+    val rows = Seq(
+      // user 1: e1@0s is EXACTLY 2 min before e2@120s (boundary is IN);
+      // e3 shares e2's instant (both directions pair at equal ts);
+      // e4@240.001s is 1 ms beyond the window from e2/e3 (OUT) but e6@300s
+      // reaches back to e4
+      (1L, 1L, 0 * S), (2L, 1L, 120 * S), (3L, 1L, 120 * S),
+      (4L, 1L, 240 * S + 1), (6L, 1L, 300 * S),
+      // user 2: inside everyone's window by time, but users never cross
+      (5L, 2L, 60 * S)
+    )
+    rows.toDF("event_id", "user_id", "tsl")
+      .withColumn("ts", expr("timestamp_millis(tsl)")).drop("tsl")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val pairs = graft.SparkEntry.queries("j_interval")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length,
+      s"bucket replication must not duplicate a pair: ${pairs.toSeq}")
+    assert(pairs.toSet == Set((2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L), (6L, 4L)),
+      s"inclusive bounds + isolation: ${pairs.toSet}")
+  }
 }

@@ -634,6 +634,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dd_spans: a 100-char common span fingerprints BOTH carriers; unique docs score 0") {
+    import spark.implicits._
+    // winnowing guarantee: any common substring of length >= winLen + k - 1
+    // = 23 chars shares at least one fingerprint — a 100-char span planted
+    // inside different surroundings must mark both docs; the unique doc
+    // must share nothing
+    val dir = java.nio.file.Files.createTempDirectory("spans_sf")
+    dir.toFile.deleteOnExit()
+    val span = (0 until 12).map(i => s"copypasta$i").mkString(" ") // ~120 chars
+    def filler(seed: Int) = (0 until 12).map(i => s"u${seed}q$i").mkString(" ")
+    Seq((1L, filler(1) + " " + span + " " + filler(2)),
+        (2L, filler(3) + " " + span + " " + filler(4)),
+        (3L, filler(5) + " " + filler(6)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dd_spans")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._2 >= 1 && out(2L)._2 >= 1,
+      s"both span carriers share fingerprints: ${out(1L)} ${out(2L)}")
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0.0, s"unique doc shares nothing: ${out(3L)}")
+    for (d <- Seq(1L, 2L, 3L))
+      assert(out(d)._3 == out(d)._2 * 1.0 / out(d)._1,
+        s"shared_frac is the exact quotient: $d ${out(d)}")
+  }
+
   test("tx_len_quantiles 100TB swap: approx_percentile lands within the GK rank bound") {
     // Sharpens the bracketing spec above (accuracy 1000, generous rank
     // envelopes) to the FORMAL GK contract: each sketch answer's RANK in

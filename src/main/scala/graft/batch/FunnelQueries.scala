@@ -69,6 +69,42 @@ object FunnelQueries {
     * before-[[all]] placement rule as the tier boundaries. */
   private val snapStep = 7L
 
+  /** Shared tier-segmentation CTE chain ending in
+    * `r(user_id, seg, tier, valid_from_day, n_active_days)` — the SCD2
+    * day-rollup → tier → change-flag → segment-id → segment-rollup steps,
+    * consumed by both the ev_scd2 build and the ev_tier_snapshot readout
+    * so the two oracles can never de-synchronize. (Eagerly interpolated by
+    * [[all]], hence defined before it — the scdT2 placement rule.) */
+  private lazy val scd2Ctes: String =
+    s"""d AS (
+       |  SELECT user_id,
+       |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
+       |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |),
+       |t AS (
+       |  SELECT user_id, day_idx,
+       |    CASE WHEN cents >= $scdT3 THEN 3 WHEN cents >= $scdT2 THEN 2 ELSE 1 END AS tier
+       |  FROM d
+       |),
+       |c AS (
+       |  SELECT user_id, day_idx, tier,
+       |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
+       |),
+       |g AS (
+       |  SELECT user_id, day_idx, tier,
+       |    sum(chg) OVER (PARTITION BY user_id ORDER BY day_idx
+       |                   ROWS UNBOUNDED PRECEDING) AS seg
+       |  FROM c
+       |),
+       |r AS (
+       |  SELECT user_id, seg, min(tier) AS tier, min(day_idx) AS valid_from_day,
+       |    CAST(count(*) AS BIGINT) AS n_active_days
+       |  FROM g GROUP BY 1, 2
+       |)""".stripMargin
+
   /** Scalar twin of the scd2DF tier expression — the streaming maintainer
     * (`StreamingScd2`) folds with THIS so both faces share one boundary
     * definition. */
@@ -995,34 +1031,7 @@ object FunnelQueries {
     // every window runs over user-partitioned DAY-GRAIN rows (per-user day
     // counts, never corpus-sized), and the output is segment-sized.
     Q("ev_scd2",
-      s"""WITH d AS (
-         |  SELECT user_id,
-         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
-         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-         |  FROM events GROUP BY 1, 2
-         |),
-         |t AS (
-         |  SELECT user_id, day_idx,
-         |    CASE WHEN cents >= $scdT3 THEN 3 WHEN cents >= $scdT2 THEN 2 ELSE 1 END AS tier
-         |  FROM d
-         |),
-         |c AS (
-         |  SELECT user_id, day_idx, tier,
-         |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
-         |         THEN 1 ELSE 0 END AS chg
-         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
-         |),
-         |g AS (
-         |  SELECT user_id, day_idx, tier,
-         |    sum(chg) OVER (PARTITION BY user_id ORDER BY day_idx
-         |                   ROWS UNBOUNDED PRECEDING) AS seg
-         |  FROM c
-         |),
-         |r AS (
-         |  SELECT user_id, seg, min(tier) AS tier, min(day_idx) AS valid_from_day,
-         |    CAST(count(*) AS BIGINT) AS n_active_days
-         |  FROM g GROUP BY 1, 2
-         |)
+      s"""WITH $scd2Ctes
          |SELECT user_id, CAST(tier AS INT) AS tier, valid_from_day,
          |  lead(valid_from_day) OVER u AS valid_to_day, n_active_days,
          |  CAST(CASE WHEN lead(valid_from_day) OVER u IS NULL THEN 1 ELSE 0 END AS INT)
@@ -1047,33 +1056,7 @@ object FunnelQueries {
     // materializes. Intervals partition each user's timeline, so the
     // per-snapshot counts sum to exactly the users active by then.
     Q("ev_tier_snapshot",
-      s"""WITH d AS (
-         |  SELECT user_id,
-         |    CAST(epoch_us(date_trunc('day', ts)) // $dayUs AS BIGINT) AS day_idx,
-         |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-         |  FROM events GROUP BY 1, 2
-         |),
-         |t AS (
-         |  SELECT user_id, day_idx,
-         |    CASE WHEN cents >= $scdT3 THEN 3 WHEN cents >= $scdT2 THEN 2 ELSE 1 END AS tier
-         |  FROM d
-         |),
-         |c AS (
-         |  SELECT user_id, day_idx, tier,
-         |    CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
-         |         THEN 1 ELSE 0 END AS chg
-         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY day_idx)
-         |),
-         |g AS (
-         |  SELECT user_id, day_idx, tier,
-         |    sum(chg) OVER (PARTITION BY user_id ORDER BY day_idx
-         |                   ROWS UNBOUNDED PRECEDING) AS seg
-         |  FROM c
-         |),
-         |r AS (
-         |  SELECT user_id, seg, min(tier) AS tier, min(day_idx) AS valid_from_day
-         |  FROM g GROUP BY 1, 2
-         |),
+      s"""WITH $scd2Ctes,
          |sg AS (
          |  SELECT user_id, tier, valid_from_day,
          |    lead(valid_from_day) OVER (PARTITION BY user_id ORDER BY valid_from_day)
@@ -1107,8 +1090,13 @@ object FunnelQueries {
     * NULL-open current segment capped at the grid's last index. */
   private[graft] def tierSnapshotDF(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val seg = scd2DF(ev)
-    val mn = ev.agg(min("day_idx").as("mnd"), max("day_idx").as("mxd"))
+    // one corpus-sized pass: the (user, day) rollup feeds BOTH the
+    // segmentation and the grid bounds (a bare ev.agg here would scan the
+    // events input a second time)
+    val days = ev.groupBy("user_id", "day_idx").agg(sum("cents").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = scd2DF(days)
+    val mn = days.agg(min("day_idx").as("mnd"), max("day_idx").as("mxd"))
     seg.crossJoin(broadcast(mn)) // 1-row corpus day bounds
       .select(col("tier"), col("mnd"),
         expr(s"(valid_from_day - mnd + ${snapStep - 1}) div $snapStep").as("k_lo"),

@@ -393,4 +393,34 @@ class FunnelSpec extends SparkSpec {
     assert(out((1L, 0L)) == ((1L, 1L, 1.0)) && out((1L, 6L)) == ((1L, 1L, 1.0)),
       s"user 3's cohort anchors at ITS first day: ${out((1L, 0L))} ${out((1L, 6L))}")
   }
+
+  test("ev_funnel_time: discrete rank percentiles (ceil convention) and exact means") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val dir = java.nio.file.Files.createTempDirectory("ftime_ev")
+    dir.toFile.deleteOnExit()
+    val Mms = 60L * 1000 // one minute in ms
+    // 5 complete funnels: view->click lags 10..50 min (p50 = rank ceil(2.5)
+    // = 3rd = 30 min; p90 = rank 5 = 50 min), click->purchase 60 min flat
+    val rows = (1 to 5).flatMap { u =>
+      val click = u * 10 * Mms
+      Seq((u * 100L, u.toLong, "view", 0L), (u * 100L + 1, u.toLong, "click", click),
+        (u * 100L + 2, u.toLong, "purchase", click + 60 * Mms))
+    }
+    rows.toDF("event_id", "user_id", "event_type", "tsl")
+      .withColumn("ts", expr("timestamp_millis(tsl)")).drop("tsl")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("ev_funnel_time")(spark, dir.toString)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val Mus = Mms * 1000 // µs
+    assert(out("view_to_click") == ((5L, 30.0 * Mus, 30 * Mus, 50 * Mus)),
+      s"v2c p50 = 3rd of 5 ranks, p90 = 5th: ${out("view_to_click")}")
+    assert(out("click_to_purchase") == ((5L, 60.0 * Mus, 60 * Mus, 60 * Mus)),
+      s"flat lags collapse all stats: ${out("click_to_purchase")}")
+    assert(out("view_to_purchase") == ((5L, 90.0 * Mus, 90 * Mus, 110 * Mus)),
+      s"v2p: ${out("view_to_purchase")}")
+  }
 }

@@ -62,4 +62,50 @@ class StreamingScd2Spec extends SparkSpec {
         r.get(3).asInstanceOf[Long], r.getLong(4))).toSet
     assert(after == batch, s"stream $after != batch $batch")
   }
+
+  test("scd2Stream survives a checkpoint restart: recovered state closes segments exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("scd2_restart")
+    base.toFile.deleteOnExit()
+    val in = java.nio.file.Files.createDirectory(base.resolve("in"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    def writeFile(name: String, rows: Seq[SpendRow]): Unit =
+      rows.toDF().coalesce(1).write.parquet(in.resolve(name).toString)
+
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("day_idx", LongType), StructField("cents", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString + "/*/")
+        .as[SpendRow]
+      val q = StreamingScd2.scd2Stream(src, watermarkDelay = "2 days")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: user 1's first tier run, shuffled; the watermark closes [10,12)
+    writeFile("f1", Seq(SpendRow(1L, 12L, 3500L), SpendRow(1L, 10L, 100L)))
+    writeFile("f2", Seq(SpendRow(1L, 12L, 3500L), SpendRow(1L, 11L, 200L),
+      SpendRow(1L, 13L, 6500L), SpendRow(1L, 15L, 50L)))
+    run()
+    // run 2: only a sentinel on another key — closing [12,15) depends
+    // ENTIRELY on the recovered state + timer of user 1
+    writeFile("f3", Seq(SpendRow(99L, 200L, 1L)))
+    run()
+
+    val got = spark.read.parquet(out).as[Scd2Segment].collect()
+      .map(s => (s.user_id, s.tier, s.valid_from_day, s.valid_to_day, s.n_active_days))
+    assert(got.length == got.distinct.length, s"restart must not duplicate: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 1, 10L, 12L, 2L), (1L, 2, 12L, 15L, 2L)),
+      s"recovered state closes batch-identically: ${got.toSet}")
+  }
 }

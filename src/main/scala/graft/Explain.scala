@@ -20,7 +20,12 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   *    construction-bounded builds; anything else (a full table as BNLJ
   *    build) is the |corpus|×|corpus| scale-killer the stance forbids;
   *  - a parquet scan reading EVERY column of a wide (≥ [[WideCols]]-column)
-  *    table — the projection never reached the reader.
+  *    table — the projection never reached the reader;
+  *  - a WindowExec with an EMPTY or all-literal partition spec (the whole
+  *    input flows through ONE task) beyond the per-query
+  *    [[DeclaredGlobalWindows]] budget — accepted only where the window's
+  *    input is a bounded summary frame (score-level / activity-level
+  *    histograms), never a corpus-sized one.
   *
   * Audits run with AQE disabled: the static plan is the worst case AQE can
   * only improve on, and it exposes the join strategy/scan shape directly
@@ -60,6 +65,28 @@ object Explain {
     // a data statistic no static plan walk can see
     "ev_concentration" -> 1)
 
+  /** Single-partition windows bounded by CONSTRUCTION (prefix sums over
+    * level/bucket-histogram frames — distinct-value-sized, never
+    * corpus-sized), name → exact expected count. Same exactness contract
+    * as [[DeclaredBoundedBuilds]]: a NEW unpartitioned window appearing in
+    * a declared query still trips; any undeclared query's global window is
+    * always fatal. Populated by sweeping the suite; each entry's bound was
+    * verified by reading the window's input frame in the query source. */
+  val DeclaredGlobalWindows: Map[String, Int] = Map(
+    // prefix sums over the per-user-activity-level histogram (distinct
+    // count values)
+    "ev_concentration" -> 2,
+    // descending prefix sum over the score-level histogram
+    "tx_budget_select" -> 1,
+    // prefix max over 8192-event bucket SUMMARIES (|events|/8192 rows)
+    "e6_late_filter" -> 1,
+    // max-ratio normalizer over the language-cardinality rate frame
+    "tx_mix_plan" -> 1, "tx_mix_apply" -> 1,
+    // top-50 ranking over the aggregated |vocab| frame — vocab-sized, not
+    // corpus-sized; the two-level top-k (tx_source_cap pattern) is the
+    // documented swap if a corpus's vocabulary ever rivals its row count
+    "tx_vocab" -> 1)
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.builder(8, "graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,7 +102,8 @@ object Explain {
         println(qe.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(9000))
       }
-      val flags = audit(qe.executedPlan, DeclaredBoundedBuilds.getOrElse(name, 0))
+      val flags = audit(qe.executedPlan, DeclaredBoundedBuilds.getOrElse(name, 0),
+        DeclaredGlobalWindows.getOrElse(name, 0))
       flags.foreach { f => println(s"[explain] FLAG $name: $f"); tripped = true }
     }
     println(s"[explain] audited ${names.size} queries, " +
@@ -89,9 +117,11 @@ object Explain {
     * spec can assert on it directly. `declaredBnlj` is the exact number of
     * construction-bounded BNLJ builds this query has declared
     * ([[DeclaredBoundedBuilds]]) — fewer or more both flag. */
-  def audit(plan: SparkPlan, declaredBnlj: Int = 0): Seq[String] = {
+  def audit(plan: SparkPlan, declaredBnlj: Int = 0,
+      declaredGlobalWin: Int = 0): Seq[String] = {
     val flags = Seq.newBuilder[String]
     var unprovedBnlj = 0
+    var globalWin = 0
     foreachNode(plan) {
       case p if p.nodeName.contains("CartesianProduct") =>
         flags += "CartesianProduct in the physical plan"
@@ -101,6 +131,9 @@ object Explain {
           case BuildRight => j.right
         }
         if (!constantSized(build)) unprovedBnlj += 1
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+        globalWin += 1
       case s: FileSourceScanExec =>
         val full = s.relation.dataSchema.size
         if (full >= WideCols && s.requiredSchema.size >= full)
@@ -113,6 +146,10 @@ object Explain {
       flags += s"$unprovedBnlj BroadcastNestedLoopJoin(s) with a non-constant build " +
         s"side vs $declaredBnlj declared — an undeclared full-table BNLJ build is " +
         s"O(|corpus|) broadcast and O(n·m) compare"
+    if (globalWin != declaredGlobalWin)
+      flags += s"$globalWin unpartitioned/constant-partition WindowExec(s) vs " +
+        s"$declaredGlobalWin declared — an undeclared global window funnels its " +
+        s"whole input through one task"
     flags.result()
   }
 

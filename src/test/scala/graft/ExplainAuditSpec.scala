@@ -20,7 +20,8 @@ class ExplainAuditSpec extends SparkSpec {
       val dir = sf("sf0.001")
       val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
-        Explain.audit(plan, Explain.DeclaredBoundedBuilds.getOrElse(name, 0))
+        Explain.audit(plan, Explain.DeclaredBoundedBuilds.getOrElse(name, 0),
+          Explain.DeclaredGlobalWindows.getOrElse(name, 0))
           .map(f => s"$name: $f")
       }
       assert(bad.isEmpty, s"plan flags:\n${bad.mkString("\n")}")

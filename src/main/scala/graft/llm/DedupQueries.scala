@@ -73,6 +73,35 @@ object DedupQueries {
   /** Train share (percent) for the leakage-safe `dd_split`. */
   private[llm] val splitTrainPct = 90
 
+  /** Body of `dd_edit` over any (doc_id, text, ...) frame — factored so
+    * the pigeonhole-envelope spec drives the real band + verify chain.
+    * Emits (d1, d2, edit_dist) with d1 < d2, edit_dist ≤ 2, UNORDERED. */
+  private[llm] def editPairsDF(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val px = docs
+      .select(col("doc_id"), expr("rpad(substring(text, 1, 64), 64, '~')").as("p"))
+    val parts = px.select(col("doc_id"), col("p"),
+        explode(expr(
+          "array(named_struct('i', 1, 'part', substring(p, 1, 22)), " +
+            "named_struct('i', 2, 'part', substring(p, 23, 21)), " +
+            "named_struct('i', 3, 'part', substring(p, 44, 21)))")).as("b"))
+      .select(col("doc_id"), col("p"), col("b.i").as("i"), col("b.part").as("part"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // cap + both join legs
+    val ok = parts.groupBy("i", "part").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).drop("n")
+    val banded = parts.join(ok, Seq("i", "part"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.i") === col("b.i") && col("a.part") === col("b.part") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .groupBy("d1", "d2").agg(min("pa").as("pa"), min("pb").as("pb"))
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("edit_dist") <= 2)
+      .select(col("d1"), col("d2"), col("edit_dist").cast("int").as("edit_dist"))
+  }
+
   // ------------------------------------------------------------ Spark side
   //
   // The Spark bodies use explode + codegen'd hash expressions rather than
@@ -422,6 +451,46 @@ object DedupQueries {
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_hash")
+    },
+
+    // Edit-distance near-dup pairs on 64-char prefixes — the fuzzy-join
+    // classic (titles, URLs, short identifiers) the shingle family doesn't
+    // serve: n-gram Jaccard is blind to single-character edits in SHORT
+    // strings (one substitution kills k adjacent grams). Candidate
+    // generation is the PIGEONHOLE split: pad the prefix to exactly 64
+    // chars, cut it into 3 fixed parts — any pair within 2 SUBSTITUTIONS
+    // must agree exactly on at least one part (3 parts, 2 edits), so
+    // banding on (part_index, part_text) finds every such pair with plain
+    // equi-joins; the verify is the exact `levenshtein` (built-in, same DP
+    // integer in both engines) at ≤ 2, so insert/delete variants that
+    // happen to align on a part ARE scored by true edit distance — the
+    // guarantee is substitution-complete, indel-opportunistic (documented
+    // envelope, the spec pins both sides). Buckets over [[maxBucket]]
+    // drop on BOTH sides (the LSH cap stance: a 64-doc identical-prefix
+    // crowd is boilerplate, not pair evidence). Scale shape: the prefix
+    // is a row-local projection; the band join is hash-partitioned with
+    // capped buckets (≤ cap² pairs per bucket); levenshtein runs on
+    // 64-char strings only for surviving candidates.
+    Q("dd_edit",
+      s"""WITH px AS (
+         |  SELECT doc_id, rpad(substr(text, 1, 64), 64, '~') AS p FROM documents
+         |),
+         |parts AS (
+         |  SELECT doc_id, p, 1 AS i, substr(p, 1, 22) AS part FROM px
+         |  UNION ALL SELECT doc_id, p, 2, substr(p, 23, 21) FROM px
+         |  UNION ALL SELECT doc_id, p, 3, substr(p, 44, 21) FROM px
+         |),
+         |okb AS (SELECT i, part FROM parts GROUP BY i, part HAVING count(*) <= $maxBucket),
+         |f AS (SELECT parts.* FROM parts JOIN okb USING (i, part)),
+         |pr AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, min(a.p) AS pa, min(b.p) AS pb
+         |  FROM f a JOIN f b ON b.i = a.i AND b.part = a.part AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2, CAST(levenshtein(pa, pb) AS INT) AS edit_dist
+         |FROM pr WHERE levenshtein(pa, pb) <= 2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      editPairsDF(Tables.documents(s, d)).orderBy("d1", "d2")
     },
 
     // MinHash + banded LSH: near-dup candidate pairs with estimated Jaccard

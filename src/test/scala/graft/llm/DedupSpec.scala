@@ -161,4 +161,37 @@ class DedupSpec extends SparkSpec {
     val mass = got.groupBy(_._2).map { case (_, g) => g.map(_._3).sum }
     assert(mass.forall(m => math.abs(m - math.round(m)) < 1e-12))
   }
+
+  test("dd_edit: substitution-complete pigeonhole, verify rejects >2, indel shift is the envelope") {
+    import spark.implicits._
+    // 64-char base split into the operator's 22/21/21 parts
+    val base = "a" * 22 + "b" * 21 + "c" * 21
+    def sub(s: String, at: Int, ch: Char) = s.updated(at, ch)
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                        // identical -> dist 0
+      (3L, sub(sub(base, 0, 'x'), 1, 'x')),              // 2 subs in ONE part
+      // one substitution in EACH part: dist 3, no part matches -> no cand
+      (4L, sub(sub(sub(base, 0, 'x'), 25, 'x'), 50, 'x')),
+      // delete first char + append: TRUE edit distance 2, but every part
+      // shifts — the documented indel envelope misses it
+      (5L, base.drop(1) + "z"),
+      // 3 subs all inside part 1: parts 2,3 still match (candidate IS
+      // generated) but levenshtein = 3 -> verify rejects
+      (6L, sub(sub(sub(base, 0, 'x'), 1, 'x'), 2, 'x'))
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.editPairsDF(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // note (3,6): docs 3 and 6 differ only at position 2 — a genuine
+    // distance-1 pair; doc 6 vs 1/2 (distance 3) is verify-rejected
+    assert(got == Map((1L, 2L) -> 0, (1L, 3L) -> 2, (2L, 3L) -> 2, (3L, 6L) -> 1),
+      s"pairs: $got")
+    // and the envelope is real: doc 5 is genuinely within distance 2
+    val d5 = docs.filter($"doc_id" === 5L)
+      .select(expr("rpad(substring(text,1,64),64,'~')")).as[String].head()
+    val d1 = base
+    val dist = spark.range(1)
+      .select(levenshtein(lit(d1), lit(d5)).as("d")).head().getInt(0)
+    assert(dist == 2, s"planted indel pair really is distance 2, got $dist")
+  }
 }

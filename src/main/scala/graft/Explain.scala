@@ -60,6 +60,11 @@ object Explain {
     // the persisted xq lineage so the walk can't prove it) + the
     // sampled-brute query batch — all k-row or sample-bounded builds
     "sim_knn_recall_kmeans" -> 4,
+    // Lloyd chain (2 assigns) + the k-row c1 multi-probe routing — all
+    // k×d centroid tables, constant by construction
+    "sim_knn_graph_multiprobe" -> 3,
+    // the graph's 3 centroid broadcasts + the sampled-brute query batch
+    "sim_knn_recall_multiprobe" -> 4,
     // the marginal-bucket theta join probes the count-of-counts histogram
     // — bounded by DISTINCT per-user activity levels (≤ max events/user),
     // a data statistic no static plan walk can see

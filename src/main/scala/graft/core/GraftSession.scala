@@ -15,7 +15,14 @@ object GraftSession {
       // turn a cluster deploy into a single-JVM run)
       .master(sys.props.getOrElse("spark.master", s"local[$cores]"))
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one shuffle partition per core (right for a single JVM);
+      // the env override is the cluster-shape dry run's lever — a 256-way
+      // sweep on local[8] stands in for many-task scheduling at 100x
+      // (SCALING.md "cluster-shape dry run")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

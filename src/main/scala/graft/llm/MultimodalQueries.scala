@@ -8,16 +8,26 @@ import LlmHash._
 /** Multimodal-column plumbing for LLM pipelines — north-star work.
   *
   * Media assets are opaque `BINARY` payload columns plus typed metadata.
-  * The Spark-side plumbing here is real: a binary payload column, byte
-  * counts, checksums, per-asset metadata derivation, and a frame-sampling
-  * explode whose output shape (one row per sampled frame, partitioned by
-  * asset) is exactly what a decode/feature-extract stage consumes.
+  * ONE decode story, per modality, by codec availability:
   *
-  * The DECODE itself is a STUB: this container has no image/audio codecs,
-  * so "decoding" derives deterministic fake metadata (width/height/frames)
-  * from the payload checksum — see [[Multimodal.decodeStub]] for the typed
-  * stub with the real mapPartitions batch shape. Swapping the stub for a
-  * real codec changes no schema, partitioning, or query shape.
+  *   - IMAGE — REAL. The JDK ships a BMP codec (javax.imageio):
+  *     `mm_imageio_decode` generates 24-bit BMPs from a known per-pixel
+  *     function, decodes them with ImageIO, and the oracle recomputes
+  *     dimensions + pixel sum from the generation formula alone;
+  *     `mm_phash*` builds perceptual hashes on the same decoded pixels.
+  *   - AUDIO — REAL. The JDK ships a WAV codec (javax.sound.sampled):
+  *     `mm_audio_energy` / `mm_audio_fp` / `mm_audio_dedup` write
+  *     canonical 8-bit-PCM RIFF/WAVE containers, decode them with
+  *     AudioSystem, and fold exact-integer energy windows the oracle
+  *     reproduces bit for bit.
+  *   - VIDEO — STUB, and deliberately kept: no JDK video codec exists and
+  *     this container has no media libraries, so `mm_frames` /
+  *     `mm_decode_agg` exercise the video leg's PLUMBING (binary payload
+  *     column, per-partition decode batching, frame-sampling explode,
+  *     typed frame schema) against deterministic md5-derived metadata —
+  *     see [[Multimodal.decodeStub]]. Swapping the stub body for a real
+  *     av codec changes no schema, partitioning, or query shape; the two
+  *     REAL legs above prove exactly that swap twice over.
   */
 object MultimodalQueries {
 

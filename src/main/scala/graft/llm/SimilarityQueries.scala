@@ -137,6 +137,15 @@ object SimilarityQueries {
     * rely on the Verify/Bench clearCache contract. */
   private def kmeansLayer(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) = {
+    val (xq, _, a2) = kmeansLayerFull(s, d)
+    (xq, a2)
+  }
+
+  /** [[kmeansLayer]] plus the learned centroid table `c1` the final
+    * assignment ran against — the multi-probe graph routes against the
+    * SAME centroids, so a vector's own cell is always its probe #1. */
+  private def kmeansLayerFull(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val xq = Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -160,7 +169,75 @@ object SimilarityQueries {
       .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
-    (xq, assign(update(assign(c0))))
+    val c1 = update(assign(c0))
+    (xq, c1, assign(c1))
+  }
+
+  /** sim_knn_graph_multiprobe probe width: each vector's candidates come
+    * from its [[knnNprobe]] nearest LEARNED cells (the sim_ivfpq nprobe
+    * pattern applied to graph construction) instead of only its assigned
+    * cell — the measured fix for the cell-boundary recall loss
+    * (sim_knn_recall_kmeans = 0.325 at nprobe 1). */
+  private val knnNprobe = 3
+
+  /** Multi-probe kNN graph over LEARNED cells: route every vector to its
+    * [[knnNprobe]] nearest c1 centroids, pair it with the members of each
+    * probed cell (assignment is unique, so no pair dedup is needed), rank
+    * by quantized L2. Scale shape: the routing is a k-row broadcast + one
+    * row-local argtop-nprobe; the pair join is hash-partitioned on the
+    * probed cell (never all-pairs) at nprobe× the single-probe row count;
+    * ranking partitions by vec_id. UNORDERED — callers sort. */
+  private def multiprobeKnnDF(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val (xq, c1, a2) = kmeansLayerFull(s, d)
+    val mpW = Window.partitionBy("vec_id").orderBy(col("cdist"), col("cid"))
+    val mp = xq
+      .crossJoin(broadcast(c1)) // k×d constant-size centroid table
+      .withColumn("cdist", expr("vector_l2q(xq, carr)"))
+      .withColumn("rn", row_number().over(mpW))
+      .filter(col("rn") <= knnNprobe)
+      .select(col("vec_id"), col("cid").as("pcid"), col("xq"))
+    mp.join(
+        a2.select(col("cid").as("pcid"), col("vec_id").as("neighbor_id"))
+          .join(xq.select(col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+            "neighbor_id"),
+        "pcid") // hash-partitioned on the probed cell — never all-pairs
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("vector_l2q(xq, xqb)").as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+        .cast("int"))
+      .filter(col("rank") <= knnK)
+  }
+
+  /** Oracle CTEs extending [[kmeansCtes]] with the multi-probe graph:
+    * `mpknn(vec_id, neighbor_id, rank, dist)`. */
+  private lazy val multiprobeCtes: String = {
+    val dims = LlmHash.dims
+    val dC =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]) * (x.xq[CAST(i AS INT)] - c.carr[CAST(i AS INT)]))) AS BIGINT)"
+    val dN =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (m.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (m.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
+    s"""$kmeansCtes,
+       |mp AS (
+       |  SELECT vec_id, cid AS pcid, xq FROM (
+       |    SELECT x.vec_id, c.cid, x.xq,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY $dC, c.cid) AS rn
+       |    FROM xq x, c1 c
+       |  ) WHERE rn <= $knnNprobe
+       |),
+       |mpairs AS (
+       |  SELECT m.vec_id, a.vec_id AS neighbor_id, $dN AS dist
+       |  FROM mp m JOIN a2 a ON a.cid = m.pcid AND a.vec_id <> m.vec_id
+       |  JOIN xq b ON b.vec_id = a.vec_id
+       |),
+       |mpknn AS (
+       |  SELECT vec_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank,
+       |    dist
+       |  FROM mpairs
+       |  QUALIFY rank <= $knnK
+       |)""".stripMargin
   }
 
   /** Shared CTE chain ending in `dd(vec_id, label, d)` — every vector's
@@ -1325,6 +1402,72 @@ object SimilarityQueries {
         .orderBy("query_id")
     },
 
+    // MULTI-PROBE kNN graph over learned cells — the measured fix for the
+    // cell-boundary recall loss the two audits above quantify (label cells
+    // 0.058, learned cells 0.325 at nprobe 1): every vector's candidate
+    // set is the UNION of its 3 nearest learned cells (the sim_ivfpq
+    // nprobe routing applied to graph construction), so a true neighbor
+    // just across the assigned cell's boundary is back in scope. Scale
+    // shape: routing is the k-row centroid broadcast + a row-local
+    // argtop-3; the pair join stays hash-partitioned on the PROBED cell
+    // (never all-pairs) at 3x the single-probe candidate rows; assignment
+    // is unique per member so no pair dedup exists anywhere.
+    Q("sim_knn_graph_multiprobe",
+      s"""WITH $multiprobeCtes
+         |SELECT vec_id, neighbor_id, rank, dist FROM mpknn
+         |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      multiprobeKnnDF(s, d).orderBy("vec_id", "rank")
+    },
+
+    // Recall audit for the multi-probe graph — the third point on the
+    // recall curve (label cells -> learned cells -> learned cells with
+    // multi-probe), same sampled exact-top-3 harness and total order as
+    // sim_knn_recall / sim_knn_recall_kmeans, so the three numbers are
+    // directly comparable. Measured at sf0.1: 0.058 -> 0.325 -> >= 0.5
+    // (floor asserted by MultiprobeRecallSpec).
+    Q("sim_knn_recall_multiprobe", {
+      val dims = LlmHash.dims
+      val dNq =
+        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]) * (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH $multiprobeCtes,
+         |qs AS (SELECT vec_id, xq FROM xq WHERE $querySel),
+         |bp AS (
+         |  SELECT q.vec_id, c.vec_id AS neighbor_id, $dNq AS dist
+         |  FROM qs q JOIN xq c ON c.vec_id <> q.vec_id
+         |),
+         |bt AS (
+         |  SELECT vec_id, neighbor_id FROM bp
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) <= $knnK
+         |),
+         |gt AS (SELECT vec_id, neighbor_id FROM mpknn WHERE vec_id % 50 = 0),
+         |hit AS (
+         |  SELECT bt.vec_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM bt JOIN gt ON gt.vec_id = bt.vec_id AND gt.neighbor_id = bt.neighbor_id
+         |  GROUP BY bt.vec_id
+         |)
+         |SELECT q.vec_id AS query_id, coalesce(h.n_hit, 0) AS n_hit
+         |FROM qs q LEFT JOIN hit h ON h.vec_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      val gt = multiprobeKnnDF(s, d).filter(expr(querySel))
+        .select("vec_id", "neighbor_id")
+      val (xq, _) = kmeansLayer(s, d)
+      val qs = xq.filter(expr(querySel)).select(col("vec_id").as("qid"), col("xq").as("qx"))
+      val bt = xq.join(broadcast(qs), col("vec_id") =!= col("qid")) // 2% query batch
+        .select(col("qid").as("vec_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(qx, xq)").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rn") <= knnK)
+        .select("vec_id", "neighbor_id")
+      val hit = bt.join(gt, Seq("vec_id", "neighbor_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hit"))
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"))
+        .join(hit.withColumnRenamed("vec_id", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("query_id")
+    },
+
     // PageRank over the kNN graph — the importance/centrality layer on top
     // of sim_knn_graph: which vectors sit at the semantic CORE of their
     // cell (high in-link mass from mutual nearest neighbors) vs the
@@ -1873,18 +2016,30 @@ object SimilarityQueries {
       cb: DataFrame, codes: DataFrame, ccent: DataFrame): DataFrame = {
     val (xq, _) = pqFrames(s, d)
     pqServeQueries(s, d, cb, codes, ccent,
-      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"), col("xq")))
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"), col("xq")),
+      selfExclude = true)
   }
 
   /** IVF-PQ serving for an ARBITRARY query batch (query_id, xq quantized
     * vector) — the entry the streaming query feed uses per micro-batch.
-    * Queries never self-exclude here (an external query is not a corpus
-    * member); the batch twin passes corpus members and keeps the
-    * vec_id <> query_id guard via the shared filter below. */
+    * `selfExclude` controls the `vec_id <> query_id` guard: the batch twin
+    * passes corpus members as queries and MUST exclude each query's own
+    * row (`pqServe` sets true); an external/streaming query is not a
+    * corpus member, so its id colliding with a corpus vec_id must NOT
+    * silently drop that corpus vector from the candidate set
+    * (`StreamingAnnServe` sets false). */
   private[llm] def pqServeQueries(s: org.apache.spark.sql.SparkSession, d: String,
       cb: DataFrame, codes: DataFrame, ccent: DataFrame,
-      queries: DataFrame): DataFrame = {
-    val (xq, _) = pqFrames(s, d)
+      queries: DataFrame, selfExclude: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // Serving needs only the corpus's (vec_id, cell-label) membership — a
+    // two-column scan, NOT the quantized vectors: routing uses the
+    // broadcast centroids, ranking uses the 8-byte codes. Do not call
+    // pqFrames here — it persists the corpus-sized xq frame AND the
+    // M×-exploded sub frame, which a long-running serving job would pin
+    // forever without ever reading (the index-build path is the only
+    // consumer of those caches).
+    val xq = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val dist = "vector_l2q(av, bv)"
     def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
       .withColumn("dist", expr(dist))
@@ -1903,9 +2058,10 @@ object SimilarityQueries {
       .join(broadcast(cb), "s")
       .withColumnRenamed("carr", "bv")
       .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
-    val adc = broadcast(route)
+    val cellMembers = broadcast(route)
       .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+               else cellMembers)
       .join(codes, "vec_id")
       .join(broadcast(lut.withColumnsRenamed(
           Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),

@@ -44,7 +44,7 @@ object StreamingAnnServe {
           idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
           idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
           idx.filter(col("kind") === "ccent").select("label", "carr"),
-          q))
+          q, selfExclude = false))
       }
     val w1 = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()

@@ -58,10 +58,12 @@ object StreamingCorpusPrep {
     * no stream-static join sits downstream of a stateful operator). Scoring
     * arithmetic is `TextQueries.lmContribSql` with tf = 1 per occurrence —
     * the scaled-long sum is order-free, so per-occurrence streaming sums
-    * equal the batch tf-weighted sums bit for bit. Tie envelope: a doc whose
-    * nll lands EXACTLY on a cut point buckets to the better tier online,
-    * whereas the batch rank may push its doc_id-tiebroken twin down one —
-    * the one divergence pinned-cutoff serving admits. */
+    * equal the batch tf-weighted sums bit for bit. Tie envelope (SPEC-
+    * PINNED on both cut points — see "LM gate tie-at-cutoff" in
+    * StreamingCorpusPrepSpec): a doc whose nll lands EXACTLY on a cut
+    * point buckets to the better tier online, whereas the batch rank may
+    * push its doc_id-tiebroken twin down one — the one divergence
+    * pinned-cutoff serving admits. */
   def lmScoreStream(docs: DataFrame, model: DataFrame, stats: DataFrame,
       cutoffs: DataFrame, delay: String = "10 seconds",
       window: String = "1 second"): DataFrame =
@@ -82,6 +84,50 @@ object StreamingCorpusPrep {
         first("c1").as("c1"), first("c2").as("c2"))
       .withColumn("nll", expr("cast(sq as double) / (1e6 * n_tokens)"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        expr("CASE WHEN c1 IS NOT NULL AND nll <= c1 THEN 'head' " +
+          "WHEN c2 IS NOT NULL AND nll <= c2 THEN 'middle' ELSE 'tail' END").as("bucket"))
+
+  /** The serving trio composed END TO END as ONE streaming query —
+    * quality gate → watermarked exact dedup → online LM bucket — emitting
+    * publish-ready rows (doc_id, lang, text, n_tokens, nll, bucket) that
+    * [[Publish.publishStream]] lands exactly-once lang-partitioned. The
+    * production ingest shape: one checkpoint, one watermark domain, no
+    * intermediate handoff sink between the stages.
+    *
+    * Spark-side structure: the quality gate is a pure projection; the
+    * dedup is `dropDuplicatesWithinWatermark` on the content hash
+    * (stateful #1); the LM stage tokenizes, stream-static joins the
+    * pinned model/stats/cutoffs (broadcast, stateless), and re-aggregates
+    * per doc under the SAME watermark (stateful #2) — chained stateful
+    * operators in append mode, which Structured Streaming supports when
+    * both share one event-time domain. `text` rides the token explode so
+    * the aggregate can re-emit it (`first`) for the publish stage —
+    * publish needs the payload; production would carry a doc pointer
+    * instead if payloads were large. Bucket semantics are
+    * [[lmScoreStream]]'s pinned-cutoff serving, tie envelope included. */
+  def curateStream(docs: Dataset[LangDocEvent], model: DataFrame,
+      stats: DataFrame, cutoffs: DataFrame, delay: String = "10 seconds",
+      window: String = "1 second"): DataFrame =
+    TextQueries.withQualityKeep(docs.toDF())
+      .filter(col("keep") === 1).drop("keep")
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("lang"), col("ts"), col("text"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+      .join(stats, "lang")
+      .join(model.select(col("lang"), col("tok"), col("c").as("mc")),
+        Seq("lang", "tok"), "left")
+      .join(cutoffs, Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("ts"), col("text"),
+        col("c1"), col("c2"), expr(TextQueries.lmContribSql("1L")).as("q"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"), col("lang"))
+      .agg(first("text").as("text"), count(lit(1)).as("n_tokens"),
+        sum("q").as("sq"), first("c1").as("c1"), first("c2").as("c2"))
+      .withColumn("nll", expr("cast(sq as double) / (1e6 * n_tokens)"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"), col("nll"),
         expr("CASE WHEN c1 IS NOT NULL AND nll <= c1 THEN 'head' " +
           "WHEN c2 IS NOT NULL AND nll <= c2 THEN 'middle' ELSE 'tail' END").as("bucket"))
 
@@ -201,8 +247,12 @@ object StreamingCorpusPrep {
     * (constant-size, broadcast), and summed per doc under the watermark.
     * The scaled-long sum is order-free, so a streamed doc's score equals
     * its batch `tx_dsir` score bit for bit against the same table
-    * (spec-pinned). State = in-flight windows only; empty docs score 0
-    * through the explode_outer/coalesce path like the batch left join. */
+    * (spec-pinned). The pinned table is DENSE over all buckets
+    * (`dsirLrDF`'s range spine), so a streamed token hashing into a
+    * bucket the training corpus never touched gets the add-one smoothed
+    * prior ln((traw+B)/(ttgt+B)) — not a silent 0 (spec-pinned). State =
+    * in-flight windows only; empty docs score 0 through the
+    * explode_outer/coalesce path like the batch left join. */
   def dsirScoreStream(docs: Dataset[LangDocEvent], lr: DataFrame,
       delay: String = "10 seconds", window: String = "1 second"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

@@ -47,17 +47,27 @@ object TextQueries {
   /** ($dsirB-row) bucket → scaled-long log-likelihood ratio table — the
     * batch-trained serving artifact the streaming gate pins (the lm-gate /
     * boiler-set stance). One identical double chain per bucket from exact
-    * integer counts, quantized at 6 dp. */
+    * integer counts, quantized at 6 dp.
+    *
+    * DENSE over all $dsirB buckets: the grouped counts only produce rows
+    * for buckets the training corpus touched, but the table's consumers
+    * left-join by bucket and coalesce misses to 0 — so a STREAMED token
+    * hashing into an untouched bucket would score 0 instead of the
+    * smoothed prior ln((traw+B)/(ttgt+B)) the add-one chain assigns to a
+    * zero-count bucket. A 64-row range spine closes that envelope; the
+    * batch scorer is unaffected (its doc buckets are by construction a
+    * subset of the trained buckets). */
   private[graft] def dsirLrDF(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val raw = f.groupBy("b").agg(count(lit(1)).as("craw"))
     val tgt = f.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ctgt"))
     val tots = f.agg(count(lit(1)).as("traw"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttgt"))
-    raw.join(tgt, Seq("b"), "left")
+    val spine = f.sparkSession.range(dsirB).select(col("id").as("b"))
+    spine.join(raw, Seq("b"), "left").join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(tots)) // 1-row totals
       .select(col("b"), expr(
         s"cast(round(ln((cast(coalesce(ctgt, 0) + 1 as double) * (traw + $dsirB)) / " +
-          s"(cast(craw + 1 as double) * (ttgt + $dsirB))) * 1000000, 0) as bigint)").as("lr"))
+          s"(cast(coalesce(craw, 0) + 1 as double) * (ttgt + $dsirB))) * 1000000, 0) as bigint)").as("lr"))
   }
 
   /** The full tx_dsir body (UNORDERED — the query sorts): features →

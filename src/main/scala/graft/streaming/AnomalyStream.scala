@@ -135,11 +135,14 @@ object AnomalyStream {
     * ⌈h/(δ−slack)⌉ days instead of saturating.
     *
     * State per key is two longs — bounded by |event types|, independent
-    * of stream length. Rows process in day order within a micro-batch;
-    * a day arriving across batches out of order folds into the newer
-    * state (the asofEnrich processing-time envelope — closed-day
-    * emissions from a watermark-ordered upstream arrive in order by
-    * construction). */
+    * of stream length. Rows process in day order within a micro-batch,
+    * and the fold is IDEMPOTENT for replays: a day at or before the
+    * newest day already folded (`lastDay`) is skipped, so an
+    * at-least-once handoff sink re-delivering a closed day — or a day
+    * arriving out of order across micro-batches — cannot double-fold
+    * into the statistic and spuriously cross the alarm threshold. A
+    * skipped day emits nothing (its reading already went out when it
+    * first folded). */
   def cusumAlarmStream(days: Dataset[DayCount], baseline: DataFrame,
       slack: Long, h: Long): Dataset[CusumAlarm] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -156,10 +159,12 @@ object AnomalyStream {
           var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
           val out = Seq.newBuilder[CusumAlarm]
           rows.toSeq.sortBy(_._2).foreach { case (_, day, c, tot, m) =>
-            val s1 = math.max(0L, st.s + (m * c - tot - m * slack))
-            val alarm = s1 >= m * h
-            out += CusumAlarm(typ, day, s1, alarm)
-            st = CusumState(if (alarm) 0L else s1, day)
+            if (day > st.lastDay) { // replayed/out-of-order closed day: already folded
+              val s1 = math.max(0L, st.s + (m * c - tot - m * slack))
+              val alarm = s1 >= m * h
+              out += CusumAlarm(typ, day, s1, alarm)
+              st = CusumState(if (alarm) 0L else s1, day)
+            }
           }
           state.update(st)
           out.result().iterator

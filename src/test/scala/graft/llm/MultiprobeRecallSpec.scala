@@ -1,0 +1,31 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Recall gate for the multi-probe kNN graph (VERDICT r5 #3): the recall
+  * curve label-cells → learned-cells → learned-cells-with-multi-probe must
+  * actually CLIMB, and the multi-probe point must clear 0.5 recall@3 on
+  * the sf0.1 corpus (the measured gap the single-probe learned-cell graph
+  * left: 0.325). All three audits share the identical sampled exact-top-3
+  * harness and (dist, neighbor_id) total order, so the numbers compare
+  * directly.
+  */
+class MultiprobeRecallSpec extends SparkSpec {
+
+  override val timeLimit = org.scalatest.time.Span(300, org.scalatest.time.Seconds)
+
+  test("multi-probe kNN graph recall@3 >= 0.5 at sf0.1 and beats single-probe") {
+    val dir = sf("sf0.1")
+    def meanRecall(name: String): Double = {
+      val rows = graft.SparkEntry.queries(name)(spark, dir)
+        .select("query_id", "n_hit").collect()
+      assert(rows.nonEmpty, s"$name returned no audit rows")
+      rows.map(_.getLong(1)).sum.toDouble / (3.0 * rows.length)
+    }
+    val single = meanRecall("sim_knn_recall_kmeans")
+    val multi = meanRecall("sim_knn_recall_multiprobe")
+    info(f"recall@3: learned cells nprobe=1 $single%.3f -> nprobe=3 $multi%.3f")
+    assert(multi >= 0.5, f"multi-probe recall floor: $multi%.3f < 0.5")
+    assert(multi > single, f"multi-probe must beat single-probe: $multi%.3f <= $single%.3f")
+  }
+}

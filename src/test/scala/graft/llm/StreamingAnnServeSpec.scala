@@ -49,7 +49,7 @@ class StreamingAnnServeSpec extends SparkSpec {
         idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
         idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
         idx.filter(col("kind") === "ccent").select("label", "carr"),
-        queries)
+        queries, selfExclude = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     import scala.jdk.CollectionConverters._
@@ -57,6 +57,55 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(got == want, s"stream-served ${got.size} vs batch ${want.size}")
     assert(got.map(_._1) == events.map(_.query_id).toSet,
       "every streamed query got its top-k")
+    val table = "graft_pq_index_" + math.abs(corpus.hashCode).toString
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("an external query id colliding with a corpus vec_id does not drop that vector") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("ann_serve_collide")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    // pick a corpus vector WHOSE OWN CELL IS ITS NEAREST COARSE CENTROID
+    // (so the single-probe serve actually visits the cell holding it);
+    // stream a query whose embedding IS that vector and whose id COLLIDES
+    // with its vec_id. The near-zero self-match must appear in the
+    // results: an external query is not a corpus member, so the id
+    // collision must not silently exclude the nearest vector.
+    val idxTable = SimilarityQueries.stagePqIndex(spark, corpus)
+    val ccent = spark.table(idxTable).filter(col("kind") === "ccent")
+      .select(col("label").as("clabel"), col("carr"))
+    val victim = Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+      .crossJoin(broadcast(ccent))
+      .withColumn("dist", expr("vector_l2q(xq, carr)"))
+      .groupBy("vec_id", "label")
+      .agg(min(org.apache.spark.sql.functions.struct(col("dist"), col("clabel"))).as("m"))
+      .filter(col("m.clabel") === col("label"))
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)].head()
+    val victimVec = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") === victim._1)
+      .select(col("embedding")).as[Array[Float]].head()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val mem = MemoryStream[QueryVec]
+    val q = StreamingAnnServe.serve(mem.toDS(), corpus) { df =>
+      df.collect().foreach(r => results.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    mem.addData(QueryVec(victim._1, 0L, victimVec))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSet
+    assert(got.exists { case (qid, nid, _) => qid == victim._1 && nid == victim._1 },
+      s"colliding-id query lost its own corpus vector: $got")
     val table = "graft_pq_index_" + math.abs(corpus.hashCode).toString
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }

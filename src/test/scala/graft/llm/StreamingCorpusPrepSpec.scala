@@ -79,6 +79,62 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     assert(got(41L)._3 == "tail", "OOV held-out doc gates to tail online")
   }
 
+  test("LM gate tie-at-cutoff: a doc landing EXACTLY on a cut point buckets to the better tier online") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Planted ties: docs 2=3 are identical (same nll) and straddle the
+    // head/middle RANK boundary; docs 4=5 are token-permutations (same
+    // nll) and straddle middle/tail. Token counts order the nll values:
+    // doc1 all-"the" (c=10) < docs 2/3 (mix 10,4,4) < docs 4/5 (all c=2)
+    // < doc6 (all c=1). Batch ranks break the ties by doc_id, pushing
+    // docs 3 and 5 down a tier; the pinned cutoffs c1/c2 EQUAL the tie
+    // nll values, and the stream's `nll <= c` comparison admits both —
+    // so online, the tied doc gets the BETTER tier. This is the one
+    // divergence pinned-cutoff serving admits, pinned here on both cut
+    // points.
+    val corpus = Seq(
+      (1L, "en", "the the the the the the"),
+      (2L, "en", "the cat sat the cat sat"),
+      (3L, "en", "the cat sat the cat sat"),
+      (4L, "en", "dog ran mat sun moon star"),
+      (5L, "en", "sun moon star dog ran mat"),
+      (6L, "en", "qq ww ee rr tt yy"))
+    val batchDocs = corpus.toDF("doc_id", "lang", "text")
+    val scored = TextQueries.lmScoreDF(batchDocs)
+    val want = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    // fixture sanity: exact nll ties, ranks split them across tiers
+    assert(want(2L)._1 == want(3L)._1 && want(4L)._1 == want(5L)._1,
+      s"planted ties must have identical nll: $want")
+    assert(want(2L)._2 == "head" && want(3L)._2 == "middle", s"head/middle tie: $want")
+    assert(want(4L)._2 == "middle" && want(5L)._2 == "tail", s"middle/tail tie: $want")
+    val (model, stats) = TextQueries.lmModelFrames(batchDocs)
+    val cutoffs = TextQueries.lmCutoffsDF(scored)
+    // the cutoffs ARE the tie values (max nll of the better tier)
+    val cRow = cutoffs.filter(col("lang") === "en").head
+    assert(cRow.getDouble(1) == want(2L)._1 && cRow.getDouble(2) == want(4L)._1,
+      s"cut points must equal the tie nll values: $cRow")
+
+    val mem = MemoryStream[LangDocEvent]
+    val q = StreamingCorpusPrep.lmScoreStream(mem.toDS().toDF(), model, stats, cutoffs)
+      .writeStream.format("memory").queryName("lm_tie_out").outputMode("append").start()
+    mem.addData(corpus.zipWithIndex.map { case ((id, lang, text), i) =>
+      LangDocEvent(id, 1000L + 100L * i, lang, text) }: _*)
+    q.processAllAvailable()
+    mem.addData(LangDocEvent(999L, 100000L, "en", "sentinel"))
+    q.processAllAvailable()
+    val got = spark.table("lm_tie_out").filter(col("doc_id") =!= 999L)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    q.stop()
+    // nll agrees bit for bit everywhere; the TIED docs bucket one tier UP
+    got.foreach { case (id, (nll, _)) => assert(nll == want(id)._1, s"doc $id nll") }
+    assert(got(3L)._2 == "head", s"tie at c1 buckets head online: ${got(3L)}")
+    assert(got(5L)._2 == "middle", s"tie at c2 buckets middle online: ${got(5L)}")
+    // and the un-tied docs keep their batch tiers
+    assert(got(1L)._2 == "head" && got(2L)._2 == "head" &&
+      got(4L)._2 == "middle" && got(6L)._2 == "tail", s"untied tiers: $got")
+  }
+
   test("streaming line scrub rebuilds docs exactly like the batch line dedup") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -285,5 +341,45 @@ class StreamingCorpusPrepSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     q.stop()
     assert(got == want, s"stream: $got\nbatch: $want")
+  }
+
+  test("DSIR ratio table is dense: a streamed token in an untouched bucket gets the smoothed prior") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // tiny training corpus: touches FEW of the 64 buckets, leaving most
+    // untouched; traw=3 (en) tokens, ttgt=3 → prior lr for an absent
+    // bucket is round(ln((0+1)*(3+64)/((0+1)*(3+64)))*1e6) = 0 when
+    // traw==ttgt, so train with one non-en token to make the prior
+    // NONZERO and observable: traw=4, ttgt=3 → ln(68/67)·1e6 = 14815.
+    val train = Seq((1L, "en", "alpha beta gamma"), (2L, "de", "zett")).toDF("doc_id", "lang", "text")
+    val lr = TextQueries.dsirLrDF(TextQueries.dsirFeaturesDF(train))
+    val rows = lr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == TextQueries.dsirB, s"lr table not dense: ${rows.size} rows")
+    val prior = math.round(math.log(68.0 / 67.0) * 1e6)
+    val trained = TextQueries.dsirFeaturesDF(train).select("b").distinct()
+      .as[Long].collect().toSet
+    val untouched = (0L until TextQueries.dsirB.toLong).filterNot(trained)
+    assert(untouched.forall(b => rows(b) == prior),
+      s"untouched buckets should carry the smoothed prior $prior: " +
+        untouched.map(b => b -> rows(b)).toMap)
+    // and the streaming gate actually assigns that prior: find a token
+    // hashing to an untouched bucket and stream a one-token doc of it
+    val tok = Iterator.from(0).map(i => s"unseen$i").find { t =>
+      val b = spark.sql(s"SELECT md5_long60(concat('dsir:', '$t')) % ${TextQueries.dsirB}")
+        .head.getLong(0)
+      untouched.contains(b)
+    }.get
+    val mem = MemoryStream[LangDocEvent]
+    val q = StreamingCorpusPrep.dsirScoreStream(mem.toDS(), lr)
+      .writeStream.format("memory").queryName("dsir_dense_out").outputMode("append").start()
+    mem.addData(LangDocEvent(1L, 1000L, "en", tok))
+    q.processAllAvailable()
+    mem.addData(LangDocEvent(999L, 100000L, "en", "sentinel"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsir_dense_out").filter(col("doc_id") === 1L)
+      .select("score_micro").as[Long].head()
+    assert(got == prior, s"unseen-bucket doc scored $got, want the smoothed prior $prior")
   }
 }

@@ -194,5 +194,11 @@ class AnomalyStreamSpec extends SparkSpec {
     assert(alarms == Seq(11L, 13L, 15L, 17L, 19L), s"alarm cadence: $alarms")
     // quiet regime stays clamped at zero — no negative drift accumulates
     assert(oneShot.take(10).forall(_._2 == 0L), s"quiet trail: ${oneShot.take(10)}")
+    // REPLAY idempotency: an at-least-once handoff sink re-delivering
+    // already-folded closed days (here: batch 2 re-sends all of batch 1
+    // before its own new days) must not double-fold the statistic — the
+    // lastDay guard skips them and the trail is bit-identical
+    val replay = run(Seq(series.take(12), series.take(12) ++ series.drop(12)))
+    assert(replay == oneShot, s"replayed days double-folded: $replay != $oneShot")
   }
 }

@@ -244,6 +244,46 @@ class ThroughputSpec extends SparkSpec {
     assert(served.get() > 0, "the sink saw top-k results")
   }
 
+  test("curate trio E2E sustains >=100 docs/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 500 // 5x the target: the full trio runs per doc
+    // batch-side training pass (the lm gate's pinned tables)
+    val vocab = (0 until 50).map(i => f"w$i%02d")
+    val ref = (1L to 200L).map { i =>
+      (i, "en", (0 until 12).map(j => vocab(((i * 7 + j * 13) % 50).toInt)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val scored = graft.llm.TextQueries.lmScoreDF(ref)
+    val (model, stats) = graft.llm.TextQueries.lmModelFrames(ref)
+    val cutoffs = graft.llm.TextQueries.lmCutoffsDF(scored)
+    val vocabArr = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select(col("value").as("doc_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        lit("en").as("lang"),
+        // distinct text per doc id -> the dedup stage keeps every doc and
+        // its per-hash state does real inserts (the hot path, not drops)
+        expr(s"concat(array_join(transform(sequence(0, 11), " +
+          s"j -> element_at($vocabArr, cast((value * 7 + j * 13) % 50 as int) + 1)), ' '), " +
+          s"' d', cast(value as string))").as("text"))
+      .as[graft.llm.LangDocEvent]
+    val outDir = Files.createTempDirectory("rate_e2e_out").toString + "/data"
+    val ckpt = Files.createTempDirectory("rate_e2e_ckpt").toString
+    val q = graft.llm.Publish.publishStream(
+        graft.llm.StreamingCorpusPrep.curateStream(
+          docs, model, stats, cutoffs, delay = "5 seconds"),
+        outDir, ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "doc rate source -> quality gate -> watermarked exact dedup -> pinned LM bucket -> exactly-once lang-partitioned parquet publish",
+      "STREAM_RATE_E2E.json")
+    assert(spark.read.parquet(outDir).count() > 0, "published rows landed")
+  }
+
   test("SCD2 maintainer sustains >=100 spend-rows/s/partition over >=10s (measured)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

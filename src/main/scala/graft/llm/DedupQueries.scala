@@ -135,57 +135,76 @@ object DedupQueries {
         (0 until nSeeds).map(i => element_at(col("sigs"), i + 1).as(s"m$i")): _*)
   }
 
-  /** LSH bucket join: 4 bands of 4 rows; pair iff any band signature matches
-    * (in a bucket of at most [[maxBucket]] docs — see the cap note above).
-    * Each band row CARRIES the doc's full 16-component signature (128 bytes)
-    * so the estimate join downstream needs no lookup back into `mh` — the
-    * est filter costs zero extra shuffles (measured: the two mh re-joins
-    * were ~40% of dd_minhash_lsh's wall at sf0.1). */
-  private def bandPairsWithSigs(mh: DataFrame): DataFrame = {
-    val sigArr = array((0 until nSeeds).map(i => col(s"m$i")): _*)
+  /** Capped band rows: one row per (doc, band) carrying the doc's full
+    * 16-component signature as 16 NARROW COLUMNS (so downstream est
+    * comparisons stay in whole-stage codegen), keyed by the band bucket
+    * `(b, sig)` and pruned of buckets over [[maxBucket]]. The cap count
+    * and the semi-join key on the same (b, sig) the pair self-join
+    * shuffles on, so the extra aggregation rides the exchange the join
+    * needs anyway. */
+  private def cappedBandRows(mh: DataFrame): DataFrame = {
     val bandStructs = (0 until nBands).map { b =>
       val sig = concat_ws(",", (0 until bandRows).map(i => col(s"m${bandRows * b + i}")): _*)
       struct(lit(b).as("b"), sig.as("sig"))
     }
     val bands = mh
-      .select(col("doc_id"), sigArr.as("sg"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("sg"), col("bs.b").as("b"), col("bs.sig").as("sig"))
-    // cap mega-buckets before the self-join (see maxBucket). The count and
-    // the semi-join key on the same (b, sig) the self-join shuffles on, so
-    // the extra aggregation rides the exchange the join needs anyway.
+      .select(col("doc_id") +: (0 until nSeeds).map(i => col(s"m$i")) :+
+        explode(array(bandStructs: _*)).as("bs"): _*)
+      .select(col("doc_id") +: (0 until nSeeds).map(i => col(s"m$i")) :+
+        col("bs.b").as("b") :+ col("bs.sig").as("sig"): _*)
     val ok = bands.groupBy("b", "sig").agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= maxBucket)
       .select("b", "sig")
-    val pruned = bands.join(ok, Seq("b", "sig"), "left_semi")
-    pruned.as("x")
-      .join(pruned.as("y"),
-        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sg").as("sgx"), col("y.sg").as("sgy"))
-      // Pair dedup on the NARROW key only: signatures are functionally
-      // determined by the doc ids, so `first` is deterministic — a
-      // .distinct() here would hash/compare two 16-long arrays (~256 B)
-      // per band-collision row (measured 6x the whole query's wall at
-      // sf0.1); grouping on (d1, d2) keeps the exchange key 16 bytes and
-      // map-side partial aggregation collapses same-bucket collisions
-      // before the shuffle.
-      .groupBy("d1", "d2")
-      .agg(first("sgx").as("sgx"), first("sgy").as("sgy"))
+    bands.join(ok, Seq("b", "sig"), "left_semi")
   }
 
-  /** Raw band-collision pairs (the cap spec's surface). */
-  private[llm] def lshPairs(mh: DataFrame): DataFrame =
-    bandPairsWithSigs(mh).select("d1", "d2")
+  /** Codegen'd matching-component fraction between the x-side and y-side
+    * signature columns of a band-collision row. */
+  private def estExpr: org.apache.spark.sql.Column = {
+    val matches = (0 until nSeeds)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    matches.cast("double") / nSeeds.toDouble
+  }
 
-  /** Candidate pairs with estimated Jaccard (matching-component fraction),
-    * computed from the carried signatures — interpreted lambda, but only
-    * over candidate pairs, never the corpus. */
-  private def estPairs(mh: DataFrame): DataFrame =
-    bandPairsWithSigs(mh)
-      .withColumn("est",
-        expr(s"aggregate(zip_with(sgx, sgy, (a, b) -> CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / $nSeeds.0D"))
-      .select("d1", "d2", "est")
+  /** Raw band-collision pairs (the cap spec's surface — no est filter). */
+  private[llm] def lshPairs(mh: DataFrame): DataFrame =
+    cappedBandRows(mh).as("x")
+      .join(cappedBandRows(mh).as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+  /** Candidate pairs at `est >= minEst` with their estimated Jaccard
+    * (matching-component fraction).
+    *
+    * Scale shape — this is the chain's n²/B hot spot, so the quadratic
+    * term must stay IN-STAGE: the only shuffles are the (b, sig) exchange
+    * of 4n narrow band rows (the self-join + the cap count riding it) and
+    * a SURVIVOR-sized pair dedup. The est filter runs as a codegen'd
+    * 16-column comparison ON the join's output iterator — band-collision
+    * rows that fail the threshold (the false crowds that dominate
+    * mid-scale: measured 743k of 744k at a 50k-doc slice) die inside the
+    * join stage without ever being exchanged. The former shape grouped
+    * ALL collision rows by (d1, d2) carrying two 16-long arrays (~256 B)
+    * and THEN applied an interpreted `aggregate(zip_with(...))` lambda —
+    * at a 500k-doc slice that shuffle+lambda pair was the 20-minute wall
+    * in the cluster stage build (SCALING.md fourth decade); this shape
+    * re-measures ~linear. */
+  private def estPairs(mh: DataFrame, minEst: Double): DataFrame = {
+    val banded = cappedBandRows(mh)
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), estExpr.as("est"))
+      .filter(col("est") >= minEst)
+      // dedup AFTER the filter: est is a function of the pair, so `first`
+      // is deterministic; the exchange carries survivors only
+      .groupBy("d1", "d2")
+      .agg(first("est").as("est"))
+  }
 
   // ----------------------------------------------------- DuckDB oracle CTEs
 
@@ -304,8 +323,7 @@ object DedupQueries {
     val mh = minhashSigs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // cand feeds the doc_id prune AND the verify joins: persist so the
     // band self-join runs once, not three times
-    val cand = estPairs(mh)
-      .filter(col("est") >= estThreshold.toDouble)
+    val cand = estPairs(mh, estThreshold.toDouble)
       .select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("d1").as("doc_id"))
@@ -507,10 +525,11 @@ object DedupQueries {
     }) { (s, d) =>
       // Signature building is the row-local minhash_sigs projection — this
       // query moves NO gram rows at all, only |docs| signature rows; band
-      // rows carry the signature, so the estimate needs no join back.
-      estPairs(minhashSigs(Tables.documents(s, d)))
+      // rows carry the signature columns, so the estimate needs no join
+      // back (est = k/16 is exact in binary, so filtering the raw value
+      // equals filtering the rounded display value).
+      estPairs(minhashSigs(Tables.documents(s, d)), estThreshold.toDouble)
         .select(col("d1"), col("d2"), round(col("est"), 4).as("est_jaccard"))
-        .filter(col("est_jaccard") >= estThreshold.toDouble)
         .orderBy("d1", "d2")
     },
 

@@ -165,6 +165,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_quantize", exprs =>
         VectorQuantize(exprs(0), literalIntArg("vector_quantize", "scale", exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     // Spark ships BloomFilterMightContain for its own runtime filters but
     // does not expose it in SQL; the builder makes the bloom PREFILTER
     // pattern (tx_decontam_bloom) expressible without a UDF. Arg 0 must be
@@ -230,6 +233,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[VectorQuantize].getName, null, "vector_quantize"),
       (exprs: Seq[Expression]) =>
         VectorQuantize(exprs(0), GraftFunctions.literalIntArg("vector_quantize", "scale", exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -330,16 +330,22 @@ object DedupQueries {
       .union(cand.select(col("d2").as("doc_id")))
       .distinct()
     graft.functions.GraftFunctions.register(s)
-    // DISTINCT gram-set array per candidate doc — one row-local projection
+    // DISTINCT gram-set array per candidate doc, SORTED once per doc so
+    // the per-pair intersection below is an allocation-free merge walk
+    // (sorted_intersect_count) instead of a per-row hash set — the
+    // built-in array_intersect builds an SQLOpenHashSet per PAIR, which
+    // profiling at the 100×-slice showed as the verify stage's dominant
+    // executor frame; sorting costs once per doc and amortizes over every
+    // pair the doc appears in
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .filter(length(col("text")) >= shingleLen)
       .select(col("doc_id"),
-        expr(s"array_distinct(transform(rolling_hash(text, $shingleLen), h0 -> (h0 * h0 + 987654321) % ${graft.functions.RollingHash.P}))").as("hset"))
+        expr(s"array_sort(array_distinct(transform(rolling_hash(text, $shingleLen), h0 -> (h0 * h0 + 987654321) % ${graft.functions.RollingHash.P})))").as("hset"))
     val j = cand
       .join(sets.select(col("doc_id").as("d1"), col("hset").as("ha")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("hset").as("hb")), "d2")
       .select(col("d1"), col("d2"),
-        expr("size(array_intersect(ha, hb))").as("ic"),
+        expr("sorted_intersect_count(ha, hb)").as("ic"),
         expr("size(ha)").as("na"), expr("size(hb)").as("nb"))
     val out = j.select(col("d1"), col("d2"),
       round(col("ic") * 1.0 / (col("na") + col("nb") - col("ic")), 4).as("jaccard"),
@@ -404,7 +410,17 @@ object DedupQueries {
     // round; the only cost is a row re-encode over the (node, lbl) pairs.
     def truncated(df: DataFrame): DataFrame = {
       val ck = df.localCheckpoint()
-      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      // Bound the checkpointed RDD's partition count by CLUSTER WIDTH
+      // (defaultParallelism scales with executors×cores), not by the
+      // static shuffle.partitions: AQE coalesces SQL exchanges but not an
+      // RDD materialization, so under a cluster-shaped config (the
+      // 256-partition dry run, SCALING.md) every loop round otherwise
+      // schedules shuffle.partitions near-empty tasks × rounds — measured
+      // 2-3× wall on the whole components family at sf0.1/256. The
+      // coalesce is a no-op when partitions already fit the width.
+      val width = 2 * ck.sparkSession.sparkContext.defaultParallelism
+      val rdd = if (ck.rdd.getNumPartitions > width) ck.rdd.coalesce(width) else ck.rdd
+      ck.sparkSession.createDataFrame(rdd, ck.schema)
     }
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -25,6 +25,8 @@ class FunctionsSpec extends SparkSpec {
       assert(s2.sql("SELECT bloom_might_contain(CAST(NULL AS BINARY), 42L)").head.isNullAt(0))
       assert(s2.sql("SELECT vector_quantize(array(CAST(0.5 AS FLOAT)), 10)").head
         .getSeq[Long](0) == Seq(5L))
+      assert(s2.sql("SELECT sorted_intersect_count(array(1L,3L,7L), array(3L,5L,7L))").head
+        .getInt(0) == 2)
     } finally {
       SparkSession.setActiveSession(orig); SparkSession.setDefaultSession(orig)
     }

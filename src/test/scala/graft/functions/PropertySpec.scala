@@ -120,6 +120,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sorted_intersect_count equals set intersection size on sorted distinct arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // small value domain forces heavy overlap; contract inputs are
+    // distinct + ascending (the per-doc gram-set projection's shape)
+    val set = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 80L))).map(_.distinct.sorted)
+    check(Prop.forAll(set, set) { (a: List[Long], b: List[Long]) =>
+      val got = SortedIntersectCount(
+        Literal.create(a.toArray, ArrayType(LongType)),
+        Literal.create(b.toArray, ArrayType(LongType))
+      ).eval(null).asInstanceOf[Int]
+      got == a.toSet.intersect(b.toSet).size
+    })
+  }
+
   test("winnow is the sorted distinct set of full-window sliding minima") {
     val arr = Gen.chooseNum(0, 80).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 30L))) // heavy ties

@@ -51,6 +51,9 @@ object Explain {
   val DeclaredBoundedBuilds: Map[String, Int] = Map(
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
     "sim_ivfpq" -> 1, "sim_ivfpq_staged" -> 1, "sim_kmeans" -> 2,
+    // the scaled re-fit's two Lloyd assigns — k = N/32 rows of d longs,
+    // broadcast-bounded far past any single-JVM corpus (scaladoc math)
+    "sim_kmeans_scaled" -> 2,
     "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,

@@ -95,11 +95,11 @@ object SimilarityQueries {
   private val kmK = 8
   private val kmScale = 10000
 
-  /** DuckDB CTE chain for the sim_kmeans Lloyd chain (seed → assign →
-    * update → re-assign), ending in `a2(vec_id, cid, dist)`; also exposes
-    * `xq` (the kmScale-quantized vectors). Shared by sim_kmeans and the
-    * kmeans-cell components query. */
-  private lazy val kmeansCtes: String = {
+  /** DuckDB CTE chain for the Lloyd chain at seed count `kExpr` (a SQL
+    * expression — a literal for the fixed-k queries, a scalar subquery for
+    * the k ∝ N re-fit), ending in `a2(vec_id, cid, dist)`; also exposes
+    * `xq` (the kmScale-quantized vectors). */
+  private def kmeansCtesK(kExpr: String): String = {
     val dims = LlmHash.dims
     def assignCte(name: String, cents: String) =
       s"""$name AS (
@@ -126,11 +126,29 @@ object SimilarityQueries {
        |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $kmScale, 0) AS BIGINT)) AS xq
        |  FROM embeddings
        |),
-       |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < $kmK),
+       |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < ($kExpr)),
        |${assignCte("a1", "c0")},
        |${updateCte("s1", "c1", "a1")},
        |${assignCte("a2", "c1")}""".stripMargin
   }
+
+  /** Fixed-k chain shared by sim_kmeans and the kmeans-cell components
+    * query. */
+  private lazy val kmeansCtes: String = kmeansCtesK(kmK.toString)
+
+  /** k ∝ N cell-size target: the scaled re-fit seeds
+    * k = greatest(8, N div [[cellTarget]]) cells, holding expected cell
+    * OCCUPANCY (not cell count) constant as the corpus grows — the
+    * SemDeDup/IVF production contract the fixed-k queries only document.
+    * 32 keeps the re-fit observable at the sf0.01 oracle (500 vectors →
+    * 15 cells ≠ the fixed 8). */
+  private val cellTarget = 32
+
+  /** SQL expression for the scaled k (DuckDB scalar subquery). */
+  private val kScaledDuck = s"SELECT greatest(8, count(*) // $cellTarget) FROM embeddings"
+
+  /** Oracle chain at the scaled k. */
+  private lazy val kmeansScaledCtes: String = kmeansCtesK(s"($kScaledDuck)")
 
   /** Spark twin of [[kmeansCtes]]: (xq persisted, a2 assignment). xq is
     * MEMORY_AND_DISK-persisted for the chain's repeated reads — consumers
@@ -141,17 +159,36 @@ object SimilarityQueries {
     (xq, a2)
   }
 
+  /** [[kmeansLayerFull]] at the k ∝ N re-fit: k = max(8, N/[[cellTarget]])
+    * from ONE corpus count (a driver-side scalar, the same role as the
+    * componentsOf loop's convergence count — not a data collect). Expected
+    * cell occupancy stays ~[[cellTarget]] at every corpus size, so the
+    * per-cell pair joins downstream do CONSTANT work per cell and linear
+    * work total — the contract the fixed-k twins can only document. The
+    * k×d centroid table stays broadcast-bounded through ~1e9 vectors
+    * (k = N/32 × 64 dims × 8 B ≈ 16 GB only past 1e9; far below that a
+    * two-level coarse routing — the sim_ivfpq shape — takes over, which
+    * is why the fixed-k queries remain the oracle baseline). */
+  private def kmeansScaledLayer(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    val n = Tables.embeddings(s, d).count()
+    val k = math.max(8L, n / cellTarget)
+    val (xq, _, a2) = kmeansLayerFull(s, d, k)
+    (xq, a2, k)
+  }
+
   /** [[kmeansLayer]] plus the learned centroid table `c1` the final
     * assignment ran against — the multi-probe graph routes against the
     * SAME centroids, so a vector's own cell is always its probe #1. */
-  private def kmeansLayerFull(s: org.apache.spark.sql.SparkSession, d: String)
+  private def kmeansLayerFull(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Long = kmK.toLong)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val xq = Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr(s"vector_quantize(embedding, $kmScale)").as("xq")) // codegen: no per-element lambda on the corpus scan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c0 = xq.filter(col("vec_id") < kmK)
+    val c0 = xq.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("xq").as("carr"))
     // integer squared L2 — codegen'd primitive loop (the interpreted
     // zip_with/aggregate twin is property-tested equal in FunctionsSpec)
@@ -373,11 +410,17 @@ object SimilarityQueries {
   /** Shared sim_components_kmeans / sim_components_kmeans_staged oracle:
     * Lloyd chain → within-assigned-cell kNN → mutual edges → recursive
     * reachability components. (Lazy: safe to sit below [[all]].) */
-  private lazy val kmComponentsOracle: String = {
+  private lazy val kmComponentsOracle: String = kmComponentsOracleOver(kmeansCtes)
+
+  /** The scaled-k twin's oracle — same chain over the k ∝ N Lloyd fit. */
+  private lazy val kmComponentsScaledOracle: String =
+    kmComponentsOracleOver(kmeansScaledCtes)
+
+  private def kmComponentsOracleOver(lloydCtes: String): String = {
     val dims = LlmHash.dims
     val dN =
       s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]) * (a.xq[CAST(i AS INT)] - b.xq[CAST(i AS INT)]))) AS BIGINT)"
-    s"""WITH RECURSIVE $kmeansCtes,
+    s"""WITH RECURSIVE $lloydCtes,
        |cv AS (SELECT a.vec_id, a.cid, x.xq FROM a2 a JOIN xq x USING (vec_id)),
        |kpairs AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id, $dN AS dist
@@ -1699,6 +1742,38 @@ object SimilarityQueries {
         .select(col("vec_id"), expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       kmComponentsFrom(s, d, s.table(table), xq, "sim_components_kmeans_staged")
+    },
+
+    // The k ∝ N re-fit EXECUTED (not documented): k = max(8, N/32) cells
+    // from one corpus count, so expected cell OCCUPANCY stays ~32 at every
+    // corpus size — the SemDeDup/IVF production contract the fixed-k
+    // sim_kmeans can only state in prose. Same Lloyd chain, quantized
+    // integers, (dist, cid) tie order; the oracle computes the identical k
+    // as a scalar subquery. At sf0.01 the re-fit is already observable
+    // (500 vectors -> 15 cells vs the fixed 8). Scale shape: the k×d
+    // centroid table grows as N/32 rows and stays broadcast-bounded far
+    // past any single-JVM corpus (~16 GB only at 1e9 vectors; beyond that
+    // the two-level sim_ivfpq routing takes over).
+    Q("sim_kmeans_scaled",
+      s"""WITH $kmeansScaledCtes
+         |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+      val (_, a2, _) = kmeansScaledLayer(s, d)
+      a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
+        .orderBy("vec_id")
+    },
+
+    // Semantic components under the k ∝ N re-fit — the query that PROVES
+    // the scaled contract's point: with cell occupancy pinned at ~32, the
+    // within-cell kNN pair join does constant work PER CELL and linear
+    // work TOTAL as the corpus grows (SCALING.md measures the slices),
+    // where the fixed-k twin's per-cell pairs grow quadratically. Same
+    // mutual filter, same audited pointer-jump component machinery, same
+    // output contract as sim_components_kmeans.
+    Q("sim_components_kmeans_scaled", kmComponentsScaledOracle) { (s, d) =>
+      val (xq, a2, _) = kmeansScaledLayer(s, d)
+      kmComponentsFrom(s, d, a2.select("vec_id", "cid"), xq,
+        "sim_components_kmeans_scaled")
     },
 
     // Hard-negative mining — the contrastive-training data op: for each

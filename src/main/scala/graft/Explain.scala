@@ -51,9 +51,16 @@ object Explain {
   val DeclaredBoundedBuilds: Map[String, Int] = Map(
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
     "sim_ivfpq" -> 1, "sim_ivfpq_staged" -> 1, "sim_kmeans" -> 2,
-    // the scaled re-fit's two Lloyd assigns — k = N/32 rows of d longs,
-    // broadcast-bounded far past any single-JVM corpus (scaladoc math)
-    "sim_kmeans_scaled" -> 2,
+    // the scaled re-fit's TWO-LEVEL final assign: one corpus × kc-row
+    // coarse-routing cross join (kc = ceil(sqrt(k)) seed rows of d longs;
+    // the round-1 assign and the k-row parent map sit behind persisted
+    // k-row tables the static walk can't open)
+    "sim_kmeans_scaled" -> 1,
+    // the scaled multi-probe graph: the final-assign routing cross join +
+    // the probe-selection routing cross join — both kc-row coarse builds
+    "sim_knn_graph_multiprobe_scaled" -> 2,
+    // the graph's 2 routing builds + the sampled-brute query batch
+    "sim_knn_recall_multiprobe_scaled" -> 3,
     "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,

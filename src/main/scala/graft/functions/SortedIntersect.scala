@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * appears in), the intersection size is one allocation-free two-pointer
   * walk per PAIR.
   *
-  * Contract: both inputs ascending-sorted and duplicate-free (the
-  * caller's `array_sort(array_distinct(...))` projection). On unsorted
-  * input the count is undefined — this is a private kernel for the dedup
-  * chain, property-tested equal to `size(array_intersect(...))` on its
-  * contract inputs (PropertySpec).
+  * Contract: both inputs ascending-sorted, duplicate-free `ARRAY<BIGINT>`
+  * (the caller's `array_sort(array_distinct(...))` projection over BIGINT
+  * gram hashes). Like `vector_dot`/`vector_l2q`, the expression does no
+  * input-type validation (ExpectsInputTypes is not accessible from outside
+  * Catalyst's package in this build): calling it with ARRAY<INT> reads
+  * garbage via `getLong` and returns a silently wrong count rather than an
+  * analysis error, and unsorted input undercounts — this is a private
+  * kernel for the dedup chain, property-tested equal to
+  * `size(array_intersect(...))` on its contract inputs (PropertySpec).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

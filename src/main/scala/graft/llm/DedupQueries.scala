@@ -167,14 +167,18 @@ object DedupQueries {
     matches.cast("double") / nSeeds.toDouble
   }
 
-  /** Raw band-collision pairs (the cap spec's surface — no est filter). */
-  private[llm] def lshPairs(mh: DataFrame): DataFrame =
-    cappedBandRows(mh).as("x")
-      .join(cappedBandRows(mh).as("y"),
+  /** Raw band-collision pairs (the cap spec's surface — no est filter).
+    * One `cappedBandRows` frame aliased for both self-join sides (the
+    * estPairs shape), so the bucket-count groupBy + semi prune plan once. */
+  private[llm] def lshPairs(mh: DataFrame): DataFrame = {
+    val banded = cappedBandRows(mh)
+    banded.as("x")
+      .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+  }
 
   /** Candidate pairs at `est >= minEst` with their estimated Jaccard
     * (matching-component fraction).

@@ -110,17 +110,6 @@ object SimilarityQueries {
          |    FROM xq x, $cents c
          |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
          |)""".stripMargin
-    def updateCte(sums: String, cents: String, asg: String) =
-      s"""$sums AS (
-         |  SELECT a.cid, u.i, CAST(sum(x.xq[CAST(u.i AS INT)]) AS BIGINT) AS sv,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM $asg a JOIN xq x USING (vec_id), unnest(generate_series(1, $dims)) AS u(i)
-         |  GROUP BY a.cid, u.i
-         |),
-         |$cents AS (
-         |  SELECT cid, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY i) AS carr
-         |  FROM $sums GROUP BY cid
-         |)""".stripMargin
     s"""xq AS (
        |  SELECT vec_id,
        |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $kmScale, 0) AS BIGINT)) AS xq
@@ -128,9 +117,23 @@ object SimilarityQueries {
        |),
        |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < ($kExpr)),
        |${assignCte("a1", "c0")},
-       |${updateCte("s1", "c1", "a1")},
+       |${lloydUpdateCtes("s1", "c1", "a1")},
        |${assignCte("a2", "c1")}""".stripMargin
   }
+
+  /** Lloyd UPDATE step oracle (shared by the fixed-k and two-level chains):
+    * per-(cell, dim) integer sums → rounded-mean centroid arrays. */
+  private def lloydUpdateCtes(sums: String, cents: String, asg: String): String =
+    s"""$sums AS (
+       |  SELECT a.cid, u.i, CAST(sum(x.xq[CAST(u.i AS INT)]) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $asg a JOIN xq x USING (vec_id), unnest(generate_series(1, ${LlmHash.dims})) AS u(i)
+       |  GROUP BY a.cid, u.i
+       |),
+       |$cents AS (
+       |  SELECT cid, list(CAST(round(CAST(sv AS DOUBLE) / n, 0) AS BIGINT) ORDER BY i) AS carr
+       |  FROM $sums GROUP BY cid
+       |)""".stripMargin
 
   /** Fixed-k chain shared by sim_kmeans and the kmeans-cell components
     * query. */
@@ -144,11 +147,67 @@ object SimilarityQueries {
     * 15 cells ≠ the fixed 8). */
   private val cellTarget = 32
 
-  /** SQL expression for the scaled k (DuckDB scalar subquery). */
-  private val kScaledDuck = s"SELECT greatest(8, count(*) // $cellTarget) FROM embeddings"
+  /** Coarse-layer width of the TWO-LEVEL assignment: ceil(sqrt(k)) coarse
+    * seeds, so routing (N·kc·d) and within-cell argmin (N·(k/kc)·d) balance
+    * at O(N·sqrt(k)·d) — vs the flat assign's O(N·k·d), which with k ∝ N is
+    * the measured O(N²d/32) 100×-slice wall (SCALING.md: ~500 of 519.7s).
+    * IEEE sqrt/ceil are exactly rounded, so both engines derive the same
+    * integer. */
+  private def coarseK(k: Long): Long =
+    math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
 
-  /** Oracle chain at the scaled k. */
-  private lazy val kmeansScaledCtes: String = kmeansCtesK(s"($kScaledDuck)")
+  /** Oracle chain for the k ∝ N TWO-LEVEL Lloyd fit — the exact DuckDB twin
+    * of [[kmeansTwoLevelLayer]]: per round, (1) every FINE centroid parents
+    * to its nearest coarse seed, (2) every vector routes to its nearest
+    * CHILDFUL coarse seed, (3) argmin over that coarse cell's fine children.
+    * Ends in `a2(vec_id, cid, dist)`; exposes `xq`, `gseeds`, `c1`, `p1`
+    * (for the multi-probe extension). Same quantized integers and
+    * (dist, id) tie order as every Lloyd chain here, so determinism is
+    * exact even though two-level assignment is an APPROXIMATION of the
+    * flat argmin (the IVF trade: a vector whose true nearest fine centroid
+    * parents to a different coarse seed lands one cell off — recall is
+    * audited by sim_knn_recall_multiprobe_scaled, not argued). */
+  private lazy val kmeansTwoLevelCtes: String = {
+    val dims = LlmHash.dims
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    def assignCtes(r: Int, cents: String, asg: String) =
+      s"""p$r AS (
+         |  SELECT cid, gid FROM (
+         |    SELECT c.cid, g.gid, ${l2("c.carr", "g.garr")} AS gd
+         |    FROM $cents c, gseeds g
+         |  ) QUALIFY row_number() OVER (PARTITION BY cid ORDER BY gd, gid) = 1
+         |),
+         |r$r AS (
+         |  SELECT vec_id, gid FROM (
+         |    SELECT x.vec_id, g.gid, ${l2("x.xq", "g.garr")} AS gd
+         |    FROM xq x, gseeds g
+         |    WHERE g.gid IN (SELECT gid FROM p$r)
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) = 1
+         |),
+         |$asg AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT x.vec_id, c.cid, ${l2("x.xq", "c.carr")} AS dist
+         |    FROM xq x JOIN r$r rt USING (vec_id)
+         |      JOIN p$r p ON p.gid = rt.gid
+         |      JOIN $cents c ON c.cid = p.cid
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+         |)""".stripMargin
+    s"""xq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $kmScale, 0) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |),
+       |kk AS (SELECT greatest(8, count(*) // $cellTarget) AS k FROM embeddings),
+       |gseeds AS (
+       |  SELECT vec_id AS gid, xq AS garr FROM xq
+       |  WHERE vec_id < (SELECT greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) FROM kk)
+       |),
+       |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < (SELECT k FROM kk)),
+       |${assignCtes(0, "c0", "a1")},
+       |${lloydUpdateCtes("s1", "c1", "a1")},
+       |${assignCtes(1, "c1", "a2")}""".stripMargin
+  }
 
   /** Spark twin of [[kmeansCtes]]: (xq persisted, a2 assignment). xq is
     * MEMORY_AND_DISK-persisted for the chain's repeated reads — consumers
@@ -159,22 +218,84 @@ object SimilarityQueries {
     (xq, a2)
   }
 
-  /** [[kmeansLayerFull]] at the k ∝ N re-fit: k = max(8, N/[[cellTarget]])
-    * from ONE corpus count (a driver-side scalar, the same role as the
-    * componentsOf loop's convergence count — not a data collect). Expected
-    * cell occupancy stays ~[[cellTarget]] at every corpus size, so the
-    * per-cell pair joins downstream do CONSTANT work per cell and linear
-    * work total — the contract the fixed-k twins can only document. The
-    * k×d centroid table stays broadcast-bounded through ~1e9 vectors
-    * (k = N/32 × 64 dims × 8 B ≈ 16 GB only past 1e9; far below that a
-    * two-level coarse routing — the sim_ivfpq shape — takes over, which
-    * is why the fixed-k queries remain the oracle baseline). */
-  private def kmeansScaledLayer(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame, Long) = {
+  /** The k ∝ N re-fit with TWO-LEVEL Lloyd assignment — the production
+    * layer behind sim_kmeans_scaled / sim_components_kmeans_scaled and the
+    * scaled multi-probe graph. k = max(8, N/[[cellTarget]]) from ONE corpus
+    * count (a driver-side scalar, the same role as the componentsOf loop's
+    * convergence count — not a data collect), so expected cell OCCUPANCY
+    * stays ~[[cellTarget]] at every corpus size and the per-cell pair joins
+    * downstream do CONSTANT work per cell, linear total.
+    *
+    * Assignment is the sim_ivfpq coarse-routing shape applied to Lloyd
+    * itself (see [[assignTwoLevel]]): with k ∝ N the FLAT argmin is every
+    * vector × every centroid = O(N²d/32) — measured as ~500 of the 519.7s
+    * 100×-slice reading in round 6 (SCALING.md); two-level routing drops it
+    * to O(N·sqrt(k)·d). The broadcast tables are the kc×d coarse seeds
+    * (≈sqrt(N/32) rows) and the k×d fine table (≈N/32 rows — ~16 GB only
+    * past 1e9 vectors; beyond that the coarse layer recurses, same shape).
+    *
+    * Returns (xq persisted, gseeds, c1 fine centroids persisted, a2 final
+    * assignment, k). */
+  private def kmeansTwoLevelLayer(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
+    graft.functions.GraftFunctions.register(s)
     val n = Tables.embeddings(s, d).count()
     val k = math.max(8L, n / cellTarget)
-    val (xq, _, a2) = kmeansLayerFull(s, d, k)
-    (xq, a2, k)
+    val kc = coarseK(k)
+    val xq = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gseeds = xq.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("gid"), col("xq").as("garr"))
+    val c0 = xq.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("xq").as("carr"))
+    // c1 feeds a parent map, a routing pass, and the within-cell argmin —
+    // persist the k-row table so its assign+update lineage runs once
+    val c1 = lloydUpdate(assignTwoLevel(xq, c0, gseeds), xq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (xq, gseeds, c1, assignTwoLevel(xq, c1, gseeds), k)
+  }
+
+  /** Fine→coarse parent map: every fine centroid's nearest coarse seed,
+    * (gd, gid) tie order — (cid, gid, carr). k·kc·d work on k-row frames;
+    * both sides broadcast-sized by construction. Persisted: each assign
+    * consumes it twice (routing-table prune + within-cell candidate
+    * build), and the k-row table must not recompute per consumer. */
+  private def fineParents(cents: DataFrame, gseeds: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(gseeds)) // kc×d coarse-seed table
+      .withColumn("gd", expr("vector_l2q(carr, garr)"))
+      .groupBy("cid").agg(min(struct(col("gd"), col("gid"))).as("g"))
+      .select(col("cid"), col("g.gid").as("gid"))
+      .join(cents, "cid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Coarse seeds that have at least one fine child under `parents` — the
+    * routing table. Routing only against childful seeds guarantees every
+    * vector's routed cell yields candidates (a childless seed would
+    * otherwise strand its routed vectors with no assignment). */
+  private def childfulSeeds(parents: DataFrame, gseeds: DataFrame): DataFrame =
+    gseeds.join(parents.select("gid").distinct(), "gid")
+
+  /** TWO-LEVEL Lloyd assignment: route each vector to its nearest childful
+    * coarse seed (N·kc·d), then argmin over that seed's fine children
+    * (N·(k/kc)·d) — O(N·sqrt(k)·d) total. Both argmins are groupBy-min
+    * partial aggregates (corpus-sized frames collapse map-side to one row
+    * per vector); the only vector-sized exchange is the vec_id join
+    * attaching xq to its routed cell. Output: (vec_id, cid, dist), the
+    * same contract as the flat assign. */
+  private def assignTwoLevel(xq: DataFrame, cents: DataFrame,
+      gseeds: DataFrame): DataFrame = {
+    val parents = fineParents(cents, gseeds)
+    val route = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
+      .withColumn("gd", expr("vector_l2q(xq, garr)"))
+      .groupBy("vec_id").agg(min(struct(col("gd"), col("gid"))).as("g"))
+      .select(col("vec_id"), col("g.gid").as("gid"))
+    xq.join(route, "vec_id")
+      .join(broadcast(parents.select(col("gid"), col("cid"), col("carr"))), "gid")
+      .withColumn("dist", expr("vector_l2q(xq, carr)"))
+      .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
   }
 
   /** [[kmeansLayer]] plus the learned centroid table `c1` the final
@@ -199,16 +320,20 @@ object SimilarityQueries {
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-    def update(asg: DataFrame) = asg
-      .join(xq, "vec_id")
-      .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
-      .groupBy("cid", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
-      .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
-    val c1 = update(assign(c0))
+    val c1 = lloydUpdate(assign(c0), xq)
     (xq, c1, assign(c1))
   }
+
+  /** Lloyd UPDATE step (Spark twin of [[lloydUpdateCtes]]): one posexplode
+    * per-(cell, dim) integer-sum aggregate (map-side combined) → rounded-
+    * mean centroid arrays. Shared by the fixed-k and two-level chains. */
+  private def lloydUpdate(asg: DataFrame, xq: DataFrame): DataFrame = asg
+    .join(xq, "vec_id")
+    .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
+    .groupBy("cid", "i").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    .withColumn("cm", expr("cast(round(cast(sv as double) / n, 0) as bigint)"))
+    .groupBy("cid")
+    .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
 
   /** sim_knn_graph_multiprobe probe width: each vector's candidates come
     * from its [[knnNprobe]] nearest LEARNED cells (the sim_ivfpq nprobe
@@ -265,6 +390,108 @@ object SimilarityQueries {
        |),
        |mpairs AS (
        |  SELECT m.vec_id, a.vec_id AS neighbor_id, $dN AS dist
+       |  FROM mp m JOIN a2 a ON a.cid = m.pcid AND a.vec_id <> m.vec_id
+       |  JOIN xq b ON b.vec_id = a.vec_id
+       |),
+       |mpknn AS (
+       |  SELECT vec_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) AS INT) AS rank,
+       |    dist
+       |  FROM mpairs
+       |  QUALIFY rank <= $knnK
+       |)""".stripMargin
+  }
+
+  /** Coarse cells probed per vector when SELECTING the fine probe cells in
+    * the scaled multi-probe graph: ranking fine cells from the union of
+    * FOUR coarse cells' children keeps a near-boundary vector's true
+    * neighbor cells in scope even when they parent to an adjacent coarse
+    * seed. Cost stays O(N·sqrt(k)·d) — 4 coarse children sets ≈
+    * 4·sqrt(k) fine candidates per vector. */
+  private val mpCoarse = 4
+
+  /** Fine cells probed per vector in the SCALED multi-probe graph. With
+    * k ∝ N the cells are occupancy-~[[cellTarget]] — ~8× smaller than the
+    * fixed k=8 cells at sf0.1 — so a natural cluster splits across several
+    * cells and nprobe must cover that split: 3 probes measured recall@3 =
+    * 0.29 where the fixed-k graph's 3-of-8 probes measured 0.66. 10 probes
+    * ≈ 10·[[cellTarget]] = 320 candidates per vector — still CONSTANT per
+    * vector as the corpus grows (the point of k ∝ N), and ~linear total
+    * pair work. */
+  private val mpScaledNprobe = 10
+
+  /** Multi-probe kNN graph over the k ∝ N TWO-LEVEL cells — the production
+    * composition (VERDICT r6 #2): [[kmeansTwoLevelLayer]] cells (constant
+    * occupancy at every corpus size) + [[mpScaledNprobe]]-cell probing (the
+    * boundary-recall fix, widened for the smaller cells). Probe selection
+    * is itself two-level routed — rank the fine children of the vector's
+    * [[mpCoarse]] nearest coarse seeds, keep the top [[mpScaledNprobe]] —
+    * so NOTHING in the chain touches all k centroids per vector. The pair
+    * join stays hash-partitioned on the probed cell (never all-pairs) at
+    * ≤nprobe·[[cellTarget]] candidate rows per vector; assignment is
+    * unique per member so no pair dedup exists anywhere. Windows run on thin (id, id, dist) frames — vectors
+    * are re-attached by vec_id join after each rank, never shuffled through
+    * a window. UNORDERED — callers sort. */
+  private def multiprobeKnnScaledDF(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (xq, gseeds, c1, a2, _) = kmeansTwoLevelLayer(s, d)
+    val parents = fineParents(c1, gseeds)
+    val mroute = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
+      .withColumn("gd", expr("vector_l2q(xq, garr)"))
+      .select(col("vec_id"), col("gid"), col("gd"))
+      .withColumn("grn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("gd"), col("gid"))))
+      .filter(col("grn") <= mpCoarse)
+      .select("vec_id", "gid")
+    val probes = mroute.join(xq, "vec_id")
+      .join(broadcast(parents.select(col("gid"), col("cid"), col("carr"))), "gid")
+      .select(col("vec_id"), col("cid"),
+        expr("vector_l2q(xq, carr)").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= mpScaledNprobe)
+      .select(col("vec_id"), col("cid").as("pcid"))
+    probes.join(xq, "vec_id")
+      .join(
+        a2.select(col("cid").as("pcid"), col("vec_id").as("neighbor_id"))
+          .join(xq.select(col("vec_id").as("neighbor_id"), col("xq").as("xqb")),
+            "neighbor_id"),
+        "pcid") // hash-partitioned on the probed cell — never all-pairs
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("vector_l2q(xq, xqb)").as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id")))
+        .cast("int"))
+      .filter(col("rank") <= knnK)
+  }
+
+  /** Oracle CTEs extending [[kmeansTwoLevelCtes]] with the scaled
+    * multi-probe graph: `mpknn(vec_id, neighbor_id, rank, dist)`. */
+  private lazy val multiprobeScaledCtes: String = {
+    val dims = LlmHash.dims
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    s"""$kmeansTwoLevelCtes,
+       |mroute AS (
+       |  SELECT vec_id, gid FROM (
+       |    SELECT x.vec_id, g.gid, ${l2("x.xq", "g.garr")} AS gd
+       |    FROM xq x, gseeds g
+       |    WHERE g.gid IN (SELECT gid FROM p1)
+       |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) <= $mpCoarse
+       |),
+       |mcand AS (
+       |  SELECT x.vec_id, c.cid AS pcid, x.xq, ${l2("x.xq", "c.carr")} AS d
+       |  FROM xq x JOIN mroute rt USING (vec_id)
+       |    JOIN p1 p ON p.gid = rt.gid
+       |    JOIN c1 c ON c.cid = p.cid
+       |),
+       |mp AS (
+       |  SELECT vec_id, pcid, xq FROM mcand
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, pcid) <= $mpScaledNprobe
+       |),
+       |mpairs AS (
+       |  SELECT m.vec_id, a.vec_id AS neighbor_id, ${l2("m.xq", "b.xq")} AS dist
        |  FROM mp m JOIN a2 a ON a.cid = m.pcid AND a.vec_id <> m.vec_id
        |  JOIN xq b ON b.vec_id = a.vec_id
        |),
@@ -412,9 +639,10 @@ object SimilarityQueries {
     * reachability components. (Lazy: safe to sit below [[all]].) */
   private lazy val kmComponentsOracle: String = kmComponentsOracleOver(kmeansCtes)
 
-  /** The scaled-k twin's oracle — same chain over the k ∝ N Lloyd fit. */
+  /** The scaled-k twin's oracle — same chain over the k ∝ N TWO-LEVEL
+    * Lloyd fit. */
   private lazy val kmComponentsScaledOracle: String =
-    kmComponentsOracleOver(kmeansScaledCtes)
+    kmComponentsOracleOver(kmeansTwoLevelCtes)
 
   private def kmComponentsOracleOver(lloydCtes: String): String = {
     val dims = LlmHash.dims
@@ -1747,18 +1975,19 @@ object SimilarityQueries {
     // The k ∝ N re-fit EXECUTED (not documented): k = max(8, N/32) cells
     // from one corpus count, so expected cell OCCUPANCY stays ~32 at every
     // corpus size — the SemDeDup/IVF production contract the fixed-k
-    // sim_kmeans can only state in prose. Same Lloyd chain, quantized
-    // integers, (dist, cid) tie order; the oracle computes the identical k
-    // as a scalar subquery. At sf0.01 the re-fit is already observable
-    // (500 vectors -> 15 cells vs the fixed 8). Scale shape: the k×d
-    // centroid table grows as N/32 rows and stays broadcast-bounded far
-    // past any single-JVM corpus (~16 GB only at 1e9 vectors; beyond that
-    // the two-level sim_ivfpq routing takes over).
+    // sim_kmeans can only state in prose. Quantized integers, (dist, cid)
+    // tie order; the oracle computes the identical k as a scalar subquery.
+    // At sf0.01 the re-fit is already observable (500 vectors -> 15 cells
+    // vs the fixed 8). Assignment is TWO-LEVEL (route via ceil(sqrt(k))
+    // coarse seeds, argmin within the routed seed's fine children — the
+    // sim_ivfpq coarse-routing shape applied to Lloyd itself), retiring
+    // the flat assign's O(N·k·d) = O(N²d/32) term that round 6 measured
+    // as ~500 of the 519.7s 100×-slice reading (SCALING.md).
     Q("sim_kmeans_scaled",
-      s"""WITH $kmeansScaledCtes
+      s"""WITH $kmeansTwoLevelCtes
          |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-      val (_, a2, _) = kmeansScaledLayer(s, d)
+      val (_, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
       a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
         .orderBy("vec_id")
     },
@@ -1769,11 +1998,78 @@ object SimilarityQueries {
     // work TOTAL as the corpus grows (SCALING.md measures the slices),
     // where the fixed-k twin's per-cell pairs grow quadratically. Same
     // mutual filter, same audited pointer-jump component machinery, same
-    // output contract as sim_components_kmeans.
+    // output contract as sim_components_kmeans; the Lloyd fit is the
+    // two-level-assigned scaled layer, so EVERY stage of this chain is
+    // now sub-quadratic in N.
     Q("sim_components_kmeans_scaled", kmComponentsScaledOracle) { (s, d) =>
-      val (xq, a2, _) = kmeansScaledLayer(s, d)
+      val (xq, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
       kmComponentsFrom(s, d, a2.select("vec_id", "cid"), xq,
         "sim_components_kmeans_scaled")
+    },
+
+    // Multi-probe kNN graph over the SCALED (k ∝ N, two-level) cells — the
+    // production graph (VERDICT r6 #2): constant-occupancy learned cells +
+    // 3-cell probing in one chain, with probe selection itself two-level
+    // routed so nothing touches all k centroids per vector. Contract and
+    // ranking identical to sim_knn_graph_multiprobe; only the cell layer
+    // differs (k = max(8, N/32) two-level cells vs fixed k=8 flat cells).
+    Q("sim_knn_graph_multiprobe_scaled",
+      s"""WITH $multiprobeScaledCtes
+         |SELECT vec_id, neighbor_id, rank, dist FROM mpknn
+         |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+      multiprobeKnnScaledDF(s, d).orderBy("vec_id", "rank")
+    },
+
+    // Recall audit for the scaled multi-probe graph — the production point
+    // on the recall curve, same sampled exact-top-3 harness and
+    // (dist, neighbor_id) total order as the other three audits, so all
+    // four numbers compare directly (label cells -> learned k=8 ->
+    // learned k=8 + multiprobe -> scaled two-level + multiprobe). The
+    // floor is asserted by MultiprobeRecallSpec alongside the fixed-k
+    // variant's.
+    Q("sim_knn_recall_multiprobe_scaled", {
+      val dims = LlmHash.dims
+      val dNq =
+        s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]) * (q.xq[CAST(i AS INT)] - c.xq[CAST(i AS INT)]))) AS BIGINT)"
+      s"""WITH $multiprobeScaledCtes,
+         |qs AS (SELECT vec_id, xq FROM xq WHERE $querySel),
+         |bp AS (
+         |  SELECT q.vec_id, c.vec_id AS neighbor_id, $dNq AS dist
+         |  FROM qs q JOIN xq c ON c.vec_id <> q.vec_id
+         |),
+         |bt AS (
+         |  SELECT vec_id, neighbor_id FROM bp
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, neighbor_id) <= $knnK
+         |),
+         |gt AS (SELECT vec_id, neighbor_id FROM mpknn WHERE vec_id % 50 = 0),
+         |hit AS (
+         |  SELECT bt.vec_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM bt JOIN gt ON gt.vec_id = bt.vec_id AND gt.neighbor_id = bt.neighbor_id
+         |  GROUP BY bt.vec_id
+         |)
+         |SELECT q.vec_id AS query_id, coalesce(h.n_hit, 0) AS n_hit
+         |FROM qs q LEFT JOIN hit h ON h.vec_id = q.vec_id
+         |ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val gt = multiprobeKnnScaledDF(s, d).filter(expr(querySel))
+        .select("vec_id", "neighbor_id")
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+      val qs = xq.filter(expr(querySel)).select(col("vec_id").as("qid"), col("xq").as("qx"))
+      val bt = xq.join(broadcast(qs), col("vec_id") =!= col("qid")) // 2% query batch
+        .select(col("qid").as("vec_id"), col("vec_id").as("neighbor_id"),
+          expr("vector_l2q(qx, xq)").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+        .filter(col("rn") <= knnK)
+        .select("vec_id", "neighbor_id")
+      val hit = bt.join(gt, Seq("vec_id", "neighbor_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hit"))
+      xq.filter(expr(querySel)).select(col("vec_id").as("query_id"))
+        .join(hit.withColumnRenamed("vec_id", "query_id"), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("query_id")
     },
 
     // Hard-negative mining — the contrastive-training data op: for each

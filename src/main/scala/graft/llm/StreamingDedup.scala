@@ -56,6 +56,120 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** One per-(doc, band) verdict row of [[dedupNearBandedStream]]'s first
+    * stage: `near` = an earlier in-window doc within Hamming ≤
+    * [[NearHamming]] shares this band. `text` rides on band 0 only, so the
+    * doc's bytes cross the bucket shuffle once, not [[NearBands]]×. */
+  case class BandVerdict(doc_id: Long, timestamp: Long, band: Int,
+      near: Boolean, text: Option[String])
+
+  /** Per-bucket state of [[dedupNearBandedStream]]: the (signature,
+    * event-time) pairs seen in this band bucket within the watermark
+    * window — pruned on every invocation and by the TTL timer, so the
+    * bucket holds only signatures a future ON-TIME row could still pair
+    * with. */
+  case class BandBucketState(sigs: Seq[Long], ts: Seq[Long])
+
+  /** dd_simhash's banded-Hamming geometry, mirrored from the batch side:
+    * 60-bit simhash, [[NearBands]] bands × 15 bits, near ⇔ Hamming ≤
+    * [[NearHamming]]. 4 bands pigeonhole-guarantee that any pair within
+    * Hamming 3 shares ≥1 band — recall 1.0 vs the batch pair join on the
+    * same window. */
+  val NearBands = 4
+  val NearHamming = 3
+
+  /** Streaming BANDED near-dup guard — the in-stream twin of the batch
+    * `dd_simhash` pair join, closing the gap [[dedupNearStream]] documents:
+    * exact-signature keying suppresses only simhash COLLISIONS, so a
+    * one-char variant landing one bit away passes that guard while batch
+    * dd_simhash (Hamming ≤ 3) would pair it. Here the mm_phash_pairs /
+    * dd_simhash band pattern runs INSIDE keyed state:
+    *
+    *   1. each doc folds to its 60-bit simhash row-locally (`simhash_sig`),
+    *      explodes to [[NearBands]] (band, 15-bit value) rows, and each row
+    *      routes to its band BUCKET — `flatMapGroupsWithState` keyed on
+    *      (band, value), the LSH shuffle as state partitioning;
+    *   2. a bucket holds the signatures seen within the watermark window;
+    *      an arriving row's verdict is "∃ stored sig with
+    *      bit_count(xor) ≤ [[NearHamming]]" (full-signature verify, never
+    *      band-equality alone — a band collision at Hamming 10 must NOT
+    *      suppress), then its own sig is stored (store-all: a suppressed
+    *      doc still suppresses LATER variants of itself — chains collapse
+    *      to their first element, the window-transitive closure);
+    *   3. a doc survives iff NONE of its band rows found a near sig —
+    *      reassembled by [[nearBandedSurvivors]], a per-micro-batch BATCH
+    *      aggregation (all [[NearBands]] rows of a doc are emitted in the
+    *      doc's own micro-batch, so the reduce never spans batches and
+    *      needs no second stateful operator).
+    *
+    * State bound: one (long, long) pair per in-window doc per band —
+    * 4×16 B/doc over the watermark window, independent of stream length;
+    * rows older than the watermark prune on every bucket invocation and an
+    * event-time TTL timer (the P4 pattern, watermark-clamped) clears idle
+    * buckets entirely. Bucket key space is 4×2^15 — parallelism scales to
+    * any cluster. Like every ingest guard here, Hamming tolerance BEYOND
+    * the window stays the batch job's responsibility. */
+  def dedupNearBandedStream(docs: Dataset[DocEvent], delayMs: Long = 10000L,
+      shingleLen: Int = 5): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val bandCols = (0 until NearBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"cast(shiftright(simhash, ${15 * b}) & 32767 as int)").as("bval")))
+    val banded = docs.toDF()
+      .filter(length(col("text")) >= shingleLen)
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withColumn("simhash", expr(s"simhash_sig(rolling_hash(text, $shingleLen))"))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("doc_id"), col("timestamp"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"), col("text"), col("ts"))
+      .select(col("doc_id"), col("timestamp"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"),
+        when(col("bb.band") === 0, col("text")).as("text"),
+        col("ts")) // the watermark column must reach the stateful operator
+      .as[(Long, Long, Long, Int, Int, Option[String], java.sql.Timestamp)]
+    banded.groupByKey { case (_, _, _, band, bval, _, _) => (band, bval) }
+      .flatMapGroupsWithState[BandBucketState, BandVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[BandBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(BandBucketState(Nil, Nil))
+            // prune: a sig older than the watermark can't pair with any
+            // future on-time row — the window-uniqueness trade
+            var kept = st.sigs.zip(st.ts).filter(_._2 >= wm)
+            val out = Seq.newBuilder[BandVerdict]
+            rows.toSeq.sortBy(r => (r._2, r._1)).foreach {
+              case (docId, ts, sig, band, _, text, _) =>
+                val near = kept.exists { case (s, _) =>
+                  java.lang.Long.bitCount(s ^ sig) <= NearHamming }
+                out += BandVerdict(docId, ts, band, near, text)
+                kept = kept :+ (sig, ts)
+            }
+            state.update(BandBucketState(kept.map(_._1), kept.map(_._2)))
+            // TTL: clear the bucket once the watermark passes its newest
+            // sig (clamped above the current watermark — the r4 timer rule)
+            state.setTimeoutTimestamp(
+              math.max(kept.map(_._2).max + delayMs, wm + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per-micro-batch reassembly of [[dedupNearBandedStream]]'s verdicts —
+    * run it INSIDE `foreachBatch` (all of a doc's band rows land in the
+    * same batch, so this is a complete per-doc reduce with no cross-batch
+    * state): the surviving [[DocEvent]]s, i.e. docs none of whose bands
+    * found an earlier in-window near signature. */
+  def nearBandedSurvivors(batch: DataFrame): DataFrame =
+    batch.groupBy("doc_id", "timestamp")
+      .agg(max(col("near")).as("suppressed"),
+        first(col("text"), ignoreNulls = true).as("text"))
+      .filter(!col("suppressed"))
+      .select("doc_id", "timestamp", "text")
+
   /** Per-key state of [[diffStream]]: the last content hash (None after a
     * tombstone) and the newest event time seen (drives the TTL timer). */
   case class DiffState(hash: Option[String], maxSeen: Long)

@@ -142,7 +142,13 @@ object AnomalyStream {
     * arriving out of order across micro-batches — cannot double-fold
     * into the statistic and spuriously cross the alarm threshold. A
     * skipped day emits nothing (its reading already went out when it
-    * first folded). */
+    * first folded) — but it is NOT silent: the skip is indistinguishable
+    * from a genuinely late NEW day or an upstream CORRECTION (whose count
+    * would then never enter the statistic), so every emitted reading
+    * carries the key's cumulative `n_skipped_days`. A monitor seeing the
+    * counter move on a source that should never re-deliver knows a real
+    * day was dropped and can trigger the batch `ev_changepoint` recompute,
+    * which has no replay ambiguity (ADVICE r6). */
   def cusumAlarmStream(days: Dataset[DayCount], baseline: DataFrame,
       slack: Long, h: Long): Dataset[CusumAlarm] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -156,14 +162,18 @@ object AnomalyStream {
       .flatMapGroupsWithState[CusumState, CusumAlarm](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (typ, rows, state) =>
-          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue, 0L))
           val out = Seq.newBuilder[CusumAlarm]
           rows.toSeq.sortBy(_._2).foreach { case (_, day, c, tot, m) =>
             if (day > st.lastDay) { // replayed/out-of-order closed day: already folded
               val s1 = math.max(0L, st.s + (m * c - tot - m * slack))
               val alarm = s1 >= m * h
-              out += CusumAlarm(typ, day, s1, alarm)
-              st = CusumState(if (alarm) 0L else s1, day)
+              out += CusumAlarm(typ, day, s1, alarm, st.nSkipped)
+              st = CusumState(if (alarm) 0L else s1, day, st.nSkipped)
+            } else {
+              // dropped (replay OR a late new/corrected day — can't tell):
+              // count it so the drop is observable downstream
+              st = st.copy(nSkipped = st.nSkipped + 1)
             }
           }
           state.update(st)
@@ -176,12 +186,16 @@ object AnomalyStream {
   * emission row). */
 case class DayCount(event_type: String, day_idx: Long, c: Long)
 
-/** CUSUM per-key state: the scaled statistic and the newest day folded. */
-case class CusumState(s: Long, lastDay: Long)
+/** CUSUM per-key state: the scaled statistic, the newest day folded, and
+  * the cumulative count of dropped (at-or-before-lastDay) readings. */
+case class CusumState(s: Long, lastDay: Long, nSkipped: Long)
 
-/** One day's CUSUM reading: the scaled statistic (units of counts/m) and
-  * whether it crossed the alarm threshold. */
-case class CusumAlarm(event_type: String, day_idx: Long, cusum_scaled: Long, alarm: Boolean)
+/** One day's CUSUM reading: the scaled statistic (units of counts/m),
+  * whether it crossed the alarm threshold, and the key's cumulative dropped
+  * readings so far (replays AND late corrections — nonzero on a
+  * no-replay source means a real day never folded). */
+case class CusumAlarm(event_type: String, day_idx: Long, cusum_scaled: Long,
+    alarm: Boolean, n_skipped_days: Long)
 
 /** A valued event on the metrics ingest stream (epoch-millis timestamp). */
 case class ValueEvent(event_id: Long, timestamp: Long, event_type: String, value: Double)

@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Replication must not distort the corpus's SIMILARITY STATISTICS in
   * either direction: replica r > 0 applies a per-replica PERMUTATION of
-  * the token alphabet [a-z0-9] to the whole text (`translate` — row-local,
-  * bijective on characters). A bijective character map carries every
-  * 5-gram bijectively, so WITHIN a replica every pairwise shingle-Jaccard
-  * is EXACTLY the source corpus's value (dup clusters replicate
-  * per-replica, never across), while ACROSS replicas two different
-  * permutations agree on a gram only by hash-level coincidence — replicas
-  * are ordinary distinct documents to MinHash/SimHash/Jaccard. Doc
-  * lengths, token boundaries, and token lengths are all preserved
-  * ([a-z0-9] maps to [a-z0-9]), so the tokenizer-based families see the
-  * same shape. The FORMER word-suffix scheme failed this contract from
+  * the token alphabet [a-z0-9] + [A-Z] (each class permuted within itself)
+  * to the whole text (`translate` — row-local, bijective on characters).
+  * A bijective character map carries every 5-gram bijectively, so WITHIN a
+  * replica every pairwise shingle-Jaccard is EXACTLY the source corpus's
+  * value (dup clusters replicate per-replica, never across), while ACROSS
+  * replicas two different permutations agree on a gram only by hash-level
+  * coincidence — replicas are ordinary distinct documents to
+  * MinHash/SimHash/Jaccard (all-punctuation shingles excepted; see
+  * [[perm]]'s envelope note). Doc lengths, token boundaries, token
+  * lengths, and case statistics are all preserved (each class maps to
+  * itself), so the tokenizer-based families see the same shape. The FORMER word-suffix scheme failed this contract from
   * the other side: appending the replica digit to every word planted the
   * digit's grams corpus-wide, INFLATING within-replica similarity — at a
   * 10× slice, est≥0.5 candidate pairs measured 486k vs the 48k a
@@ -36,19 +37,33 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  private val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val lower = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  /** Full permuted alphabet: lowercase+digits and uppercase as SEPARATE
+    * classes — case statistics and tokenizer shape survive the map. */
+  private val alphabet = lower + upper
 
   /** Deterministic permutation of [[alphabet]] for replica r (r = 0 is the
-    * identity — the source slice rides unchanged). `salt` varies per
-    * OUTPUT slice so stacked applications (sfx10 → sfx100) never compose
-    * to a collision: with one fixed seed family, perm(0)∘perm(r) and
-    * perm(r)∘perm(0) would make replica pairs (0,r)/(r,0) of the second
-    * decade byte-identical corpora — 45k manufactured exact-dup pairs at
-    * 100×. */
+    * identity — the source slice rides unchanged), permuting [a-z0-9] and
+    * [A-Z] within their own classes. `salt` varies per OUTPUT slice so
+    * stacked applications (sfx10 → sfx100) never compose to a collision:
+    * with one fixed seed family, perm(0)∘perm(r) and perm(r)∘perm(0) would
+    * make replica pairs (0,r)/(r,0) of the second decade byte-identical
+    * corpora — 45k manufactured exact-dup pairs at 100×.
+    *
+    * Envelope (ADVICE r6): punctuation and whitespace still pass through
+    * identically in every replica, so a shingle made ENTIRELY of
+    * non-alphanumeric characters (e.g. a 5-gram inside "... -- ...")
+    * retains cross-replica overlap; any shingle containing ≥1 alphanumeric
+    * character is permuted. On prose-like corpora the all-punctuation
+    * shingle mass is negligible, and the synthetic documents table is
+    * lowercase alphanumeric + space — fully covered. */
   private[tools] def perm(r: Int, salt: Int): String =
     if (r == 0) alphabet
-    else new scala.util.Random(1000L + r + 1000003L * salt)
-      .shuffle(alphabet.toList).mkString
+    else {
+      val rnd = new scala.util.Random(1000L + r + 1000003L * salt)
+      rnd.shuffle(lower.toList).mkString + rnd.shuffle(upper.toList).mkString
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -28,4 +28,17 @@ class MultiprobeRecallSpec extends SparkSpec {
     assert(multi >= 0.5, f"multi-probe recall floor: $multi%.3f < 0.5")
     assert(multi > single, f"multi-probe must beat single-probe: $multi%.3f <= $single%.3f")
   }
+
+  test("SCALED multi-probe graph (k ∝ N two-level cells + nprobe=10) holds the 0.5 recall floor at sf0.1") {
+    val dir = sf("sf0.1")
+    val rows = graft.SparkEntry.queries("sim_knn_recall_multiprobe_scaled")(spark, dir)
+      .select("query_id", "n_hit").collect()
+    assert(rows.nonEmpty, "scaled audit returned no rows")
+    val recall = rows.map(_.getLong(1)).sum.toDouble / (3.0 * rows.length)
+    info(f"recall@3: scaled two-level cells, nprobe=10: $recall%.3f")
+    // the production composition must not trade the multiprobe recall win
+    // away for the two-level assignment's speed: same floor as the fixed-k
+    // multiprobe graph, on ~8x more (k = N/32 = 62) cells
+    assert(recall >= 0.5, f"scaled multi-probe recall floor: $recall%.3f < 0.5")
+  }
 }

@@ -67,6 +67,71 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids == Set(1L, 3L), s"near-identical doc 2 must be suppressed: $ids")
   }
 
+  test("BANDED near-dup guard suppresses a one-char variant the exact-signature guard misses (VERDICT r6 #6)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy cats watch from a warm windowsill in the late afternoon sun"
+    // find a one-char edit whose simhash DIFFERS (the exact-sig guard
+    // passes it) but sits within Hamming <= 3 (batch dd_simhash pairs it)
+    // — the exact gap dedupNearStream documents. Scored in ONE batch query.
+    val targets = Seq("windowsill", "afternoon", "seventeen", "sleepy", "quick", "brown")
+    val candidates = for {
+      w <- targets; c <- 'a' to 'z'
+      v = base.replace(w, w.dropRight(1) + c) if v != base
+    } yield v
+    val sigs = (base +: candidates).toDF("text")
+      .selectExpr("text", "simhash_sig(rolling_hash(text, 5)) AS s")
+      .as[(String, Long)].collect().toMap
+    val baseSig = sigs(base)
+    def ham(v: String) = java.lang.Long.bitCount(sigs(v) ^ baseSig)
+    val variant = candidates.find(v => ham(v) >= 1 && ham(v) <= 3)
+      .getOrElse(fail("no 1..3-Hamming one-char variant found"))
+    // precondition pinning the gap: different exact signature (misses the
+    // dropDuplicates guard), within the banded guard's Hamming envelope —
+    // and the pigeonhole: <=3 flipped bits leave >=1 of the 4 bands equal
+    assert(sigs(variant) != baseSig && ham(variant) <= 3)
+    assert((0 until 4).exists(b =>
+      ((sigs(variant) >> (15 * b)) & 0x7fff) == ((baseSig >> (15 * b)) & 0x7fff)),
+      "variant must share a band with base")
+    val far = "completely different content about spark engines and streaming " +
+      "state stores with nothing shared beyond stopwords"
+    assert(java.lang.Long.bitCount(
+      sigs.getOrElse(far, Seq(far).toDF("text")
+        .selectExpr("simhash_sig(rolling_hash(text, 5))").as[Long].head) ^ baseSig) > 3,
+      "control doc must be far in Hamming space")
+
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.dedupNearBandedStream(mem.toDS(), delayMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.BandVerdict], _: Long) =>
+        val ids = StreamingDedup.nearBandedSurvivors(b.toDF())
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        survivors.synchronized { survivors ++= ids }; ()
+      }.start()
+    mem.addData(DocEvent(1L, 1000L, base))
+    q.processAllAvailable()
+    // in-window: the variant lands in a DIFFERENT exact signature but
+    // shares a band -> full-sig verify (Hamming<=3) suppresses it; the far
+    // doc may or may not share a band, but the verify lets it through
+    mem.addData(DocEvent(2L, 1500L, variant), DocEvent(3L, 1600L, far))
+    q.processAllAvailable()
+    // advance the watermark past the window: bucket state prunes/evicts
+    mem.addData(DocEvent(4L, 300000L, "advance the watermark with this row"))
+    q.processAllAvailable()
+    mem.addData(DocEvent(5L, 301000L, "and apply it with another one"))
+    q.processAllAvailable()
+    // a re-arrival of the variant AFTER eviction is new again — the same
+    // windowed-knowledge trade every ingest guard here makes
+    mem.addData(DocEvent(6L, 302000L, variant))
+    q.processAllAvailable()
+    q.stop()
+    assert(survivors.toSet == Set(1L, 3L, 4L, 5L, 6L),
+      s"variant (2) suppressed in-window, re-admitted after eviction: $survivors")
+  }
+
   test("diffStream's last emission per key equals the batch dd_corpus_diff classes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

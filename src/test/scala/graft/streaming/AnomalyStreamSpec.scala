@@ -168,6 +168,7 @@ class AnomalyStreamSpec extends SparkSpec {
     val baseline = Seq(("shift", 20L, 10L)).toDF("event_type", "tot", "m")
     val series = (0 until 10).map(d => DayCount("shift", d.toLong, 2L)) ++
       (10 until 20).map(d => DayCount("shift", d.toLong, 10L))
+    var lastSkips: Seq[(Long, Long)] = Nil // (day_idx, n_skipped_days) of the last run
     def run(batches: Seq[Seq[DayCount]]): Seq[(Long, Long, Boolean)] = {
       val mem = MemoryStream[DayCount]
       val name = s"cusum_out_${batches.size}"
@@ -175,8 +176,9 @@ class AnomalyStreamSpec extends SparkSpec {
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
       q.stop()
-      spark.table(name).as[CusumAlarm].collect().sortBy(_.day_idx)
-        .map(a => (a.day_idx, a.cusum_scaled, a.alarm)).toSeq
+      val rows = spark.table(name).as[CusumAlarm].collect().sortBy(_.day_idx)
+      lastSkips = rows.map(a => (a.day_idx, a.n_skipped_days)).toSeq
+      rows.map(a => (a.day_idx, a.cusum_scaled, a.alarm)).toSeq
     }
     // driver-side reference: the same recursion as a scanLeft
     val want = series.scanLeft((0L, -1L, 0L, false)) { case ((s, _, _, _), dc) =>
@@ -200,5 +202,14 @@ class AnomalyStreamSpec extends SparkSpec {
     // lastDay guard skips them and the trail is bit-identical
     val replay = run(Seq(series.take(12), series.take(12) ++ series.drop(12)))
     assert(replay == oneShot, s"replayed days double-folded: $replay != $oneShot")
+    // …and the drop is OBSERVABLE, not silent (ADVICE r6): the 12 re-sent
+    // days each bump the key's cumulative skip counter, so every reading
+    // after the replay carries n_skipped_days = 12 — a monitor on a
+    // no-replay source reads the same counter as "a real late/corrected
+    // day never folded" and escalates to the batch recompute
+    assert(lastSkips.filter(_._1 >= 12L).forall(_._2 == 12L),
+      s"post-replay readings must carry the 12 skips: $lastSkips")
+    assert(lastSkips.filter(_._1 < 12L).forall(_._2 == 0L),
+      s"pre-replay readings carry zero skips: $lastSkips")
   }
 }

@@ -108,4 +108,54 @@ class StreamingScd2Spec extends SparkSpec {
     assert(got.toSet == Set((1L, 1, 10L, 12L, 2L), (1L, 2, 12L, 15L, 2L)),
       s"recovered state closes batch-identically: ${got.toSet}")
   }
+
+  test("scd2ToJdbc maintains the segment dimension in Derby; replay is a no-op (VERDICT r6 #7)") {
+    import java.sql.DriverManager
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("derby_scd2").resolve("segs")};create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE segments (user_id BIGINT, valid_from_day BIGINT, tier INT, " +
+        "valid_to_day BIGINT, n_active_days BIGINT, PRIMARY KEY (user_id, valid_from_day))")
+    conn.close()
+    def readSegs(): Set[(Long, Long, Int, Long, Long)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT user_id, valid_from_day, tier, valid_to_day, n_active_days FROM segments")
+        val b = Set.newBuilder[(Long, Long, Int, Long, Long)]
+        while (rs.next())
+          b += ((rs.getLong(1), rs.getLong(2), rs.getInt(3), rs.getLong(4), rs.getLong(5)))
+        b.result()
+      } finally c.close()
+    }
+    val in = MemoryStream[SpendRow]
+    val cp = java.nio.file.Files.createTempDirectory("scd2_jdbc_cp").toString
+    val q = StreamingScd2.scd2ToJdbc(in.toDS(), url, "segments", cp).start()
+    try {
+      // user 1: 3 tier-1 days, 2 tier-2 days, then a tier-1 day (day 1
+      // onward — day 0's event time equals the initial watermark and the
+      // exec's late filter drops it); the far user-2 row pushes the
+      // watermark past all of them so both of user 1's first two segments
+      // CLOSE (tier changes at days 4 and 7)
+      in.addData(SpendRow(1L, 1L, 100L), SpendRow(1L, 2L, 200L), SpendRow(1L, 3L, 100L),
+        SpendRow(1L, 4L, 7000L), SpendRow(1L, 5L, 7500L), SpendRow(1L, 7L, 300L))
+      q.processAllAvailable()
+      in.addData(SpendRow(2L, 100L, 100L)) // watermark mover (other key)
+      q.processAllAvailable()
+      in.addData(SpendRow(2L, 101L, 100L)) // extra batch applies the watermark
+      q.processAllAvailable()
+      val want = Set((1L, 1L, 1, 4L, 3L), (1L, 4L, 2, 7L, 2L))
+      assert(readSegs() == want, s"closed segments in Derby: ${readSegs()}")
+      // at-least-once REPLAY of the same closed segments through the merge
+      // step: PK overwrite with identical values — a no-op to any reader
+      Jdbc.upsertBatchJdbc(
+        Seq((1L, 1L, 1, 4L, 3L), (1L, 4L, 2, 7L, 2L))
+          .toDF("user_id", "valid_from_day", "tier", "valid_to_day", "n_active_days"),
+        url, "segments", Seq("user_id", "valid_from_day"),
+        Seq("tier", "valid_to_day", "n_active_days"))
+      assert(readSegs() == want, "replayed segment upsert must be a no-op")
+    } finally q.stop()
+  }
 }

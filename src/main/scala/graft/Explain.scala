@@ -115,7 +115,7 @@ object Explain {
       if (verbose) {
         println(s"===== $name =====")
         println(qe.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(9000))
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(60000))
       }
       val flags = audit(qe.executedPlan, DeclaredBoundedBuilds.getOrElse(name, 0),
         DeclaredGlobalWindows.getOrElse(name, 0))

@@ -426,7 +426,17 @@ object DedupQueries {
       val rdd = if (ck.rdd.getNumPartitions > width) ck.rdd.coalesce(width) else ck.rdd
       ck.sparkSession.createDataFrame(rdd, ck.schema)
     }
-    val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    // sym is scanned by EVERY round's nmin join — truncate its lineage
+    // BEFORE the loop, not just cache it: an InMemoryRelation keeps its
+    // child SparkPlan for eviction recompute, and every stage scanning the
+    // cache serializes that plan into its task binaries. With a deep edge
+    // lineage (the two-level Lloyd chain behind the mutual-kNN graph) that
+    // was a ~4 MiB task binary × every stage × every round — measured as a
+    // flat ~10 s/round at EVERY corpus size (r7; the trivial-edge twin ran
+    // the same rounds in 0.3 s). A localCheckpoint cuts the plan to a
+    // LogicalRDD; the persist keeps the scan columnar.
+    val sym = truncated(
+      edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tInit0 = System.nanoTime()
     var labels = truncated(sym.select(col("d1").as("node")).distinct()

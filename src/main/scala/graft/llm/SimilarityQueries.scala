@@ -726,6 +726,34 @@ object SimilarityQueries {
     }
   }
 
+  /** [[stageKmeansAssign]] for the k ∝ N TWO-LEVEL fit: the scaled
+    * assignment table (vec_id, cid) staged behind the same
+    * fingerprint-validated cross-session machinery. The fingerprint pins
+    * the algorithm version AND the re-fit law (cellTarget) — a corpus that
+    * grew re-fingerprints (different N → different xor AND different k), so
+    * a stale assignment can never serve a changed corpus. */
+  private[llm] def stageKmeansScaledAssign(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+        .head
+      s"km2l-asg-v1;dims=${LlmHash.dims};cellTarget=$cellTarget;scale=$kmScale;" +
+        s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_km2l_asg_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (vec_id BIGINT, cid BIGINT) USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      val (_, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
+      a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+    }
+  }
+
   /** Mutual-edge components shared by sim_components (label cells) and
     * sim_components_kmeans (learned cells): mutual filter (a ∈ knn(b) AND
     * b ∈ knn(a)) over any (vec_id, neighbor_id) edge frame, the audited
@@ -2005,6 +2033,24 @@ object SimilarityQueries {
       val (xq, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
       kmComponentsFrom(s, d, a2.select("vec_id", "cid"), xq,
         "sim_components_kmeans_scaled")
+    },
+
+    // The staged production face of the SCALED chain — the
+    // sim_components_kmeans_staged contract applied to the two-level k ∝ N
+    // fit: the assignment table persists once per corpus version behind
+    // the fingerprint-validated staging (content xor + dims + cellTarget +
+    // algorithm version — growing the corpus changes BOTH the xor and k,
+    // so a stale fit can never serve), and the per-run cost is the
+    // knn-within-cell + components chain only. Same oracle: the two-level
+    // chain is deterministic, so the staged assignment IS the computed one.
+    Q("sim_components_kmeans_scaled_staged", kmComponentsScaledOracle) { (s, d) =>
+      val table = stageKmeansScaledAssign(s, d)
+      graft.functions.GraftFunctions.register(s)
+      val xq = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kmComponentsFrom(s, d, s.table(table), xq,
+        "sim_components_kmeans_scaled_staged")
     },
 
     // Multi-probe kNN graph over the SCALED (k ∝ N, two-level) cells — the

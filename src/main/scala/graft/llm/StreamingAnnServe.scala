@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 /** An incoming similarity query on the serving stream. */
 case class QueryVec(query_id: Long, timestamp: Long, embedding: Array[Float])
 
+/** One incoming corpus vector on the index-maintenance stream. */
+case class VecEvent(vec_id: Long, timestamp: Long, embedding: Array[Float])
+
 /** Real-time vector-search serving — the ONLINE consumer of the staged
   * IVF-PQ index (the shape a retrieval endpoint runs: queries arrive as a
   * stream, the index is a versioned on-disk artifact).
@@ -48,5 +51,65 @@ object StreamingAnnServe {
       }
     val w1 = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
+  }
+
+  /** Streaming ANN index MAINTENANCE — [[serve]]'s ingest-side complement:
+    * new corpus vectors route to their IVF cell against the SAME staged
+    * centroid table the serve path reads, then append CELL-PARTITIONED to
+    * a delta-index directory through the file sink's commit log —
+    * exactly-once to any `_spark_metadata`-aware reader (the Publish
+    * machinery; `Publish.compact` folds the delta into the next index
+    * build, and serving reads base ∪ delta until then).
+    *
+    * The routing is a STATELESS row-local projection — no
+    * aggregation, no watermark, no state store: the k-row centroid table
+    * folds to a ONE-ROW struct array (a no-grouping aggregate — the
+    * provably-constant broadcast build), and each vector's argmax-cosine
+    * cell is a [[routeToCells]] greatest() chain of k codegen `vector_dot`
+    * terms, identical rule and (cos DESC, label ASC) tie order to the
+    * sim_ivf query router (spec-pinned against the batch twin). The
+    * centroid table is PINNED — the batch-train/stream-serve stance: a
+    * re-train is a corpus-version event (new fingerprint) that restarts
+    * maintenance, never an in-stream drift. */
+  def annIndexStream(vecs: Dataset[VecEvent], corpusDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val s = vecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val cents = s.table(SimilarityQueries.stageIvfCentroids(s, corpusDir))
+      .select(col("label"), col("c"))
+    routeToCells(vecs.toDF(), cents)
+      .writeStream.format("parquet")
+      .partitionBy("cell")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** The routing projection shared by [[annIndexStream]] and its batch
+    * parity twin: (vec_id, timestamp, embedding, cell) with `cell` the
+    * nearest centroid by cosine, (cos DESC, label ASC) tie order — the
+    * sim_ivf routing rule as a row-local expression. k comes from one
+    * count of the k-row centroid table (a bounded metadata-scale action,
+    * not a data collect); the k `vector_dot` terms are all codegen. For a
+    * k ∝ N (scaled) index the flat greatest() chain stops fitting — the
+    * two-level coarse routing (SimilarityQueries.assignTwoLevel's shape)
+    * is the documented swap, exactly as on the batch side. */
+  private[llm] def routeToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val k = cents.count().toInt
+    require(k >= 1, "empty centroid table")
+    val centsRow = cents
+      .select(struct(col("label").cast("int").as("label"), col("c"),
+        expr("sqrt(vector_dot(c, c))").as("cn")).as("cell"))
+      .agg(expr("array_sort(collect_list(cell))").as("cells"))
+    val terms = (1 to k).map { i =>
+      s"struct(vector_dot(v, element_at(cells, $i).c) / (vn * element_at(cells, $i).cn) AS cos, " +
+        s"-element_at(cells, $i).label AS nl)"
+    }
+    val best = if (k == 1) terms.head else s"greatest(${terms.mkString(", ")})"
+    vecs
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("vn", expr("sqrt(vector_dot(v, v))"))
+      .crossJoin(broadcast(centsRow)) // 1-row struct-array: constant by construction
+      .withColumn("cell", expr(s"-(($best).nl)").cast("int"))
+      .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))
   }
 }

@@ -197,4 +197,43 @@ class StageReuseSpec extends SparkSpec {
     assert(a2 == a1, "adopted assignments are identical")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("SCALED (two-level) assignment table: adopts on match, re-fits when the corpus grows") {
+    val dir = Files.createTempDirectory("stage_km2l")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val table = "graft_km2l_asg_" + math.abs(corpus.hashCode).toString
+    def asg() = spark.table(SimilarityQueries.stageKmeansScaledAssign(spark, corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val base = PipelineQueries.stagingsComputed
+    val a1 = asg()
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call runs the two-level chain")
+    assert(a1.size == 500 && a1.values.toSet.size > 8,
+      s"k follows N (500/32 -> 15 cells seeded): ${a1.values.toSet.size}")
+
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val a2 = asg()
+    assert(PipelineQueries.stagingsComputed == base + 1,
+      "matching fingerprint adopts without a two-level pass")
+    assert(a2 == a1, "adopted assignments are identical")
+
+    // the re-fit law is part of the fingerprint: GROW the corpus — a fresh
+    // process (memo cleared; within-process consumers are memo-free by
+    // contract) must re-fingerprint and recompute the stale fit (wrong k,
+    // wrong content xor), never serve it
+    PipelineQueries.resetStageCache()
+    Tables.embeddings(spark, sf("sf0.001"))
+      .unionByName(Tables.embeddings(spark, sf("sf0.001"))
+        .select((col("vec_id") + 500L).as("vec_id"), col("embedding"), col("label")))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val a3 = asg()
+    assert(PipelineQueries.stagingsComputed == base + 2,
+      "grown corpus re-fingerprints and recomputes")
+    assert(a3.size == 1000, s"re-fit covers the grown corpus: ${a3.size}")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -109,4 +109,79 @@ class StreamingAnnServeSpec extends SparkSpec {
     val table = "graft_pq_index_" + math.abs(corpus.hashCode).toString
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("annIndexStream: exactly-once cell-partitioned delta across an injected failure, batch-identical routing") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    // private corpus: the staged centroid table belongs to this spec
+    val dir = Files.createTempDirectory("ann_maint")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    // "new" corpus vectors: reused embeddings under shifted ids, 4 input
+    // files consumed one per micro-batch
+    val in = Files.createTempDirectory("ann_maint_in")
+    val newVecs = Tables.embeddings(spark, sf("sf0.001")).limit(40)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        (col("vec_id") * 1000L).as("timestamp"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    newVecs.grouped(10).zipWithIndex.foreach { case (g, f) =>
+      val staging = in.resolve(s"staging_$f")
+      g.toSeq.toDF("vec_id", "timestamp", "embedding")
+        .coalesce(1).write.parquet(staging.toString)
+      val part = staging.toFile.listFiles().map(_.toPath)
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = in.resolve(s"f$f.parquet")
+      Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + f * 60000L))
+    }
+    val out = Files.createTempDirectory("ann_maint_out").resolve("delta")
+    val ckpt = Files.createTempDirectory("ann_maint_ckpt").toString
+
+    graft.streaming.FailingMapper.reset()
+    def start() = {
+      import org.apache.spark.sql.types._
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("timestamp", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString + "/f*.parquet")
+        .as[VecEvent]
+      val vecs = graft.streaming.FailingMapper(src)(_.vec_id == 100015L)
+      StreamingAnnServe.annIndexStream(vecs, corpus, out.toString, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val q1 = start()
+    intercept[Exception] { q1.awaitTermination() }
+    assert(graft.streaming.FailingMapper.tripped.get, "failure should have been injected")
+    val q2 = start() // same checkpoint: failed batch replays, commits once
+    q2.awaitTermination()
+
+    // exactly-once through the commit log, cell directory layout on disk
+    assert(Files.exists(out.resolve("_spark_metadata")), "commit log present")
+    val cellDirs = out.toFile.listFiles().map(_.getName).filter(_.startsWith("cell=")).toSet
+    assert(cellDirs.nonEmpty, "cell-partitioned layout")
+    val got = spark.read.parquet(out.toString)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    assert(got.length == 40, s"exactly-once: ${got.length} rows")
+    assert(got.map(_._1).toSet == newVecs.map(_._1).toSet)
+
+    // routing parity: the stream's cells equal the batch twin's, rule and
+    // tie order included (same staged centroid table)
+    val cents = spark.table(SimilarityQueries.stageIvfCentroids(spark, corpus))
+      .select(col("label"), col("c"))
+    val want = StreamingAnnServe.routeToCells(
+        newVecs.toSeq.toDF("vec_id", "timestamp", "embedding"), cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got.toMap == want, "stream routing must equal the batch twin")
+    // ...and it actually discriminates (the corpus has 10 label cells)
+    assert(got.map(_._2).toSet.size > 1, s"cells used: ${got.map(_._2).toSet}")
+    val ctable = "graft_ivf_cent_" + math.abs(corpus.hashCode).toString
+    spark.sql(s"DROP TABLE IF EXISTS $ctable")
+  }
 }

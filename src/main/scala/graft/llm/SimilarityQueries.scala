@@ -2445,9 +2445,19 @@ object SimilarityQueries {
     * corpus member, so its id colliding with a corpus vec_id must NOT
     * silently drop that corpus vector from the candidate set
     * (`StreamingAnnServe` sets false). */
+  /** @param delta optional FRESH vectors not yet folded into the PQ index
+    *   — (vec_id, cell, xq) from the streaming maintenance path
+    *   (`StreamingAnnServe.annIndexStream`'s sink, quantized on read).
+    *   A probed cell's fresh members score by their EXACT quantized L2
+    *   (`vector_l2q(q, v)`) — the very quantity the base side's ADC sum
+    *   approximates with codewords, so the two sides rank in the same
+    *   units and one top-k window merges them (the classic IVF
+    *   fresh-buffer design: exact over the small delta, ADC over the
+    *   compacted base). */
   private[llm] def pqServeQueries(s: org.apache.spark.sql.SparkSession, d: String,
       cb: DataFrame, codes: DataFrame, ccent: DataFrame,
-      queries: DataFrame, selfExclude: Boolean): DataFrame = {
+      queries: DataFrame, selfExclude: Boolean,
+      delta: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Serving needs only the corpus's (vec_id, cell-label) membership — a
     // two-column scan, NOT the quantized vectors: routing uses the
@@ -2485,8 +2495,21 @@ object SimilarityQueries {
         col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("d").as("adist"))
+    // fresh-buffer side: the probed cell's not-yet-indexed vectors, exact
+    // quantized L2 (delta is compaction-bounded — small by contract)
+    val scoredAll = delta.fold(adc) { dl =>
+      val fresh = broadcast(route)
+        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+          col("fq") === col("query_id"))
+        .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
+          col("cell") === col("probe_label"))
+        .filter(!(lit(selfExclude) && col("neighbor_id") === col("query_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("vector_l2q(qxq, dxq)").as("adist"))
+      adc.unionByName(fresh)
+    }
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    adc.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+    scoredAll.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select("query_id", "neighbor_id", "adist")
       .orderBy("query_id", "neighbor_id")
   }

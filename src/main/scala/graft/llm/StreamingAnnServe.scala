@@ -53,6 +53,44 @@ object StreamingAnnServe {
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
   }
 
+  /** [[serve]] with FRESHNESS: each query batch is answered from the
+    * staged PQ index UNION the delta directory [[annIndexStream]] is
+    * appending to — a vector ingested seconds ago is searchable without
+    * waiting for the next index build. The delta read goes through the
+    * sink directory's `_spark_metadata` commit log (a batch read over a
+    * file-sink path honors it automatically), so an uncommitted in-flight
+    * file is never served; fresh members of the probed cell score by
+    * exact quantized L2 in the same units as the base's ADC sums (see
+    * `pqServeQueries`' delta note). `Publish.compact`-then-rebuild retires
+    * the delta; an absent/empty delta dir serves base-only. */
+  def serveWithDelta(queries: Dataset[QueryVec], corpusDir: String,
+      deltaDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpoint: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val s = queries.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val w0 = queries.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = s.table(SimilarityQueries.stagePqIndex(s, corpusDir))
+        val q = batch.select(col("query_id"),
+          expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+        val delta = scala.util.Try {
+          val df = s.read.parquet(deltaDir) // _spark_metadata-aware sink read
+          if (df.isEmpty) None
+          else Some(df.select(col("vec_id"), col("cell"),
+            expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq")))
+        }.toOption.flatten // absent/empty delta dir: serve base-only
+        sink(SimilarityQueries.pqServeQueries(s, corpusDir,
+          idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
+          idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+          idx.filter(col("kind") === "ccent").select("label", "carr"),
+          q, selfExclude = false, delta = delta))
+      }
+    val w1 = trigger.fold(w0)(w0.trigger)
+    checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
+  }
+
   /** Streaming ANN index MAINTENANCE — [[serve]]'s ingest-side complement:
     * new corpus vectors route to their IVF cell against the SAME staged
     * centroid table the serve path reads, then append CELL-PARTITIONED to

@@ -114,6 +114,15 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    // docs too short to shingle BYPASS the guard as automatic survivors
+    // (band -1, no state touched) — an ingest guard must not silently DROP
+    // data it cannot judge. (dedupNearStream's filter-out is that older
+    // operator's documented envelope; this one closes it.)
+    val shorts = docs.toDF()
+      .filter(length(col("text")) < shingleLen)
+      .select(col("doc_id"), col("timestamp"), lit(-1).as("band"),
+        lit(false).as("near"), col("text"))
+      .as[BandVerdict]
     val bandCols = (0 until NearBands).map(b =>
       struct(lit(b).as("band"),
         expr(s"cast(shiftright(simhash, ${15 * b}) & 32767 as int)").as("bval")))
@@ -156,6 +165,7 @@ object StreamingDedup {
             out.result().iterator
           }
       }
+      .unionByName(shorts)
   }
 
   /** Per-micro-batch reassembly of [[dedupNearBandedStream]]'s verdicts —

@@ -184,4 +184,78 @@ class StreamingAnnServeSpec extends SparkSpec {
     val ctable = "graft_ivf_cent_" + math.abs(corpus.hashCode).toString
     spark.sql(s"DROP TABLE IF EXISTS $ctable")
   }
+
+  test("serveWithDelta: a vector ingested via annIndexStream is searchable before the next index build") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("ann_fresh")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+
+    // the fresh vector: an EXACT copy of a corpus vector's embedding under
+    // a brand-new id — its quantized L2 to the matching query is 0, so if
+    // the delta is consulted it MUST be the top result; if only the base
+    // index is consulted it cannot appear at all (not in the PQ codes)
+    val seed = Tables.embeddings(spark, corpus)
+      .filter(col("vec_id") === 42L)
+      .select(col("embedding")).as[Array[Float]].head()
+    val freshId = 200001L
+
+    // ingest the fresh vector through the maintenance stream
+    val deltaDir = Files.createTempDirectory("ann_fresh_delta").resolve("delta").toString
+    val ickpt = Files.createTempDirectory("ann_fresh_ickpt").toString
+    val vin = MemoryStream[VecEvent]
+    val iq = StreamingAnnServe.annIndexStream(vin.toDS(), corpus, deltaDir, ickpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+    vin.addData(VecEvent(freshId, 1000L, seed))
+    iq.processAllAvailable()
+    iq.stop()
+
+    // serve the matching query WITH the delta: fresh id at adist 0, rank 1
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val qin = MemoryStream[QueryVec]
+    val q = StreamingAnnServe.serveWithDelta(qin.toDS(), corpus, deltaDir) { df =>
+      df.collect().foreach(r => results.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    qin.addData(QueryVec(1000042L, 1000L, seed))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = results.asScala.toSeq
+    assert(got.exists { case (_, nid, ad) => nid == freshId && ad == 0L },
+      s"fresh vector must be served at exact distance 0: $got")
+
+    // …and base-only serve (no delta dir) cannot know it
+    val results2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val qin2 = MemoryStream[QueryVec]
+    val q2 = StreamingAnnServe.serve(qin2.toDS(), corpus) { df =>
+      df.collect().foreach(r => results2.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    qin2.addData(QueryVec(1000042L, 1000L, seed))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(!results2.asScala.exists(_._2 == freshId),
+      "base-only serve must not surface the un-indexed vector")
+
+    // absent delta dir: serveWithDelta degrades to base-only, no error
+    val results3 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val qin3 = MemoryStream[QueryVec]
+    val q3 = StreamingAnnServe.serveWithDelta(qin3.toDS(), corpus,
+      dir.resolve("never_written").toString) { df =>
+      df.collect().foreach(r => results3.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    qin3.addData(QueryVec(1000042L, 1000L, seed))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(results3.asScala.map(t => (t._1, t._2, t._3)).toSet ==
+      results2.asScala.map(t => (t._1, t._2, t._3)).toSet,
+      "missing delta dir must serve base-identically")
+    Seq("graft_pq_index_", "graft_ivf_cent_").foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS $p${math.abs(corpus.hashCode)}")
+    }
+  }
 }

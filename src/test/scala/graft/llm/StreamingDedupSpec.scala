@@ -115,8 +115,11 @@ class StreamingDedupSpec extends SparkSpec {
     q.processAllAvailable()
     // in-window: the variant lands in a DIFFERENT exact signature but
     // shares a band -> full-sig verify (Hamming<=3) suppresses it; the far
-    // doc may or may not share a band, but the verify lets it through
-    mem.addData(DocEvent(2L, 1500L, variant), DocEvent(3L, 1600L, far))
+    // doc may or may not share a band, but the verify lets it through; the
+    // too-short-to-shingle doc BYPASSES the guard as an automatic survivor
+    // (an ingest guard must not silently drop what it cannot judge)
+    mem.addData(DocEvent(2L, 1500L, variant), DocEvent(3L, 1600L, far),
+      DocEvent(7L, 1700L, "hi"))
     q.processAllAvailable()
     // advance the watermark past the window: bucket state prunes/evicts
     mem.addData(DocEvent(4L, 300000L, "advance the watermark with this row"))
@@ -128,8 +131,9 @@ class StreamingDedupSpec extends SparkSpec {
     mem.addData(DocEvent(6L, 302000L, variant))
     q.processAllAvailable()
     q.stop()
-    assert(survivors.toSet == Set(1L, 3L, 4L, 5L, 6L),
-      s"variant (2) suppressed in-window, re-admitted after eviction: $survivors")
+    assert(survivors.toSet == Set(1L, 3L, 4L, 5L, 6L, 7L),
+      s"variant (2) suppressed in-window, short doc (7) bypasses, " +
+        s"re-admit after eviction: $survivors")
   }
 
   test("diffStream's last emission per key equals the batch dd_corpus_diff classes") {

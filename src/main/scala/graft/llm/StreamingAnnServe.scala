@@ -134,9 +134,14 @@ object StreamingAnnServe {
   private[llm] def routeToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val k = cents.count().toInt
     require(k >= 1, "empty centroid table")
+    // zero-norm guard (ANSI mode turns x/0 into a runtime error, and an
+    // all-zero vector is a legitimate hostile input to an ingest stream):
+    // a zero vector/centroid scores cos = 0 against everything, so the
+    // tie order alone routes it — deterministically to the lowest label
+    val safeNorm = "case when vector_dot(%s, %s) = 0D then 1.0D else sqrt(vector_dot(%s, %s)) end"
     val centsRow = cents
       .select(struct(col("label").cast("int").as("label"), col("c"),
-        expr("sqrt(vector_dot(c, c))").as("cn")).as("cell"))
+        expr(safeNorm.format("c", "c", "c", "c")).as("cn")).as("cell"))
       .agg(expr("array_sort(collect_list(cell))").as("cells"))
     val terms = (1 to k).map { i =>
       s"struct(vector_dot(v, element_at(cells, $i).c) / (vn * element_at(cells, $i).cn) AS cos, " +
@@ -145,7 +150,8 @@ object StreamingAnnServe {
     val best = if (k == 1) terms.head else s"greatest(${terms.mkString(", ")})"
     vecs
       .withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("vn", expr("sqrt(vector_dot(v, v))"))
+      .withColumn("vn",
+        expr("case when vector_dot(v, v) = 0D then 1.0D else sqrt(vector_dot(v, v)) end"))
       .crossJoin(broadcast(centsRow)) // 1-row struct-array: constant by construction
       .withColumn("cell", expr(s"-(($best).nl)").cast("int"))
       .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))

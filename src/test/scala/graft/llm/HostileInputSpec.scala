@@ -310,4 +310,50 @@ class HostileInputSpec extends SparkSpec {
     assert(comp(20L) == ((20L, 2L)) && comp(21L) == ((20L, 2L)), s"$comp")
     assert(comp(40L) == ((40L, 1L)), s"singleton self-roots: $comp")
   }
+
+  test("round-7 surfaces: zero-vector routing is deterministic; unicode doc rides the banded guard") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // routeToCells with a ZERO vector: unguarded, vn = 0 divides by zero
+    // and ANSI mode KILLS the maintenance stream (reproduced before the
+    // guard landed); with the zero-norm guard every cos is 0, the tie
+    // order alone routes, and the zero vector lands deterministically in
+    // the lowest-label cell
+    val cents = Seq(
+      (0, Array.fill(4)(1.0)), (1, Array.fill(4)(2.0)), (2, Array.fill(4)(3.0)))
+      .toDF("label", "c")
+    val vecs = Seq(
+      (1L, 0L, Array.fill(4)(0.0f)),            // zero vector
+      (2L, 0L, Array(3.0f, 3.0f, 3.0f, 3.0f)))  // plain vector
+      .toDF("vec_id", "timestamp", "embedding")
+    val routed = StreamingAnnServe.routeToCells(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(routed(1L) == 0, s"zero vector routes to the lowest label: $routed")
+    assert(routed(2L) >= 0 && routed(2L) <= 2)
+    val again = StreamingAnnServe.routeToCells(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(routed == again, s"zero-vector routing must be stable: $routed vs $again")
+
+    // the banded guard on a non-ASCII doc: rolling_hash folds CODEPOINTS,
+    // so unicode text shingles fine; an exact re-send within the window is
+    // suppressed, the original survives
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.dedupNearBandedStream(mem.toDS(), delayMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.BandVerdict], _: Long) =>
+        val ids = StreamingDedup.nearBandedSurvivors(b.toDF())
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        survivors.synchronized { survivors ++= ids }; ()
+      }.start()
+    val uni = "日本語のテキストと emoji 🚀 が混ざった文書です — ce document contient du texte accentué"
+    mem.addData(DocEvent(1L, 1000L, uni))
+    q.processAllAvailable()
+    mem.addData(DocEvent(2L, 1500L, uni)) // exact unicode re-send: suppressed
+    q.processAllAvailable()
+    q.stop()
+    assert(survivors.toSet == Set(1L), s"unicode original survives, re-send suppressed: $survivors")
+  }
 }

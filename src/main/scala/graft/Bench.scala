@@ -112,6 +112,13 @@ object Bench {
     val only: Set[String] = args.toSet
     val spark = graft.core.GraftSession.builder(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle partitions sized to the INPUT, not the host (VERDICT r7 #3):
+    // at the driver SFs this is the old per-core default; on a multi-GB
+    // decade slice it reproduces the cluster-shape partition count without
+    // the manual SPARK_GRAFT_SHUFFLE_PARTITIONS lever
+    val shuffleParts = graft.core.GraftSession.autoTuneShuffle(spark, sfDir, cpus.toInt)
+    if (shuffleParts != cpus.toInt)
+      System.err.println(s"[bench] shuffle partitions auto-tuned to $shuffleParts for $sfDir")
 
     import scala.jdk.CollectionConverters._
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -206,55 +213,23 @@ object Bench {
       }
       (name, sec, gc, runs - 1)
     }
-    def jmap[T](f: ((String, Double, Long, Int)) => T): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val gcs = jmap(_._3)
-    val reruns = results.filter(_._4 > 0)
-      .map(r => "\"" + r._1 + "\":" + r._4).mkString("{", ",", "}")
     val bad = failed.result()
     val dirty = contaminated.result()
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadEnd = osBean.getSystemLoadAverage
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${jarr(bad)},"contaminated":${jarr(dirty)},"gc_ms":$gcs,""" +
-      s""""reruns":$reruns,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
-      s""""calibration_sec":$calNow,"drift_factor":$drift,""" +
-      s""""cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
-    println(json)
-    // The driver's round artifact keeps only the LAST ~2,000 chars of
-    // stdout; the full JSON above leads with the fields a reader needs
-    // (total, per-query times, failed, contaminated), so exactly those got
-    // truncated away in round 5. Emit a compact trailer as the FINAL line —
-    // total + verdict fields + the slowest queries — so the tail capture is
-    // always self-sufficient no matter how long the full line grows.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map(r => "\"" + r._1 + "\":" + f"${r._2}%.2f").mkString("{", ",", "}")
-    println(s"""{"trailer":"verdict","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"failed":${jarr(bad)},""" +
-      s""""contaminated":${jarr(dirty)},"reruns_n":${results.count(_._4 > 0)},""" +
-      s""""slowest":$top,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
-      s""""calibration_sec":$calNow,"drift_factor":$drift,""" +
-      s""""sf":"$sfDir"}""")
-    // The stdout line can exceed the driver's tail capture (r3 lost the
-    // head of the per-query map); persist the identical JSON to the repo so
-    // per-query numbers survive regardless of how stdout is captured. Only
-    // full-suite runs overwrite it — a filtered local run must not clobber
-    // the round artifact — and only CLEAN full-suite runs: a contaminated
-    // run must not become the next round's rerun reference.
-    //
-    // AGGREGATE ratchet guard: ambient load that slows every query ~1.5×
-    // trips NO per-query rerun, so a noisy run would silently become
-    // the reference and raise the bar the NEXT noisy run is judged
-    // against (observed: 112s → 124s → 174s across three same-code runs
-    // as machine load rose; round 6's 1.24× drift would have passed the
-    // former 1.25 margin and loosened every later threshold — VERDICT r6
-    // #3). A run whose common-query total exceeds the committed total by
-    // >RatchetFactor does not overwrite — above run-to-run plan noise,
-    // far below regressions worth recording; a LEGITIMATE whole-suite
-    // slowdown (e.g. regenerated testdata) re-records by deleting the
-    // stale file or setting GRAFT_BENCH_FORCE=1.
+
+    // AGGREGATE ratchet guard, decided BEFORE any output so the decision
+    // rides the artifact as a first-class field (VERDICT r7 #8 — the r7
+    // refusal left the round with "parsed": null and the verdict only in a
+    // log tail): ambient load that slows every query ~1.5× trips NO
+    // per-query rerun, so a noisy run would silently become the reference
+    // and raise the bar the NEXT noisy run is judged against (observed:
+    // 112s → 124s → 174s across three same-code runs as machine load
+    // rose). A run whose common-query total exceeds the committed total by
+    // >RatchetFactor does not overwrite — above run-to-run plan noise, far
+    // below regressions worth recording; a LEGITIMATE whole-suite slowdown
+    // (e.g. regenerated testdata) re-records by deleting the stale file or
+    // setting GRAFT_BENCH_FORCE=1.
     val ratchetOk = {
       val (refSf2, refT) = loadCommitted()
       val common = results.collect {
@@ -263,17 +238,79 @@ object Bench {
       sys.env.contains("GRAFT_BENCH_FORCE") || refSf2 != sfDir ||
         ratchetAllows(common)
     }
+    val refused = only.nonEmpty || dirty.nonEmpty || !ratchetOk
+    val reason =
+      if (only.nonEmpty) "filtered_run"
+      else if (dirty.nonEmpty) "contaminated_queries"
+      else if (!ratchetOk) s"aggregate_total_gt_${RatchetFactor}x_committed_reference"
+      else ""
     if (only.isEmpty && dirty.isEmpty && !ratchetOk)
       System.err.println(s"[bench] aggregate total >${RatchetFactor}x the committed reference — " +
         "ambient load suspected; BENCH_LOCAL.json NOT updated (GRAFT_BENCH_FORCE=1 overrides)")
-    if (only.isEmpty && dirty.isEmpty && ratchetOk) {
+
+    def jmap[T](f: ((String, Double, Long, Int)) => T): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val gcs = jmap(_._3)
+    val reruns = results.filter(_._4 > 0)
+      .map(r => "\"" + r._1 + "\":" + r._4).mkString("{", ",", "}")
+    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${jarr(bad)},"contaminated":${jarr(dirty)},"gc_ms":$gcs,""" +
+      s""""reruns":$reruns,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""calibration_sec":$calNow,"drift_factor":$drift,""" +
+      s""""ratchet_refused":$refused,"ratchet_reason":"$reason",""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+    println(json)
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map(r => "\"" + r._1 + "\":" + f"${r._2}%.2f").mkString("{", ",", "}")
+    val verdict = verdictJson(total, results.size, jarr(bad), jarr(dirty),
+      results.count(_._4 > 0), top, loadStart, loadEnd, calNow, drift, sfDir,
+      refused, reason)
+    // Every full-suite run — contaminated or refused INCLUDED — records its
+    // verdict to the repo as a committed artifact, so wall-time and the
+    // ratchet decision are never read from a log tail. This file is the
+    // round's RECORD; BENCH_LOCAL.json stays the clean-runs-only rerun
+    // REFERENCE (the ratchet protects it, not this).
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_VERDICT.json"),
+        (verdict + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_VERDICT.json write failed: $e") }
+    }
+    if (!refused) {
+      // The stdout line can exceed the driver's tail capture (r3 lost the
+      // head of the per-query map); persist the identical JSON so
+      // per-query numbers survive regardless of how stdout is captured.
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     }
+    // The driver's round artifact keeps only the LAST ~2,000 chars of
+    // stdout, so the trailer must be the FINAL app line (all stderr
+    // messages above were printed before it): total + verdict fields +
+    // slowest queries, self-sufficient no matter how long the full line
+    // grows.
+    println(verdict)
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }
+
+  /** The verdict trailer JSON — the round's first-class wall-time record
+    * (VERDICT r7 #8). `ratchet_refused` true means this run did NOT become
+    * the committed rerun reference; `ratchet_reason` says why
+    * (filtered_run / contaminated_queries / aggregate drift). `failedArr`,
+    * `dirtyArr` and `slowest` arrive pre-rendered as JSON fragments. */
+  def verdictJson(total: Double, nQueries: Int, failedArr: String,
+      dirtyArr: String, rerunsN: Int, slowest: String, loadStart: Double,
+      loadEnd: Double, calNow: Double, drift: Double, sfDir: String,
+      refused: Boolean, reason: String): String =
+    s"""{"trailer":"verdict","value":$total,"unit":"sec",""" +
+      s""""n_queries":$nQueries,"failed":$failedArr,""" +
+      s""""contaminated":$dirtyArr,"reruns_n":$rerunsN,""" +
+      s""""slowest":$slowest,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""calibration_sec":$calNow,"drift_factor":$drift,""" +
+      s""""ratchet_refused":$refused,"ratchet_reason":"$reason",""" +
+      s""""sf":"$sfDir"}"""
 
   /** (sfDir, per-query seconds) from the committed `BENCH_LOCAL.json`
     * (("", empty) if absent/unreadable). The file is machine-written

@@ -8,6 +8,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.builder(cpus.toInt, "graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // input-derived shuffle partitions (no-op at the driver SFs; the point
+    // is that a big-slice verify never needs a hand lever — VERDICT r7 #3)
+    graft.core.GraftSession.autoTuneShuffle(spark, sfDir, cpus.toInt)
     new java.io.File(outDir).mkdirs()
     val selected =
       if (only.isEmpty) SparkEntry.queries

@@ -70,17 +70,27 @@ object StreamingAnnServe {
       (sink: DataFrame => Unit): StreamingQuery = {
     val s = queries.sparkSession
     graft.functions.GraftFunctions.register(s)
+    // The empty-delta steady state must not pay a Spark job per micro-batch
+    // just to learn the delta is still empty: probe with a driver-side FS
+    // listing (a metadata op, no job), and MEMOIZE once non-empty — a delta
+    // only grows until compaction retires it, and compaction is a serve
+    // restart (new corpus version), so the flag never needs to flip back.
+    // A listed-but-uncommitted in-flight file makes the probe true early;
+    // the actual read still goes through the `_spark_metadata` commit log,
+    // so at worst one batch unions an empty frame (never a wrong result).
+    var deltaSeen = false
     val w0 = queries.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val idx = s.table(SimilarityQueries.stagePqIndex(s, corpusDir))
         val q = batch.select(col("query_id"),
           expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
-        val delta = scala.util.Try {
-          val df = s.read.parquet(deltaDir) // _spark_metadata-aware sink read
-          if (df.isEmpty) None
-          else Some(df.select(col("vec_id"), col("cell"),
-            expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq")))
-        }.toOption.flatten // absent/empty delta dir: serve base-only
+        if (!deltaSeen) deltaSeen = dirHasDataFiles(s, deltaDir)
+        val delta =
+          if (!deltaSeen) None // absent/empty delta dir: serve base-only
+          else scala.util.Try { // _spark_metadata-aware sink read
+            s.read.parquet(deltaDir).select(col("vec_id"), col("cell"),
+              expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+          }.toOption // a race with the first commit degrades to base-only
         sink(SimilarityQueries.pqServeQueries(s, corpusDir,
           idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
           idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
@@ -89,6 +99,29 @@ object StreamingAnnServe {
       }
     val w1 = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
+  }
+
+  /** Driver-side emptiness probe for a file-sink delta directory: true iff
+    * the directory exists and holds at least one non-hidden, non-metadata
+    * data file. Pure Hadoop-FS metadata — no Spark job, cluster-correct on
+    * any FileSystem (the point: a high-frequency serve trigger must not
+    * schedule work per batch in the empty-delta steady state). */
+  private[llm] def dirHasDataFiles(s: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".") && f.getLen > 0 &&
+            !f.getPath.toString.contains("/_spark_metadata/")) found = true
+      }
+      found
+    }
   }
 
   /** Streaming ANN index MAINTENANCE — [[serve]]'s ingest-side complement:

@@ -78,6 +78,19 @@ object StreamingDedup {
   val NearBands = 4
   val NearHamming = 3
 
+  /** Per-bucket in-window signature cap for [[dedupNearBandedStream]] —
+    * the streaming mirror of the batch band cap (DedupQueries.maxBucket,
+    * same 64): the per-doc verify scan is O(bucket size), so a HOT bucket
+    * under a wide watermark would otherwise degrade every arriving doc to
+    * O(in-window bucket population). Capping at the 64 NEWEST in-window
+    * signatures bounds the scan at O(64) per (doc, band); the batch cap
+    * argument carries over — a band bucket past 64 docs is a degenerate
+    * family (near-identical flood or adversarial collision), and a true
+    * near-dup still holds its [[NearBands]] independent band chances.
+    * Recency is the right retention for an ingest guard: the newest
+    * signatures are the ones the next arrivals are near. */
+  val GuardBucketCap = 64
+
   /** Streaming BANDED near-dup guard — the in-stream twin of the batch
     * `dd_simhash` pair join, closing the gap [[dedupNearStream]] documents:
     * exact-signature keying suppresses only simhash COLLISIONS, so a
@@ -103,7 +116,10 @@ object StreamingDedup {
     *      needs no second stateful operator).
     *
     * State bound: one (long, long) pair per in-window doc per band —
-    * 4×16 B/doc over the watermark window, independent of stream length;
+    * 4×16 B/doc over the watermark window, independent of stream length —
+    * AND at most [[GuardBucketCap]] pairs per bucket (the batch band cap
+    * mirrored: a hot bucket keeps its 64 newest in-window signatures, so
+    * the per-doc verify scan is O(64) even under a wide watermark);
     * rows older than the watermark prune on every bucket invocation and an
     * event-time TTL timer (the P4 pattern, watermark-clamped) clears idle
     * buckets entirely. Bucket key space is 4×2^15 — parallelism scales to
@@ -155,7 +171,10 @@ object StreamingDedup {
                 val near = kept.exists { case (s, _) =>
                   java.lang.Long.bitCount(s ^ sig) <= NearHamming }
                 out += BandVerdict(docId, ts, band, near, text)
-                kept = kept :+ (sig, ts)
+                // hot-bucket bound: keep the GuardBucketCap NEWEST sigs
+                // (rows arrive (ts, doc_id)-sorted, so takeRight is by
+                // recency) — the batch 64-doc band cap, mirrored
+                kept = (kept :+ (sig, ts)).takeRight(GuardBucketCap)
             }
             state.update(BandBucketState(kept.map(_._1), kept.map(_._2)))
             // TTL: clear the bucket once the watermark passes its newest

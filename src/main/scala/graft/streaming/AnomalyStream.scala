@@ -187,7 +187,18 @@ object AnomalyStream {
 case class DayCount(event_type: String, day_idx: Long, c: Long)
 
 /** CUSUM per-key state: the scaled statistic, the newest day folded, and
-  * the cumulative count of dropped (at-or-before-lastDay) readings. */
+  * the cumulative count of dropped (at-or-before-lastDay) readings.
+  *
+  * STATE-ENCODING VERSION NOTE (ADVICE r7): `nSkipped` was added to this
+  * case class after the first release of [[AnomalyStream.cusumAlarmStream]];
+  * the flatMapGroupsWithState state encoder is positional, so a restart
+  * from a checkpoint written by the two-field version fails state
+  * deserialization. Deployments upgrading across that boundary must RESET
+  * the checkpoint (start a fresh checkpoint dir and re-drive the day
+  * rollup from the last closed day — the upstream `dailyCountsStream` is
+  * replayable by construction). New fields added here in the future must
+  * follow the same rule: document the reset, never reuse an old
+  * checkpoint across a state-shape change. */
 case class CusumState(s: Long, lastDay: Long, nSkipped: Long)
 
 /** One day's CUSUM reading: the scaled statistic (units of counts/m),

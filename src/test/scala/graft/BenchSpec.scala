@@ -85,4 +85,54 @@ class BenchSpec extends AnyFunSuite {
     val s = Bench.calibrate()
     assert(s > 0.01 && s < 30.0, s"calibration reading implausible: ${s}s")
   }
+
+  test("verdictJson carries the ratchet decision as a first-class field (VERDICT r7 #8)") {
+    val v = Bench.verdictJson(208.35, 181, "[]", "[]", 3,
+      """{"sim_components_kmeans_scaled":7.96}""", 9.85, 5.14, 0.7238, 1.0,
+      "/root/testdata/sf0.1", refused = true,
+      reason = "aggregate_total_gt_1.15x_committed_reference")
+    // the exact failure mode this fixes: a judge reading wall-time from a
+    // log tail because the refusal left no parseable verdict — the string
+    // must be one self-contained JSON object with the flag and reason
+    assert(v.startsWith("{") && v.endsWith("}"))
+    assert(v.contains(""""ratchet_refused":true"""))
+    assert(v.contains(""""ratchet_reason":"aggregate_total_gt_1.15x_committed_reference""""))
+    assert(v.contains(""""value":208.35"""))
+    assert(v.contains(""""calibration_sec":0.7238"""))
+    assert(v.contains(""""slowest":{"sim_components_kmeans_scaled":7.96}"""))
+    // a clean run records the flag false, never omits it
+    val clean = Bench.verdictJson(168.2, 181, "[]", "[]", 0, "{}",
+      1.0, 1.0, 0.72, 1.0, "/root/testdata/sf0.1", refused = false, reason = "")
+    assert(clean.contains(""""ratchet_refused":false"""))
+  }
+
+  test("autoShufflePartitions: input-derived, clamped to [cores, 512] (VERDICT r7 #3)") {
+    import graft.core.GraftSession
+    // tiny input (the driver SFs): exactly the per-core default
+    assert(GraftSession.autoShufflePartitions("/root/testdata/sf0.1", 32) == 32)
+    // missing dir: falls back to cores, never throws
+    assert(GraftSession.autoShufflePartitions("/nonexistent/slice", 16) == 16)
+    // synthetic big input: a sparse file gives the walk real byte counts
+    val dir = java.nio.file.Files.createTempDirectory("auto_shuf")
+    val f = dir.resolve("data.parquet")
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    ch.position(6L * 1024 * 1024 * 1024 - 1) // 6 GiB sparse
+    ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    ch.close()
+    // 6 GiB / 32 MiB = 192 — the cluster-shape count the r7 100M-event
+    // probe needed a hand lever for
+    assert(GraftSession.autoShufflePartitions(dir.toString, 16) == 192)
+    // the 512 clamp: a huge dir must not demand thousands of partitions of
+    // a single-JVM run
+    val g = dir.resolve("big.parquet")
+    val ch2 = java.nio.channels.FileChannel.open(g,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    ch2.position(64L * 1024 * 1024 * 1024 - 1) // +64 GiB sparse
+    ch2.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    ch2.close()
+    assert(GraftSession.autoShufflePartitions(dir.toString, 16) == 512)
+    java.nio.file.Files.delete(g); java.nio.file.Files.delete(f)
+    java.nio.file.Files.delete(dir)
+  }
 }

@@ -185,6 +185,23 @@ class StreamingAnnServeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $ctable")
   }
 
+  test("dirHasDataFiles: the empty-delta steady state is decided by FS metadata, not a Spark job (VERDICT r7 #6)") {
+    val d = Files.createTempDirectory("delta_probe")
+    d.toFile.deleteOnExit()
+    // absent and empty dirs: base-only, cheaply
+    assert(!StreamingAnnServe.dirHasDataFiles(spark, d.resolve("absent").toString))
+    assert(!StreamingAnnServe.dirHasDataFiles(spark, d.toString))
+    // commit-log/bookkeeping contents alone must not count as data
+    Files.createDirectory(d.resolve("_spark_metadata"))
+    Files.write(d.resolve("_spark_metadata").resolve("0"), "v1".getBytes("UTF-8"))
+    Files.write(d.resolve(".part-0.crc"), "x".getBytes("UTF-8"))
+    assert(!StreamingAnnServe.dirHasDataFiles(spark, d.toString))
+    // one committed data file (cell-partitioned layout) flips it
+    Files.createDirectory(d.resolve("cell=3"))
+    Files.write(d.resolve("cell=3").resolve("part-00000.parquet"), "bytes".getBytes("UTF-8"))
+    assert(StreamingAnnServe.dirHasDataFiles(spark, d.toString))
+  }
+
   test("serveWithDelta: a vector ingested via annIndexStream is searchable before the next index build") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -136,6 +136,42 @@ class StreamingDedupSpec extends SparkSpec {
         s"re-admit after eviction: $survivors")
   }
 
+  test("BANDED guard hot bucket: a >GuardBucketCap flood stays suppressed and the guard still discriminates (VERDICT r7 #7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "sleepy cats watch from a warm windowsill in the late afternoon sun"
+    val far = "completely different content about spark engines and streaming " +
+      "state stores with nothing shared beyond stopwords"
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[DocEvent]
+    val q = StreamingDedup.dedupNearBandedStream(mem.toDS(), delayMs = 600000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.BandVerdict], _: Long) =>
+        val ids = StreamingDedup.nearBandedSurvivors(b.toDF())
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        survivors.synchronized { survivors ++= ids }; ()
+      }.start()
+    // the flood: GuardBucketCap + 6 identical docs land in the SAME four
+    // band buckets — each bucket's kept list caps at the 64 newest, so the
+    // per-doc verify scan is O(64), not O(flood)
+    val n = StreamingDedup.GuardBucketCap + 6
+    mem.addData((0 until n).map(i =>
+      DocEvent(100L + i, 1000L + i * 10L, base)): _*)
+    q.processAllAvailable()
+    // post-flood arrivals: another copy must STILL be suppressed (the
+    // newest 64 retained signatures include its match) and an unrelated
+    // doc must still pass — the cap bounds the scan, not the verdicts
+    mem.addData(DocEvent(900L, 3000L, base), DocEvent(901L, 3100L, far))
+    q.processAllAvailable()
+    q.stop()
+    assert(survivors.count(id => id >= 100L && id < 100L + n) == 1,
+      s"exactly one flood survivor: $survivors")
+    assert(!survivors.contains(900L), "post-flood duplicate must stay suppressed under the cap")
+    assert(survivors.contains(901L), "the guard must still admit unrelated content")
+  }
+
   test("diffStream's last emission per key equals the batch dd_corpus_diff classes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

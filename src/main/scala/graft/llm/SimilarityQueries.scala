@@ -227,17 +227,27 @@ object SimilarityQueries {
     * downstream do CONSTANT work per cell, linear total.
     *
     * Assignment is the sim_ivfpq coarse-routing shape applied to Lloyd
-    * itself (see [[assignTwoLevel]]): with k ∝ N the FLAT argmin is every
+    * itself (see [[assignViaParents]]): with k ∝ N the FLAT argmin is every
     * vector × every centroid = O(N²d/32) — measured as ~500 of the 519.7s
     * 100×-slice reading in round 6 (SCALING.md); two-level routing drops it
     * to O(N·sqrt(k)·d). The broadcast tables are the kc×d coarse seeds
     * (≈sqrt(N/32) rows) and the k×d fine table (≈N/32 rows — ~16 GB only
     * past 1e9 vectors; beyond that the coarse layer recurses, same shape).
     *
-    * Returns (xq persisted, gseeds, c1 fine centroids persisted, a2 final
-    * assignment, k). */
-  private def kmeansTwoLevelLayer(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
+    * Returns the [[TwoLevel]] bundle: xq (persisted), gseeds, c1 (fine
+    * centroids, persisted), the round-1 fine→coarse parent map (persisted —
+    * downstream probe selection and the scaled PQ index REUSE it instead of
+    * recomputing; ADVICE r7), the final a2 assignment, k, and the persisted
+    * cache handles. Handle contract (the pqBuildIndex pattern): callers
+    * that materialize their result (staging builders) unpersist `caches`
+    * when done; query-shaped callers hand frames to the runner and rely on
+    * the Verify/Bench clearCache contract. */
+  private[llm] case class TwoLevel(xq: DataFrame, gseeds: DataFrame,
+      c1: DataFrame, parents: DataFrame, a2: DataFrame, k: Long,
+      caches: Seq[DataFrame])
+
+  private[llm] def kmeansTwoLevelLayer(s: org.apache.spark.sql.SparkSession, d: String)
+      : TwoLevel = {
     graft.functions.GraftFunctions.register(s)
     val n = Tables.embeddings(s, d).count()
     val k = math.max(8L, n / cellTarget)
@@ -250,11 +260,14 @@ object SimilarityQueries {
       .select(col("vec_id").as("gid"), col("xq").as("garr"))
     val c0 = xq.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("xq").as("carr"))
+    val p0 = fineParents(c0, gseeds)
     // c1 feeds a parent map, a routing pass, and the within-cell argmin —
     // persist the k-row table so its assign+update lineage runs once
-    val c1 = lloydUpdate(assignTwoLevel(xq, c0, gseeds), xq)
+    val c1 = lloydUpdate(assignViaParents(xq, p0, gseeds), xq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (xq, gseeds, c1, assignTwoLevel(xq, c1, gseeds), k)
+    val p1 = fineParents(c1, gseeds)
+    TwoLevel(xq, gseeds, c1, p1, assignViaParents(xq, p1, gseeds), k,
+      Seq(xq, c1, p0, p1))
   }
 
   /** Fine→coarse parent map: every fine centroid's nearest coarse seed,
@@ -277,16 +290,19 @@ object SimilarityQueries {
   private def childfulSeeds(parents: DataFrame, gseeds: DataFrame): DataFrame =
     gseeds.join(parents.select("gid").distinct(), "gid")
 
-  /** TWO-LEVEL Lloyd assignment: route each vector to its nearest childful
-    * coarse seed (N·kc·d), then argmin over that seed's fine children
-    * (N·(k/kc)·d) — O(N·sqrt(k)·d) total. Both argmins are groupBy-min
-    * partial aggregates (corpus-sized frames collapse map-side to one row
-    * per vector); the only vector-sized exchange is the vec_id join
-    * attaching xq to its routed cell. Output: (vec_id, cid, dist), the
-    * same contract as the flat assign. */
-  private def assignTwoLevel(xq: DataFrame, cents: DataFrame,
+  /** TWO-LEVEL Lloyd assignment over a PRE-BUILT parent map: route each
+    * (vec_id, xq) row to its nearest childful coarse seed (N·kc·d), then
+    * argmin over that seed's fine children (N·(k/kc)·d) — O(N·sqrt(k)·d)
+    * total. Both argmins are groupBy-min partial aggregates (corpus-sized
+    * frames collapse map-side to one row per vector); the only vector-sized
+    * exchange is the vec_id join attaching xq to its routed cell. Output:
+    * (vec_id, cid, dist), the same contract as the flat assign. This is
+    * THE routing rule — the scaled PQ serve path and the streaming
+    * maintenance router are bit-parity twins of it (same (gd, gid) /
+    * (dist, cid) tie orders), so a query and the fresh vector it is looking
+    * for can never route to different cells. */
+  private[llm] def assignViaParents(xq: DataFrame, parents: DataFrame,
       gseeds: DataFrame): DataFrame = {
-    val parents = fineParents(cents, gseeds)
     val route = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
       .withColumn("gd", expr("vector_l2q(xq, garr)"))
       .groupBy("vec_id").agg(min(struct(col("gd"), col("gid"))).as("g"))
@@ -434,8 +450,9 @@ object SimilarityQueries {
     * a window. UNORDERED — callers sort. */
   private def multiprobeKnnScaledDF(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val (xq, gseeds, c1, a2, _) = kmeansTwoLevelLayer(s, d)
-    val parents = fineParents(c1, gseeds)
+    val tl = kmeansTwoLevelLayer(s, d)
+    val (xq, gseeds, a2) = (tl.xq, tl.gseeds, tl.a2)
+    val parents = tl.parents // the frame the final assign already built — reuse, don't re-persist (ADVICE r7)
     val mroute = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
       .withColumn("gd", expr("vector_l2q(xq, garr)"))
       .select(col("vec_id"), col("gid"), col("gd"))
@@ -748,9 +765,10 @@ object SimilarityQueries {
       "graft_km2l_asg_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
       s.sql(s"CREATE TABLE $table (vec_id BIGINT, cid BIGINT) USING parquet LOCATION '$loc'")
     } { (table, loc) =>
-      val (_, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
-      a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      val tl = kmeansTwoLevelLayer(s, d)
+      tl.a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
         .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+      tl.caches.foreach(_.unpersist(blocking = false)) // staging materialized — release (ADVICE r7)
     }
   }
 
@@ -1186,6 +1204,43 @@ object SimilarityQueries {
         idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
         idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
         idx.filter(col("kind") === "ccent").select("label", "carr"))
+    },
+
+    // IVF-PQ over the SCALED (k ∝ N, two-level) cells — the production
+    // index+serve composition (VERDICT r7 #1): until now the PQ serving
+    // loop ran only against the FIXED label cells while the production
+    // corpus fit was the scaled two-level chain. Queries route TWO-LEVEL
+    // (nearest childful coarse seed → argmin over its fine children — the
+    // assignViaParents rule, so a corpus-member query's route IS its own
+    // assignment and the oracle's route CTE is just a2 filtered), then the
+    // probed ~cellTarget-occupancy cell ranks through the same ADC-LUT
+    // machinery as sim_ivfpq. Scale shape: routing is O(√k) broadcast
+    // distances per query (never all k centroids), the probed cell is
+    // CONSTANT-sized by the k ∝ N contract, and the corpus appears only as
+    // 8-byte codes.
+    Q("sim_ivfpq_scaled", pqScaledOracle) { (s, d) =>
+      val tl = kmeansTwoLevelLayer(s, d)
+      val (_, cb, codes, _) = pqBuildCodebooks(s, d)
+      val queries = tl.xq.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("xq"))
+      pqServeQueriesScaled(s, cb, codes, tl.a2.select("vec_id", "cid"),
+        tl.gseeds, tl.parents, queries, selfExclude = true)
+    },
+
+    // The staged production face of the scaled IVF-PQ: codebooks, codes,
+    // membership, coarse seeds and the parent map persist as ONE
+    // fingerprinted artifact (stagePqIndexScaled); per query batch only
+    // two-level routing, the LUT, and the probed cell's ADC run. Same
+    // oracle — the staged index IS the computed one by fingerprint.
+    Q("sim_ivfpq_scaled_staged", pqScaledOracle) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val idx = s.table(stagePqIndexScaled(s, d))
+      val (cb, codes, members, gseeds, parents) = scaledIndexFrames(idx)
+      val queries = Tables.embeddings(s, d).filter(expr(querySel))
+        .select(col("vec_id").as("query_id"),
+          expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+      pqServeQueriesScaled(s, cb, codes, members, gseeds, parents,
+        queries, selfExclude = true)
     },
 
     // Two-stage retrieval (the Matryoshka / re-rank shape): a cheap coarse
@@ -2015,8 +2070,8 @@ object SimilarityQueries {
       s"""WITH $kmeansTwoLevelCtes
          |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-      val (_, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
-      a2.select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
+      kmeansTwoLevelLayer(s, d).a2
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
         .orderBy("vec_id")
     },
 
@@ -2030,8 +2085,8 @@ object SimilarityQueries {
     // two-level-assigned scaled layer, so EVERY stage of this chain is
     // now sub-quadratic in N.
     Q("sim_components_kmeans_scaled", kmComponentsScaledOracle) { (s, d) =>
-      val (xq, _, _, a2, _) = kmeansTwoLevelLayer(s, d)
-      kmComponentsFrom(s, d, a2.select("vec_id", "cid"), xq,
+      val tl = kmeansTwoLevelLayer(s, d)
+      kmComponentsFrom(s, d, tl.a2.select("vec_id", "cid"), tl.xq,
         "sim_components_kmeans_scaled")
     },
 
@@ -2055,7 +2110,9 @@ object SimilarityQueries {
 
     // Multi-probe kNN graph over the SCALED (k ∝ N, two-level) cells — the
     // production graph (VERDICT r6 #2): constant-occupancy learned cells +
-    // 3-cell probing in one chain, with probe selection itself two-level
+    // 10-cell probing (mpScaledNprobe — the 3→10 widening is the measured
+    // recall fix for the smaller scaled cells) in one chain, with probe
+    // selection itself two-level
     // routed so nothing touches all k centroids per vector. Contract and
     // ranking identical to sim_knn_graph_multiprobe; only the cell layer
     // differs (k = max(8, N/32) two-level cells vs fixed k=8 flat cells).
@@ -2322,6 +2379,64 @@ object SimilarityQueries {
          |ORDER BY query_id, neighbor_id""".stripMargin
   }
 
+  /** Oracle for the SCALED IVF-PQ pair: the [[kmeansTwoLevelCtes]] fit
+    * (xq, gseeds, c1, p1, a2 — kmScale-quantized; kmScale == pqScale is
+    * require()d on the Spark side) + the [[pqOracle]] codebook/code CTEs
+    * rebased on that xq, + two-level query routing. A corpus-member query's
+    * two-level route IS its own a2 row (identical rule, identical
+    * (gd, gid)/(dist, cid) tie orders), so `route` filters a2 rather than
+    * restating the chain — the same identity the Spark side exploits via
+    * [[assignViaParents]]. ADC then ranks the probed SCALED cell's codes. */
+  private lazy val pqScaledOracle: String = {
+    def d8(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    s"""WITH $kmeansTwoLevelCtes,
+       |sub AS (
+       |  SELECT vec_id, CAST(s AS INT) AS s,
+       |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
+       |  FROM xq, unnest(generate_series(0, ${pqM - 1})) AS t(s)
+       |),
+       |seed AS (SELECT s, vec_id AS cid, sv AS carr FROM sub WHERE vec_id < $pqK),
+       |pqa1 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT sub.vec_id, sub.s, seed.cid, ${d8("sub.sv", "seed.carr")} AS dist
+       |    FROM sub JOIN seed ON seed.s = sub.s
+       |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+       |),
+       |cbs AS (
+       |  SELECT pqa1.s, pqa1.cid, u.i,
+       |    CAST(round(CAST(sum(sub.sv[CAST(u.i AS INT)]) AS DOUBLE) / count(*), 0) AS BIGINT) AS cm
+       |  FROM pqa1 JOIN sub ON sub.vec_id = pqa1.vec_id AND sub.s = pqa1.s,
+       |    unnest(generate_series(1, $pqSubDim)) AS u(i)
+       |  GROUP BY pqa1.s, pqa1.cid, u.i
+       |),
+       |cb AS (SELECT s, cid, list(cm ORDER BY i) AS carr FROM cbs GROUP BY s, cid),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT sub.vec_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS dist
+       |    FROM sub JOIN cb ON cb.s = sub.s
+       |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
+       |),
+       |route AS (SELECT vec_id AS query_id, cid AS probe_cid FROM a2 WHERE $querySel),
+       |lut AS (
+       |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
+       |  FROM sub JOIN cb ON cb.s = sub.s
+       |  WHERE sub.$querySel
+       |),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |  FROM route r
+       |  JOIN a2 v ON v.cid = r.probe_cid
+       |  JOIN codes c ON c.vec_id = v.vec_id
+       |  JOIN lut l ON l.query_id = r.query_id AND l.s = c.s AND l.cid = c.code
+       |  WHERE c.vec_id <> r.query_id
+       |  GROUP BY l.query_id, c.vec_id
+       |)
+       |SELECT query_id, neighbor_id, adist FROM adc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $topK
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   /** Quantized corpus (vec_id, label, xq) and its per-subspace slices —
     * the row-local projections BOTH the index build and the serve path
     * start from. Persisted; callers unpersist via the returned handles.
@@ -2347,6 +2462,25 @@ object SimilarityQueries {
     * the persisted intermediate frames (callers keep them alive until the
     * serve plan has executed). */
   private[llm] def pqBuildIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (xq, cb, codes, caches) = pqBuildCodebooks(s, d)
+    def centroids(df: DataFrame, keys: Seq[String]) = df
+      .groupBy((keys :+ "i").map(col): _*)
+      .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
+      .groupBy(keys.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    val ccent = centroids(
+      xq.select(col("label"), posexplode(col("xq")).as(Seq("i", "v"))),
+      Seq("label"))
+    (cb, codes, ccent, caches)
+  }
+
+  /** The CELL-INDEPENDENT half of the PQ build — subspace codebooks
+    * (2 Lloyd-style rounds from deterministic seeds) and per-vector 8-byte
+    * codes. Factored out so the SCALED index (k ∝ N two-level cells) can
+    * share the exact PQ construction with the fixed-label index; returns
+    * (xq quantized corpus, cb, codes, cache handles). */
+  private[llm] def pqBuildCodebooks(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     val (xq, sub) = pqFrames(s, d)
     val dist = "vector_l2q(av, bv)"
@@ -2375,10 +2509,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
       Seq("vec_id", "s"), "code")
       .select("vec_id", "s", "code")
-    val ccent = centroids(
-      xq.select(col("label"), posexplode(col("xq")).as(Seq("i", "v"))),
-      Seq("label"))
-    (cb, codes, ccent, Seq(xq, sub))
+    (xq, cb, codes, Seq(xq, sub))
   }
 
   /** Cross-session staged IVF-PQ index (the FAISS write-index-to-disk
@@ -2496,7 +2627,13 @@ object SimilarityQueries {
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("d").as("adist"))
     // fresh-buffer side: the probed cell's not-yet-indexed vectors, exact
-    // quantized L2 (delta is compaction-bounded — small by contract)
+    // quantized L2 (delta is compaction-bounded — small by contract).
+    // A vector present in BOTH the PQ codes and a not-yet-retired delta
+    // (the post-rebuild, pre-compaction window) would otherwise score
+    // twice and occupy two top-k slots — keep ONE row per (query_id,
+    // neighbor_id), the min(adist) side (the exact delta score is a lower
+    // bound of what ADC approximates, so min picks the exact one whenever
+    // both exist); the aggregate is survivor-sized (ADVICE r7).
     val scoredAll = delta.fold(adc) { dl =>
       val fresh = broadcast(route)
         .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
@@ -2507,12 +2644,142 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"),
           expr("vector_l2q(qxq, dxq)").as("adist"))
       adc.unionByName(fresh)
+        .groupBy("query_id", "neighbor_id")
+        .agg(min("adist").as("adist"))
     }
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scoredAll.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select("query_id", "neighbor_id", "adist")
       .orderBy("query_id", "neighbor_id")
   }
+
+  /** IVF-PQ serving against the SCALED (k ∝ N two-level) cells — the
+    * production serve shape (VERDICT r7 #1): queries route TWO-LEVEL
+    * (nearest childful coarse seed, then argmin over that seed's fine
+    * children — [[assignViaParents]], the identical rule/tie-order the
+    * corpus assignment and the streaming maintenance router use, so a
+    * query and the vector it is looking for can never land one cell
+    * apart), then the probed cell's members rank through the same
+    * ADC-LUT machinery as the fixed-label serve. Nothing touches all k
+    * centroids per query: routing is kc + (k/kc) distances — O(√k) —
+    * against broadcast-sized tables.
+    *
+    * @param members corpus (vec_id, cid) — the scaled assignment
+    * @param delta   optional fresh vectors (vec_id, cell = scaled cid, xq)
+    *                from the scaled maintenance stream; exact quantized L2,
+    *                min-dedup'd against the base (the pqServeQueries delta
+    *                contract) */
+  private[llm] def pqServeQueriesScaled(s: org.apache.spark.sql.SparkSession,
+      cb: DataFrame, codes: DataFrame, members: DataFrame,
+      gseeds: DataFrame, parents: DataFrame,
+      queries: DataFrame, selfExclude: Boolean,
+      delta: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // the two quantization constants must agree for the scaled index: the
+    // two-level fit routes on kmScale integers while the PQ LUT/ADC run on
+    // pqScale integers — one xq table serves both only because they are
+    // the same grid (both 10000; a future retune must move them together)
+    require(pqScale == kmScale, "scaled IVF-PQ requires pqScale == kmScale")
+    val route = assignViaParents(
+        queries.select(col("query_id").as("vec_id"), col("xq")), parents, gseeds)
+      .select(col("vec_id").as("query_id"), col("cid").as("probe_cid"))
+    val dist = "vector_l2q(av, bv)"
+    val lut = queries
+      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+      .select(col("query_id"), col("s").cast("int").as("s"),
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
+      .join(broadcast(cb), "s")
+      .withColumnRenamed("carr", "bv")
+      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
+    val cellMembers = broadcast(route)
+      .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
+    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+               else cellMembers)
+      .join(codes, "vec_id")
+      .join(broadcast(lut.withColumnsRenamed(
+          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
+        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+    val scoredAll = delta.fold(adc) { dl =>
+      val fresh = broadcast(route)
+        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+          col("fq") === col("query_id"))
+        .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
+          col("cell") === col("probe_cid"))
+        .filter(!(lit(selfExclude) && col("neighbor_id") === col("query_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("vector_l2q(qxq, dxq)").as("adist"))
+      adc.unionByName(fresh)
+        .groupBy("query_id", "neighbor_id")
+        .agg(min("adist").as("adist")) // base ∪ delta overlap: one slot, the exact score
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scoredAll.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .select("query_id", "neighbor_id", "adist")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Cross-session staged SCALED IVF-PQ index — [[stagePqIndex]]'s shape
+    * over the k ∝ N two-level cells, self-contained for serving: subspace
+    * codebooks (`cb`), per-vector codes (`code`), the corpus cell
+    * membership (`member`), the coarse seeds (`gseed`: gid in `cid`,
+    * garr in `carr`) and the fine→coarse parent map with fine centroids
+    * (`parent`: gid in `vec_id`, cid, carr) — everything the two-level
+    * query router and the streaming maintenance router need, in ONE
+    * kind-tagged artifact whose fingerprint pins the corpus content, the
+    * PQ constants AND the re-fit law (a grown corpus changes N, k and the
+    * xor — a stale scaled index can never serve). */
+  private[graft] def stagePqIndexScaled(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+        .head
+      s"pqs-v1;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
+        s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_pqs_index_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (kind STRING, s INT, cid BIGINT, " +
+        s"carr ARRAY<BIGINT>, vec_id BIGINT, code BIGINT) " +
+        s"USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      val tl = kmeansTwoLevelLayer(s, d)
+      val (_, cb, codes, pqCaches) = pqBuildCodebooks(s, d)
+      val nullV = lit(null).cast("bigint").as("vec_id")
+      val nullC = lit(null).cast("bigint").as("code")
+      val rows = cb.select(lit("cb").as("kind"), col("s"), col("cid"),
+          col("carr"), nullV, nullC)
+        .unionByName(codes.select(lit("code").as("kind"), col("s").cast("int").as("s"),
+          lit(null).cast("bigint").as("cid"), lit(null).cast("array<bigint>").as("carr"),
+          col("vec_id"), col("code")))
+        .unionByName(tl.a2.select(lit("member").as("kind"), lit(null).cast("int").as("s"),
+          col("cid"), lit(null).cast("array<bigint>").as("carr"),
+          col("vec_id"), nullC))
+        .unionByName(tl.gseeds.select(lit("gseed").as("kind"), lit(null).cast("int").as("s"),
+          col("gid").as("cid"), col("garr").as("carr"), nullV, nullC))
+        .unionByName(tl.parents.select(lit("parent").as("kind"), lit(null).cast("int").as("s"),
+          col("cid"), col("carr"), col("gid").as("vec_id"), nullC))
+      rows.write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+      (tl.caches ++ pqCaches).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** The (cb, codes, members, gseeds, parents) frame bundle sliced out of
+    * a staged scaled index table — the serve path's adopt-side read. */
+  private[llm] def scaledIndexFrames(idx: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
+    idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
+    idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+    idx.filter(col("kind") === "member").select("vec_id", "cid"),
+    idx.filter(col("kind") === "gseed")
+      .select(col("cid").as("gid"), col("carr").as("garr")),
+    idx.filter(col("kind") === "parent")
+      .select(col("vec_id").as("gid"), col("cid"), col("carr")))
 
   /** sim_hard_negatives body over any (vec_id, embedding, label) frame —
     * factored so the planted-negative spec drives the real chain. Requires

@@ -126,29 +126,32 @@ object StreamingAnnServe {
 
   /** Streaming ANN index MAINTENANCE — [[serve]]'s ingest-side complement:
     * new corpus vectors route to their IVF cell against the SAME staged
-    * centroid table the serve path reads, then append CELL-PARTITIONED to
-    * a delta-index directory through the file sink's commit log —
-    * exactly-once to any `_spark_metadata`-aware reader (the Publish
-    * machinery; `Publish.compact` folds the delta into the next index
-    * build, and serving reads base ∪ delta until then).
+    * index artifact the serve path reads (the PQ index's coarse-centroid
+    * table), then append CELL-PARTITIONED to a delta-index directory
+    * through the file sink's commit log — exactly-once to any
+    * `_spark_metadata`-aware reader (the Publish machinery;
+    * `Publish.compact` folds the delta into the next index build, and
+    * serving reads base ∪ delta until then).
     *
-    * The routing is a STATELESS row-local projection — no
-    * aggregation, no watermark, no state store: the k-row centroid table
-    * folds to a ONE-ROW struct array (a no-grouping aggregate — the
-    * provably-constant broadcast build), and each vector's argmax-cosine
-    * cell is a [[routeToCells]] greatest() chain of k codegen `vector_dot`
-    * terms, identical rule and (cos DESC, label ASC) tie order to the
-    * sim_ivf query router (spec-pinned against the batch twin). The
-    * centroid table is PINNED — the batch-train/stream-serve stance: a
-    * re-train is a corpus-version event (new fingerprint) that restarts
-    * maintenance, never an in-stream drift. */
+    * The routing is a STATELESS row-local projection — no aggregation, no
+    * watermark, no state store: the k-row centroid table folds to a
+    * ONE-ROW struct array (a no-grouping aggregate — the provably-constant
+    * broadcast build), and each vector's cell is a [[routeToCells]]
+    * row-local array_min over quantized-L2 distances — the IDENTICAL rule
+    * and (dist ASC, label ASC) tie order `pqServeQueries` routes QUERIES
+    * with (ADVICE r7: the former cosine-vs-IVF-centroids rule disagreed
+    * with the serve router on boundary vectors, leaving a fresh vector in
+    * a cell the matching query never probes at nprobe=1). The centroid
+    * table is PINNED — the batch-train/stream-serve stance: a re-train is
+    * a corpus-version event (new fingerprint) that restarts maintenance,
+    * never an in-stream drift. */
   def annIndexStream(vecs: Dataset[VecEvent], corpusDir: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val s = vecs.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val cents = s.table(SimilarityQueries.stageIvfCentroids(s, corpusDir))
-      .select(col("label"), col("c"))
-    routeToCells(vecs.toDF(), cents)
+    val ccent = s.table(SimilarityQueries.stagePqIndex(s, corpusDir))
+      .filter(col("kind") === "ccent").select("label", "carr")
+    routeToCells(vecs.toDF(), ccent)
       .writeStream.format("parquet")
       .partitionBy("cell")
       .option("path", outDir)
@@ -157,36 +160,113 @@ object StreamingAnnServe {
 
   /** The routing projection shared by [[annIndexStream]] and its batch
     * parity twin: (vec_id, timestamp, embedding, cell) with `cell` the
-    * nearest centroid by cosine, (cos DESC, label ASC) tie order — the
-    * sim_ivf routing rule as a row-local expression. k comes from one
-    * count of the k-row centroid table (a bounded metadata-scale action,
-    * not a data collect); the k `vector_dot` terms are all codegen. For a
-    * k ∝ N (scaled) index the flat greatest() chain stops fitting — the
-    * two-level coarse routing (SimilarityQueries.assignTwoLevel's shape)
-    * is the documented swap, exactly as on the batch side. */
-  private[llm] def routeToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val k = cents.count().toInt
-    require(k >= 1, "empty centroid table")
-    // zero-norm guard (ANSI mode turns x/0 into a runtime error, and an
-    // all-zero vector is a legitimate hostile input to an ingest stream):
-    // a zero vector/centroid scores cos = 0 against everything, so the
-    // tie order alone routes it — deterministically to the lowest label
-    val safeNorm = "case when vector_dot(%s, %s) = 0D then 1.0D else sqrt(vector_dot(%s, %s)) end"
-    val centsRow = cents
-      .select(struct(col("label").cast("int").as("label"), col("c"),
-        expr(safeNorm.format("c", "c", "c", "c")).as("cn")).as("cell"))
+    * argmin-quantized-L2 coarse centroid, (dist ASC, label ASC) tie order
+    * — `pqServeQueries`' query-routing rule as a row-local expression, so
+    * ingest and serve can never disagree on a boundary vector. The k-row
+    * `ccent` table (label, carr — the staged PQ index's coarse centroids)
+    * folds to one broadcast struct-array row; the per-vector argmin is one
+    * array_min over a transform lambda — k-AGNOSTIC (no generated code
+    * grows with k, unlike the former greatest() chain). Integer quantized
+    * distances need no zero-norm guard — an all-zero hostile vector just
+    * scores plain L2 like any other. */
+  private[llm] def routeToCells(vecs: DataFrame, ccent: DataFrame): DataFrame = {
+    val centsRow = ccent
+      .select(struct(col("label").cast("int").as("label"), col("carr")).as("cell"))
       .agg(expr("array_sort(collect_list(cell))").as("cells"))
-    val terms = (1 to k).map { i =>
-      s"struct(vector_dot(v, element_at(cells, $i).c) / (vn * element_at(cells, $i).cn) AS cos, " +
-        s"-element_at(cells, $i).label AS nl)"
-    }
-    val best = if (k == 1) terms.head else s"greatest(${terms.mkString(", ")})"
     vecs
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .withColumn("vn",
-        expr("case when vector_dot(v, v) = 0D then 1.0D else sqrt(vector_dot(v, v)) end"))
+      .withColumn("xq",
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})"))
       .crossJoin(broadcast(centsRow)) // 1-row struct-array: constant by construction
-      .withColumn("cell", expr(s"-(($best).nl)").cast("int"))
+      .withColumn("cell", expr(
+        "array_min(transform(cells, c -> " +
+          "struct(vector_l2q(xq, c.carr) AS d, c.label AS label))).label"))
       .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))
+  }
+
+  /** [[annIndexStream]] against the SCALED (k ∝ N two-level) staged index
+    * — the production maintenance loop (VERDICT r7 #1: the flat router
+    * cannot even compile at scaled k; this one is O(√k) per vector and
+    * k-agnostic in generated code). Routing = [[routeToCellsScaled]],
+    * bit-parity with `assignViaParents`/`pqServeQueriesScaled`. */
+  def annIndexStreamScaled(vecs: Dataset[VecEvent], corpusDir: String,
+      outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val s = vecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val (_, _, _, gseeds, parents) = SimilarityQueries.scaledIndexFrames(
+      s.table(SimilarityQueries.stagePqIndexScaled(s, corpusDir)))
+    routeToCellsScaled(vecs.toDF(), gseeds, parents)
+      .writeStream.format("parquet")
+      .partitionBy("cell")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** TWO-LEVEL routing as a STREAM-SAFE projection — the
+    * `assignViaParents` rule without its aggregations (append-mode file
+    * sinks admit no groupBy): coarse pick is a row-local array_min over
+    * the ONE-ROW childful-seed array (√k entries, broadcast by
+    * construction); the fine pick is a stream-static broadcast equi-join
+    * on the routed gid (stateless, supported in append mode) followed by
+    * a row-local array_min over that seed's ~√k children. Same
+    * (gd, gid) / (dist, cid) tie orders as the batch assignment — a
+    * corpus-member vector streamed through here lands in exactly its a2
+    * cell (spec-pinned). O(√k) work per vector; NOTHING grows with k in
+    * the generated code. */
+  private[llm] def routeToCellsScaled(vecs: DataFrame, gseeds: DataFrame,
+      parents: DataFrame): DataFrame = {
+    val childful = gseeds.join(parents.select("gid").distinct(), "gid")
+    val gsRow = childful.select(struct(col("gid"), col("garr")).as("g"))
+      .agg(expr("array_sort(collect_list(g))").as("gs"))
+    val kids = parents
+      .select(col("gid"), struct(col("cid"), col("carr")).as("k"))
+      .groupBy("gid").agg(expr("array_sort(collect_list(k))").as("kids"))
+    vecs
+      .withColumn("xq",
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})"))
+      .crossJoin(broadcast(gsRow)) // 1-row √k-entry array: constant by construction
+      .withColumn("gid", expr(
+        "array_min(transform(gs, g -> " +
+          "struct(vector_l2q(xq, g.garr) AS d, g.gid AS gid))).gid"))
+      .drop("gs")
+      .join(broadcast(kids), "gid") // stream-static equi-join on the routed seed
+      .withColumn("cell", expr(
+        "array_min(transform(kids, c -> " +
+          "struct(vector_l2q(xq, c.carr) AS d, c.cid AS cid))).cid").cast("int"))
+      .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))
+  }
+
+  /** [[serve]]/[[serveWithDelta]] against the SCALED staged index: each
+    * query batch routes two-level and ranks the probed k ∝ N cell via
+    * `pqServeQueriesScaled`; `deltaDir` (when given) adds the freshness
+    * union over [[annIndexStreamScaled]]'s cell-partitioned delta, with
+    * the same memoized FS-listing emptiness probe as the fixed path. */
+  def serveScaled(queries: Dataset[QueryVec], corpusDir: String,
+      deltaDir: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpoint: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val s = queries.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    var deltaSeen = false
+    val w0 = queries.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (cb, codes, members, gseeds, parents) =
+          SimilarityQueries.scaledIndexFrames(
+            s.table(SimilarityQueries.stagePqIndexScaled(s, corpusDir)))
+        val q = batch.select(col("query_id"),
+          expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+        if (!deltaSeen) deltaSeen = deltaDir.exists(dirHasDataFiles(s, _))
+        val delta =
+          if (!deltaSeen) None
+          else scala.util.Try {
+            s.read.parquet(deltaDir.get).select(col("vec_id"), col("cell"),
+              expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+          }.toOption
+        sink(SimilarityQueries.pqServeQueriesScaled(s, cb, codes, members,
+          gseeds, parents, q, selfExclude = false, delta = delta))
+      }
+    val w1 = trigger.fold(w0)(w0.trigger)
+    checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
   }
 }

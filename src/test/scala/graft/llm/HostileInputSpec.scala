@@ -315,22 +315,26 @@ class HostileInputSpec extends SparkSpec {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
-    // routeToCells with a ZERO vector: unguarded, vn = 0 divides by zero
-    // and ANSI mode KILLS the maintenance stream (reproduced before the
-    // guard landed); with the zero-norm guard every cos is 0, the tie
-    // order alone routes, and the zero vector lands deterministically in
-    // the lowest-label cell
+    // routeToCells with a ZERO vector: the r7 cosine router needed a
+    // zero-norm guard (vn = 0 divided by zero and ANSI mode KILLED the
+    // maintenance stream — reproduced before the guard landed); the
+    // quantized-L2 router (the ADVICE-r7 serve-rule unification) has no
+    // division at all — a zero vector scores plain L2 like any other and
+    // an exact inter-centroid tie resolves by the (dist, label) order.
+    // Centroids 0 and 1 are EQUIDISTANT from the zero vector (±1 mirrored)
+    // — the tie must deterministically pick label 0.
     val cents = Seq(
-      (0, Array.fill(4)(1.0)), (1, Array.fill(4)(2.0)), (2, Array.fill(4)(3.0)))
-      .toDF("label", "c")
+      (0, Array.fill(4)(10000L)), (1, Array.fill(4)(-10000L)),
+      (2, Array.fill(4)(30000L)))
+      .toDF("label", "carr")
     val vecs = Seq(
       (1L, 0L, Array.fill(4)(0.0f)),            // zero vector
       (2L, 0L, Array(3.0f, 3.0f, 3.0f, 3.0f)))  // plain vector
       .toDF("vec_id", "timestamp", "embedding")
     val routed = StreamingAnnServe.routeToCells(vecs, cents)
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
-    assert(routed(1L) == 0, s"zero vector routes to the lowest label: $routed")
-    assert(routed(2L) >= 0 && routed(2L) <= 2)
+    assert(routed(1L) == 0, s"zero vector tie-routes to the lowest label: $routed")
+    assert(routed(2L) == 2, s"plain vector routes to its nearest centroid: $routed")
     val again = StreamingAnnServe.routeToCells(vecs, cents)
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(routed == again, s"zero-vector routing must be stable: $routed vs $again")

@@ -172,17 +172,31 @@ class StreamingAnnServeSpec extends SparkSpec {
     assert(got.map(_._1).toSet == newVecs.map(_._1).toSet)
 
     // routing parity: the stream's cells equal the batch twin's, rule and
-    // tie order included (same staged centroid table)
-    val cents = spark.table(SimilarityQueries.stageIvfCentroids(spark, corpus))
-      .select(col("label"), col("c"))
+    // tie order included (same staged index artifact)
+    val ccent = spark.table(SimilarityQueries.stagePqIndex(spark, corpus))
+      .filter(col("kind") === "ccent").select("label", "carr")
     val want = StreamingAnnServe.routeToCells(
-        newVecs.toSeq.toDF("vec_id", "timestamp", "embedding"), cents)
+        newVecs.toSeq.toDF("vec_id", "timestamp", "embedding"), ccent)
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(got.toMap == want, "stream routing must equal the batch twin")
+    // ...and the SERVE router (ADVICE r7): the cell a vector ingests into
+    // is the cell pqServeQueries would probe for the identical query —
+    // argmin quantized-L2 over ccent, (dist, label) tie order
+    val serveRoute = newVecs.toSeq.toDF("vec_id", "timestamp", "embedding")
+      .select(col("vec_id"),
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+      .crossJoin(broadcast(ccent))
+      .withColumn("dist", expr("vector_l2q(xq, carr)"))
+      .groupBy("vec_id")
+      .agg(min(org.apache.spark.sql.functions.struct(col("dist"), col("label"))).as("m"))
+      .select(col("vec_id"), col("m.label").cast("int").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.toMap == serveRoute,
+      "ingest routing must equal the serve-path query router")
     // ...and it actually discriminates (the corpus has 10 label cells)
     assert(got.map(_._2).toSet.size > 1, s"cells used: ${got.map(_._2).toSet}")
-    val ctable = "graft_ivf_cent_" + math.abs(corpus.hashCode).toString
-    spark.sql(s"DROP TABLE IF EXISTS $ctable")
+    val ptable = "graft_pq_index_" + math.abs(corpus.hashCode).toString
+    spark.sql(s"DROP TABLE IF EXISTS $ptable")
   }
 
   test("dirHasDataFiles: the empty-delta steady state is decided by FS metadata, not a Spark job (VERDICT r7 #6)") {

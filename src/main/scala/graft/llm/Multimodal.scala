@@ -192,6 +192,103 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- real multi-frame path
+  //
+  // The JDK's javax.imageio GIF codec reads AND writes multi-frame GIF
+  // natively — so the MULTI-FRAME leg of the decode stage can be real on
+  // the same JDK-only stance as BMP and WAV (VERDICT r7 #4): generate
+  // deterministic animated GIFs from content-hash parameters, decode REAL
+  // frames with an ImageReader sequence, and oracle-gate width / height /
+  // frame count / per-frame pixel sums against the generation formula.
+  // Frames are 256-gray INDEXED images (GIF's palette model holds at most
+  // 256 colors; an explicit gray IndexColorModel makes the round trip
+  // LOSSLESS — the writer stores palette indices verbatim, so a decoder
+  // mis-parse of the container, the palette, or the frame sequence breaks
+  // the hash gate). mm_frames' fake-decode chain remains the documented
+  // fallback for codecs the JDK lacks (video containers).
+
+  /** One decoded GIF frame: true decoder-reported index/dimensions and the
+    * sum over pixels of (r + g + b) — 3× the gray value. */
+  case class DecodedGifFrame(doc_id: Long, frame_idx: Long, width: Long,
+      height: Long, pixel_sum: Long)
+
+  /** Deterministic multi-frame GIF: frame f's pixel (x, y) has gray value
+    *   v = (seed + 31x + 7y + 97f) mod 256   (r = g = b = v)
+    * written as 8-bit indexed frames over an explicit 256-gray palette. */
+  def makeGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0 && seed >= 0)
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            ((seed + 31L * x + 7L * y + 97L * f) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decode: parse each payload with the JDK ImageIO GIF
+    * reader, emit one typed row per frame (true reported dimensions +
+    * integer pixel sum). Fails LOUD on a payload no installed reader
+    * recognizes or a container with zero frames — an ingest pipeline must
+    * never silently pass corrupt media. Same mapPartitions batch contract
+    * as [[decodeImages]]. */
+  def decodeGifFrames(assets: Dataset[MediaAsset]): Dataset[DecodedGifFrame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"container holds no frames for doc ${a.doc_id}")
+        val frames = (0 until n).map { i =>
+          val img = reader.read(i)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedGifFrame(a.doc_id, i.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, sum)
+        }
+        reader.dispose()
+        iis.close()
+        frames.iterator
+      }
+    }
+  }
+
   // ------------------------------------------------------ real audio path
 
   /** Energy-window length in samples and the silence threshold (a window

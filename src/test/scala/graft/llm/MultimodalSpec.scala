@@ -127,6 +127,31 @@ class MultimodalSpec extends SparkSpec {
       f.fp_hi >= 0 && f.fp_hi < (1L << 31) && f.fp_lo >= 0 && f.fp_lo < (1L << 32)))
   }
 
+  test("GIF sequence round trip: every decoded frame matches the generation formula; corrupt container fails loud (VERDICT r7 #4)") {
+    import spark.implicits._
+    val (w, h, nf, seed) = (9, 7, 4, 123L)
+    val gif = Multimodal.makeGif(w, h, nf, seed)
+    assert(new String(gif.take(3), "US-ASCII") == "GIF", "real container magic")
+    val frames = Multimodal.decodeGifFrames(Seq(MediaAsset(1L, gif)).toDS())
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == nf, s"all $nf frames decode: ${frames.length}")
+    assert(frames.forall(f => f.width == w && f.height == h))
+    val want = (0 until nf).map { f =>
+      (for (x <- 0 until w; y <- 0 until h)
+        yield 3L * ((seed + 31L * x + 7L * y + 97L * f) % 256)).sum
+    }
+    frames.zip(want).foreach { case (fr, s) =>
+      assert(fr.pixel_sum == s, s"frame ${fr.frame_idx}: ${fr.pixel_sum} vs $s") }
+    // a corrupt container (mangled magic) must kill the task, not pass
+    val bad = gif.clone(); bad(0) = 'X'.toByte; bad(1) = 'Y'.toByte
+    val e = intercept[Exception] {
+      Multimodal.decodeGifFrames(Seq(MediaAsset(2L, bad)).toDS()).collect()
+    }
+    assert(e.getMessage.contains("no decoder recognizes") ||
+      (e.getCause != null && e.getCause.getMessage.contains("no decoder recognizes")) ||
+      e.getMessage.contains("doc 2"), s"loud failure names the doc: ${e.getMessage}")
+  }
+
   test("decoder failure on a corrupt WAV container is loud, not silent") {
     import spark.implicits._
     val bad = Multimodal.makeWav(Array.fill(100)(128), 8000)

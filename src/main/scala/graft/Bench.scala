@@ -136,10 +136,10 @@ object Bench {
     }
 
     /** One timed execution → (seconds, gcMsDuringRun). */
-    def runOnce(name: String): (Double, Long) = {
+    def runOnce(name: String, dir: String = sfDir): (Double, Long) = {
       val gc0 = gcTotalMs()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       // queries that persist intermediates (dedup pipelines) must not leak
       // cached RDDs into later measurements
@@ -149,8 +149,14 @@ object Bench {
 
     // warmup: one relational, one windowed, one LLM-pipeline query — covers
     // the codegen'd join/agg paths AND the md5/array expression paths, so
-    // per-query numbers are attributable to plans, not JIT order
-    try { runOnce("w1_window_avg"); runOnce("q5_revenue_by_region"); runOnce("dd_jaccard") }
+    // per-query numbers are attributable to plans, not JIT order. Warmup is
+    // about CODE (JIT/codegen/classloading), not data, so it runs on the
+    // driver's fixed sf0.1 regardless of the target slice — a decade-slice
+    // run must not pay a multi-minute dd_jaccard warm lap at 5M docs
+    // (identical behavior for the driver's own sf0.1 runs).
+    val warmDir = "/root/testdata/sf0.1"
+    try { runOnce("w1_window_avg", warmDir); runOnce("q5_revenue_by_region", warmDir)
+          runOnce("dd_jaccard", warmDir) }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // the component-loop plan shapes (label-propagation joins + pointer
     // jump) pay ~5s of one-time whole-stage-codegen compilation on their

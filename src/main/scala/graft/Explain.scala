@@ -61,6 +61,15 @@ object Explain {
     "sim_knn_graph_multiprobe_scaled" -> 2,
     // the graph's 2 routing builds + the sampled-brute query batch
     "sim_knn_recall_multiprobe_scaled" -> 3,
+    // the scaled IVF-PQ: the two-level fit's final-assign routing cross
+    // join + the QUERY-batch two-level routing cross join — both kc-row
+    // childful-seed builds (kc = ceil(sqrt(k)) rows of d longs, constant
+    // by construction; the round-1 assign and the parent map sit behind
+    // persisted k-row tables the static walk can't open)
+    "sim_ivfpq_scaled" -> 2,
+    // staged twin: only the query-batch routing cross join runs per serve
+    // (fit, parents and membership come from the fingerprinted stage)
+    "sim_ivfpq_scaled_staged" -> 1,
     "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,

@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a local[32] run shares ONE unified memory pool across 32
+  // executor threads (0.5 GB/thread at 16g — still conservative; the box
+  // has 128 GiB). The former 8g default left ~250 MB of execution memory
+  // per concurrent task and OOM'd the decade-slice window sorts a real
+  // cluster would absorb with per-executor memory. SPARK_DRIVER_MEM
+  // remains the explicit override.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -56,10 +56,14 @@ object Explain {
     // the round-1 assign and the k-row parent map sit behind persisted
     // k-row tables the static walk can't open)
     "sim_kmeans_scaled" -> 1,
-    // the scaled multi-probe graph: the final-assign routing cross join +
-    // the probe-selection routing cross join — both kc-row coarse builds
-    "sim_knn_graph_multiprobe_scaled" -> 2,
-    // the graph's 2 routing builds + the sampled-brute query batch
+    // the scaled multi-probe graph: ONE kcc-row super-routing cross join —
+    // the final assign's super route and the probe selection's super route
+    // are the same (xq × routable-supers, top-4) subplan, so the planner
+    // dedupes them into a single physical BNLJ
+    "sim_knn_graph_multiprobe_scaled" -> 1,
+    // the graph's routing builds (the exchange dedup visible in the bare
+    // graph plan does not survive this query's larger plan) + the
+    // sampled-brute query batch — measured at the audit SF
     "sim_knn_recall_multiprobe_scaled" -> 3,
     // the scaled IVF-PQ: the two-level fit's final-assign routing cross
     // join + the QUERY-batch two-level routing cross join — both kc-row

@@ -147,49 +147,77 @@ object SimilarityQueries {
     * 15 cells ≠ the fixed 8). */
   private val cellTarget = 32
 
-  /** Coarse-layer width of the TWO-LEVEL assignment: ceil(sqrt(k)) coarse
-    * seeds, so routing (N·kc·d) and within-cell argmin (N·(k/kc)·d) balance
-    * at O(N·sqrt(k)·d) — vs the flat assign's O(N·k·d), which with k ∝ N is
-    * the measured O(N²d/32) 100×-slice wall (SCALING.md: ~500 of 519.7s).
-    * IEEE sqrt/ceil are exactly rounded, so both engines derive the same
-    * integer. */
-  private def coarseK(k: Long): Long =
-    math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+  /** Super-layer width of the THREE-LEVEL assignment: the smallest integer
+    * kcc ≥ 2 with kcc³ ≥ k, found by INTEGER search — never a fractional
+    * pow/cbrt under a ceil(), which is exactly the 1-ulp cross-engine trap
+    * tx_mix_temperature documents; the oracle runs the congruent
+    * `min(i) FROM generate_series WHERE i*i*i >= k`. The coarse layer is
+    * kcc² seeds, so the three per-vector terms (super route kcc, coarse
+    * route ≈kc/kcc, fine argmin ≈k/kc) are ALL k^(1/3): O(N·k^(1/3)·d)
+    * total — the rung below the two-level O(N·√k·d) whose N^1.5 growth the
+    * round-8 sixth-decade re-measurement showed was algorithmic, not
+    * partition config (14.8×/decade at auto partitions). */
+  private[llm] def kccOf(k: Long): Long = {
+    var i = 2L
+    while (i * i * i < k) i += 1
+    i
+  }
 
-  /** Oracle chain for the k ∝ N TWO-LEVEL Lloyd fit — the exact DuckDB twin
-    * of [[kmeansTwoLevelLayer]]: per round, (1) every FINE centroid parents
-    * to its nearest coarse seed, (2) every vector routes to its nearest
-    * CHILDFUL coarse seed, (3) argmin over that coarse cell's fine children.
-    * Ends in `a2(vec_id, cid, dist)`; exposes `xq`, `gseeds`, `c1`, `p1`
-    * (for the multi-probe extension). Same quantized integers and
-    * (dist, id) tie order as every Lloyd chain here, so determinism is
-    * exact even though two-level assignment is an APPROXIMATION of the
-    * flat argmin (the IVF trade: a vector whose true nearest fine centroid
-    * parents to a different coarse seed lands one cell off — recall is
-    * audited by sim_knn_recall_multiprobe_scaled, not argued). */
-  private lazy val kmeansTwoLevelCtes: String = {
+  /** Oracle chain for the k ∝ N THREE-LEVEL Lloyd fit — the exact DuckDB
+    * twin of [[kmeansScaledLayer]]: per round, (1) every FINE centroid
+    * parents to its nearest coarse seed (pf — exact flat argmin over the
+    * kcc²-row coarse table), (2) every CHILDFUL coarse seed parents to its
+    * nearest super seed (pg — the bottom-up routable propagation: a super
+    * is routable iff it has a routable coarse child), (3) every vector
+    * routes super → coarse → fine (rs: the [[assignSProbe]] nearest
+    * routable supers, kcc dists; rg: the [[assignGProbe]] nearest coarse
+    * children across those supers, ≈sp·kcc dists; asg: argmin over those
+    * seeds' fine children, ≈gp·kcc dists) — O(N·k^(1/3)·d) total.
+    * kcc is the INTEGER smallest i with i³ ≥ k ([[kccOf]]'s congruent
+    * generate_series twin). Ends in `a2(vec_id, cid, dist)`; exposes `xq`,
+    * `sseeds`, `gseeds`, `c1`, `pf1`, `pg1` (for the multi-probe
+    * extension). Same quantized integers and (dist, id) tie order as every
+    * Lloyd chain here, so determinism is exact even though the layered
+    * assignment is an APPROXIMATION of the flat argmin (the IVF trade —
+    * recall is audited by sim_knn_recall_multiprobe_scaled, not argued). */
+  private lazy val kmeansThreeLevelCtes: String = {
     val dims = LlmHash.dims
     def l2(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
     def assignCtes(r: Int, cents: String, asg: String) =
-      s"""p$r AS (
+      s"""pf$r AS (
          |  SELECT cid, gid FROM (
          |    SELECT c.cid, g.gid, ${l2("c.carr", "g.garr")} AS gd
          |    FROM $cents c, gseeds g
          |  ) QUALIFY row_number() OVER (PARTITION BY cid ORDER BY gd, gid) = 1
          |),
-         |r$r AS (
+         |pg$r AS (
+         |  SELECT gid, sid FROM (
+         |    SELECT g.gid, s.sid, ${l2("g.garr", "s.sarr")} AS sd
+         |    FROM gseeds g, sseeds s
+         |    WHERE g.gid IN (SELECT gid FROM pf$r)
+         |  ) QUALIFY row_number() OVER (PARTITION BY gid ORDER BY sd, sid) = 1
+         |),
+         |rs$r AS (
+         |  SELECT vec_id, sid FROM (
+         |    SELECT x.vec_id, s.sid, ${l2("x.xq", "s.sarr")} AS sd
+         |    FROM xq x, sseeds s
+         |    WHERE s.sid IN (SELECT sid FROM pg$r)
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd, sid) <= $assignSProbe
+         |),
+         |rg$r AS (
          |  SELECT vec_id, gid FROM (
-         |    SELECT x.vec_id, g.gid, ${l2("x.xq", "g.garr")} AS gd
-         |    FROM xq x, gseeds g
-         |    WHERE g.gid IN (SELECT gid FROM p$r)
-         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) = 1
+         |    SELECT x.vec_id, p.gid, ${l2("x.xq", "g.garr")} AS gd
+         |    FROM xq x JOIN rs$r rt USING (vec_id)
+         |      JOIN pg$r p ON p.sid = rt.sid
+         |      JOIN gseeds g ON g.gid = p.gid
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) <= $assignGProbe
          |),
          |$asg AS (
          |  SELECT vec_id, cid, dist FROM (
          |    SELECT x.vec_id, c.cid, ${l2("x.xq", "c.carr")} AS dist
-         |    FROM xq x JOIN r$r rt USING (vec_id)
-         |      JOIN p$r p ON p.gid = rt.gid
+         |    FROM xq x JOIN rg$r rt USING (vec_id)
+         |      JOIN pf$r p ON p.gid = rt.gid
          |      JOIN $cents c ON c.cid = p.cid
          |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
          |)""".stripMargin
@@ -199,9 +227,17 @@ object SimilarityQueries {
        |  FROM embeddings
        |),
        |kk AS (SELECT greatest(8, count(*) // $cellTarget) AS k FROM embeddings),
+       |kcc AS (
+       |  SELECT CAST(min(i) AS BIGINT) AS v FROM generate_series(2, 1048576) AS t(i)
+       |  WHERE i*i*i >= (SELECT k FROM kk)
+       |),
+       |sseeds AS (
+       |  SELECT vec_id AS sid, xq AS sarr FROM xq
+       |  WHERE vec_id < (SELECT v FROM kcc)
+       |),
        |gseeds AS (
        |  SELECT vec_id AS gid, xq AS garr FROM xq
-       |  WHERE vec_id < (SELECT greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) FROM kk)
+       |  WHERE vec_id < (SELECT v * v FROM kcc)
        |),
        |c0 AS (SELECT vec_id AS cid, xq AS carr FROM xq WHERE vec_id < (SELECT k FROM kk)),
        |${assignCtes(0, "c0", "a1")},
@@ -227,47 +263,61 @@ object SimilarityQueries {
     * downstream do CONSTANT work per cell, linear total.
     *
     * Assignment is the sim_ivfpq coarse-routing shape applied to Lloyd
-    * itself (see [[assignViaParents]]): with k ∝ N the FLAT argmin is every
-    * vector × every centroid = O(N²d/32) — measured as ~500 of the 519.7s
-    * 100×-slice reading in round 6 (SCALING.md); two-level routing drops it
-    * to O(N·sqrt(k)·d). The broadcast tables are the kc×d coarse seeds
-    * (≈sqrt(N/32) rows) and the k×d fine table (≈N/32 rows — ~16 GB only
-    * past 1e9 vectors; beyond that the coarse layer recurses, same shape).
+    * itself, THREE layers deep (see [[assignScaled]]): with k ∝ N the FLAT
+    * argmin is every vector × every centroid = O(N²d/32) — measured as
+    * ~500 of the 519.7s 100×-slice reading in round 6 (SCALING.md); the
+    * round-7 two-level rung dropped it to O(N·√k·d), whose N^1.5 growth
+    * the round-8 sixth-decade re-measurement showed was algorithmic
+    * (14.8×/decade at auto partitions), so the round-8 rung makes every
+    * per-vector term k^(1/3): super route (kcc) → coarse route (≈kcc) →
+    * fine argmin (≈kcc), O(N·k^(1/3)·d) total. The broadcast tables are
+    * the kcc×d supers, kcc²×d coarse seeds, and the k×d fine table
+    * (≈N/32 rows — ~16 GB only past 1e9 vectors; beyond that the layer
+    * stack recurses, same shape; the fine→coarse parent map's k·kcc²·d
+    * build term likewise recurses through the super layer past ~1e8
+    * vectors — documented, not yet needed: at 2M vectors it is 100M
+    * broadcast-side distance evals, seconds of work).
     *
-    * Returns the [[TwoLevel]] bundle: xq (persisted), gseeds, c1 (fine
-    * centroids, persisted), the round-1 fine→coarse parent map (persisted —
-    * downstream probe selection and the scaled PQ index REUSE it instead of
-    * recomputing; ADVICE r7), the final a2 assignment, k, and the persisted
-    * cache handles. Handle contract (the pqBuildIndex pattern): callers
-    * that materialize their result (staging builders) unpersist `caches`
-    * when done; query-shaped callers hand frames to the runner and rely on
-    * the Verify/Bench clearCache contract. */
-  private[llm] case class TwoLevel(xq: DataFrame, gseeds: DataFrame,
-      c1: DataFrame, parents: DataFrame, a2: DataFrame, k: Long,
-      caches: Seq[DataFrame])
+    * Returns the [[ScaledFit]] bundle: xq (persisted), the super and
+    * coarse seed tables, c1 (fine centroids, persisted), the round-1
+    * fine→coarse (pf) and coarse→super (pg) parent maps (persisted —
+    * downstream probe selection and the scaled PQ index REUSE them instead
+    * of recomputing; ADVICE r7), the final a2 assignment, k, and the
+    * persisted cache handles. Handle contract (the pqBuildIndex pattern):
+    * callers that materialize their result (staging builders) unpersist
+    * `caches` when done; query-shaped callers hand frames to the runner
+    * and rely on the Verify/Bench clearCache contract. */
+  private[llm] case class ScaledFit(xq: DataFrame, sseeds: DataFrame,
+      gseeds: DataFrame, c1: DataFrame, pf: DataFrame, pg: DataFrame,
+      a2: DataFrame, k: Long, caches: Seq[DataFrame])
 
-  private[llm] def kmeansTwoLevelLayer(s: org.apache.spark.sql.SparkSession, d: String)
-      : TwoLevel = {
+  private[llm] def kmeansScaledLayer(s: org.apache.spark.sql.SparkSession, d: String)
+      : ScaledFit = {
     graft.functions.GraftFunctions.register(s)
     val n = Tables.embeddings(s, d).count()
     val k = math.max(8L, n / cellTarget)
-    val kc = coarseK(k)
+    val kcc = kccOf(k)
     val xq = Tables.embeddings(s, d)
       .select(col("vec_id"),
         expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gseeds = xq.filter(col("vec_id") < kc)
+    val sseeds = xq.filter(col("vec_id") < kcc)
+      .select(col("vec_id").as("sid"), col("xq").as("sarr"))
+    val gseeds = xq.filter(col("vec_id") < kcc * kcc)
       .select(col("vec_id").as("gid"), col("xq").as("garr"))
     val c0 = xq.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("xq").as("carr"))
-    val p0 = fineParents(c0, gseeds)
-    // c1 feeds a parent map, a routing pass, and the within-cell argmin —
-    // persist the k-row table so its assign+update lineage runs once
-    val c1 = lloydUpdate(assignViaParents(xq, p0, gseeds), xq)
+    val pf0 = fineParents(c0, gseeds)
+    val pg0 = superParents(pf0, gseeds, sseeds)
+    // c1 feeds two parent maps, a routing pass, and the within-cell argmin
+    // — persist the k-row table so its assign+update lineage runs once
+    val c1 = lloydUpdate(assignScaled(xq, pf0, pg0, sseeds), xq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val p1 = fineParents(c1, gseeds)
-    TwoLevel(xq, gseeds, c1, p1, assignViaParents(xq, p1, gseeds), k,
-      Seq(xq, c1, p0, p1))
+    val pf1 = fineParents(c1, gseeds)
+    val pg1 = superParents(pf1, gseeds, sseeds)
+    ScaledFit(xq, sseeds, gseeds, c1, pf1, pg1,
+      assignScaled(xq, pf1, pg1, sseeds), k,
+      Seq(xq, c1, pf0, pg0, pf1, pg1))
   }
 
   /** Fine→coarse parent map: every fine centroid's nearest coarse seed,
@@ -283,32 +333,81 @@ object SimilarityQueries {
       .join(cents, "cid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Coarse seeds that have at least one fine child under `parents` — the
-    * routing table. Routing only against childful seeds guarantees every
-    * vector's routed cell yields candidates (a childless seed would
-    * otherwise strand its routed vectors with no assignment). */
-  private def childfulSeeds(parents: DataFrame, gseeds: DataFrame): DataFrame =
-    gseeds.join(parents.select("gid").distinct(), "gid")
+  /** Coarse→super parent map over the ROUTABLE (childful) coarse seeds:
+    * every coarse seed holding ≥1 fine child under `pf` parents to its
+    * nearest super seed, (sd, sid) tie order — (gid, sid, garr). This IS
+    * the bottom-up routable propagation: pg's gid set = the childful
+    * coarse seeds, pg's sid set = the routable supers (a super is routable
+    * iff it has a routable coarse child). kc·kcc·d work on kcc²-row
+    * frames; broadcast-sized by construction. Persisted: each assign
+    * consumes it twice (super routing-table prune + coarse candidate
+    * build). */
+  private def superParents(pf: DataFrame, gseeds: DataFrame,
+      sseeds: DataFrame): DataFrame =
+    gseeds.join(pf.select("gid").distinct(), "gid")
+      .crossJoin(broadcast(sseeds))
+      .withColumn("sd", expr("vector_l2q(garr, sarr)"))
+      .groupBy("gid").agg(min(struct(col("sd"), col("sid"))).as("m"))
+      .select(col("gid"), col("m.sid").as("sid"))
+      .join(gseeds, "gid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** TWO-LEVEL Lloyd assignment over a PRE-BUILT parent map: route each
-    * (vec_id, xq) row to its nearest childful coarse seed (N·kc·d), then
-    * argmin over that seed's fine children (N·(k/kc)·d) — O(N·sqrt(k)·d)
-    * total. Both argmins are groupBy-min partial aggregates (corpus-sized
-    * frames collapse map-side to one row per vector); the only vector-sized
-    * exchange is the vec_id join attaching xq to its routed cell. Output:
-    * (vec_id, cid, dist), the same contract as the flat assign. This is
-    * THE routing rule — the scaled PQ serve path and the streaming
-    * maintenance router are bit-parity twins of it (same (gd, gid) /
-    * (dist, cid) tie orders), so a query and the fresh vector it is looking
-    * for can never route to different cells. */
-  private[llm] def assignViaParents(xq: DataFrame, parents: DataFrame,
-      gseeds: DataFrame): DataFrame = {
-    val route = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
-      .withColumn("gd", expr("vector_l2q(xq, garr)"))
-      .groupBy("vec_id").agg(min(struct(col("gd"), col("gid"))).as("g"))
-      .select(col("vec_id"), col("g.gid").as("gid"))
-    xq.join(route, "vec_id")
-      .join(broadcast(parents.select(col("gid"), col("cid"), col("carr"))), "gid")
+  /** Super seeds that have at least one routable coarse child under `pg`
+    * — the top routing table. Routing only against routable seeds
+    * guarantees every vector's routed chain ends in fine candidates. */
+  private def routableSupers(pg: DataFrame, sseeds: DataFrame): DataFrame =
+    sseeds.join(pg.select("sid").distinct(), "sid")
+
+  /** Probe widths inside the THREE-LEVEL assignment: each vector routes to
+    * its [[assignSProbe]] nearest routable supers, then the
+    * [[assignGProbe]] nearest coarse children across those supers, then
+    * argmins over those seeds' fine children. SINGLE-probe routing
+    * measured a DEGENERATE fit at 200k vectors: the reachable fine set per
+    * vector shrinks to ~k^(1/3) ≈ 17 cells (vs the two-level rung's
+    * ~√k ≈ 78), and because `lloydUpdate` emits only cells that received
+    * round-0 members, unreachable cells die permanently — cells-used
+    * collapsed 6180 → 1965, max occupancy 591 → 2448, Σocc² (the pair
+    * join's work term) 14.3M → 102M, OOMing the production graph. 4×4
+    * probes make the reachable set ~16·k^(1/3) ≈ 272 — wider than the
+    * two-level rung's — while keeping every per-vector term O(k^(1/3)·d).
+    * Also the per-layer fan-out join counts in the stream router. */
+  private[llm] val assignSProbe = 4
+  private[llm] val assignGProbe = 4
+
+  /** THREE-LEVEL Lloyd assignment over PRE-BUILT parent maps: route each
+    * (vec_id, xq) row to its nearest routable super seed (N·kcc·d), then
+    * to that super's [[assignGProbe]] nearest coarse children
+    * (N·(kc/kcc)·d avg, rank kept as a per-partition group limit), then
+    * argmin over those seeds' fine children (N·gp·(k/kc)·d avg) —
+    * O(N·k^(1/3)·d) total, every term kcc-sized. The super and fine
+    * argmins are groupBy-min partial aggregates (corpus-sized frames
+    * collapse map-side to one row per vector); the coarse top-gp is a
+    * WindowGroupLimit over thin (vec_id, gid, gd) rows; the only
+    * vector-sized exchanges are the vec_id joins re-attaching xq between
+    * steps. Output: (vec_id, cid, dist), the same contract as the flat
+    * assign. This is THE routing rule — the scaled PQ serve path and the
+    * streaming maintenance router are bit-parity twins of it (same
+    * (sd, sid) / (gd, gid) / (dist, cid) tie orders), so a query and the
+    * fresh vector it is looking for can never route to different cells. */
+  private[llm] def assignScaled(xq: DataFrame, pf: DataFrame, pg: DataFrame,
+      sseeds: DataFrame): DataFrame = {
+    val rs = xq.crossJoin(broadcast(routableSupers(pg, sseeds)))
+      .select(col("vec_id"), col("sid"),
+        expr("vector_l2q(xq, sarr)").as("sd"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sd"), col("sid"))))
+      .filter(col("srn") <= assignSProbe)
+      .select("vec_id", "sid")
+    val rg = xq.join(rs, "vec_id")
+      .join(broadcast(pg.select(col("sid"), col("gid"), col("garr"))), "sid")
+      .select(col("vec_id"), col("gid"),
+        expr("vector_l2q(xq, garr)").as("gd"))
+      .withColumn("grn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("gd"), col("gid"))))
+      .filter(col("grn") <= assignGProbe)
+      .select("vec_id", "gid")
+    xq.join(rg, "vec_id")
+      .join(broadcast(pf.select(col("gid"), col("cid"), col("carr"))), "gid")
       .withColumn("dist", expr("vector_l2q(xq, carr)"))
       .groupBy("vec_id").agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
@@ -418,12 +517,20 @@ object SimilarityQueries {
        |)""".stripMargin
   }
 
+  /** Super cells probed per vector when selecting COARSE probe candidates
+    * in the scaled multi-probe graph — the same boundary-coverage argument
+    * as [[mpCoarse]] one layer up: a near-boundary vector's true coarse
+    * seeds can parent to an adjacent super seed, so coarse candidates come
+    * from the union of FOUR supers' children. Cost per vector stays
+    * O(k^(1/3)·d) — kcc super distances + 4 coarse children sets ≈ 4·kcc
+    * candidates. */
+  private val mpSuper = 4
+
   /** Coarse cells probed per vector when SELECTING the fine probe cells in
     * the scaled multi-probe graph: ranking fine cells from the union of
     * FOUR coarse cells' children keeps a near-boundary vector's true
     * neighbor cells in scope even when they parent to an adjacent coarse
-    * seed. Cost stays O(N·sqrt(k)·d) — 4 coarse children sets ≈
-    * 4·sqrt(k) fine candidates per vector. */
+    * seed. 4 coarse children sets ≈ 4·kcc fine candidates per vector. */
   private val mpCoarse = 4
 
   /** Fine cells probed per vector in the SCALED multi-probe graph. With
@@ -436,32 +543,44 @@ object SimilarityQueries {
     * pair work. */
   private val mpScaledNprobe = 10
 
-  /** Multi-probe kNN graph over the k ∝ N TWO-LEVEL cells — the production
-    * composition (VERDICT r6 #2): [[kmeansTwoLevelLayer]] cells (constant
-    * occupancy at every corpus size) + [[mpScaledNprobe]]-cell probing (the
-    * boundary-recall fix, widened for the smaller cells). Probe selection
-    * is itself two-level routed — rank the fine children of the vector's
-    * [[mpCoarse]] nearest coarse seeds, keep the top [[mpScaledNprobe]] —
-    * so NOTHING in the chain touches all k centroids per vector. The pair
-    * join stays hash-partitioned on the probed cell (never all-pairs) at
+  /** Multi-probe kNN graph over the k ∝ N THREE-LEVEL cells — the
+    * production composition (VERDICT r6 #2, r7 #2): [[kmeansScaledLayer]]
+    * cells (constant occupancy at every corpus size) +
+    * [[mpScaledNprobe]]-cell probing (the boundary-recall fix, widened for
+    * the smaller cells). Probe selection rides the SAME super layer as the
+    * assignment — rank the coarse children of the vector's [[mpSuper]]
+    * nearest routable supers, keep [[mpCoarse]]; rank THOSE seeds' fine
+    * children, keep the top [[mpScaledNprobe]] — so nothing in the chain
+    * touches more than O(k^(1/3)) centroids per vector. The pair join
+    * stays hash-partitioned on the probed cell (never all-pairs) at
     * ≤nprobe·[[cellTarget]] candidate rows per vector; assignment is
-    * unique per member so no pair dedup exists anywhere. Windows run on thin (id, id, dist) frames — vectors
-    * are re-attached by vec_id join after each rank, never shuffled through
-    * a window. UNORDERED — callers sort. */
+    * unique per member so no pair dedup exists anywhere. Windows run on
+    * thin (id, id, dist) frames — vectors are re-attached by vec_id join
+    * after each rank, never shuffled through a window. UNORDERED — callers
+    * sort. */
   private def multiprobeKnnScaledDF(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val tl = kmeansTwoLevelLayer(s, d)
-    val (xq, gseeds, a2) = (tl.xq, tl.gseeds, tl.a2)
-    val parents = tl.parents // the frame the final assign already built — reuse, don't re-persist (ADVICE r7)
-    val mroute = xq.crossJoin(broadcast(childfulSeeds(parents, gseeds)))
-      .withColumn("gd", expr("vector_l2q(xq, garr)"))
-      .select(col("vec_id"), col("gid"), col("gd"))
+    val fit = kmeansScaledLayer(s, d)
+    val (xq, a2) = (fit.xq, fit.a2)
+    // parent maps the final assign already built — reuse, don't re-persist
+    // (ADVICE r7)
+    val msup = xq.crossJoin(broadcast(routableSupers(fit.pg, fit.sseeds)))
+      .withColumn("sd", expr("vector_l2q(xq, sarr)"))
+      .select(col("vec_id"), col("sid"), col("sd"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sd"), col("sid"))))
+      .filter(col("srn") <= mpSuper)
+      .select("vec_id", "sid")
+    val mroute = msup.join(xq, "vec_id")
+      .join(broadcast(fit.pg.select(col("sid"), col("gid"), col("garr"))), "sid")
+      .select(col("vec_id"), col("gid"),
+        expr("vector_l2q(xq, garr)").as("gd"))
       .withColumn("grn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("gd"), col("gid"))))
       .filter(col("grn") <= mpCoarse)
       .select("vec_id", "gid")
     val probes = mroute.join(xq, "vec_id")
-      .join(broadcast(parents.select(col("gid"), col("cid"), col("carr"))), "gid")
+      .join(broadcast(fit.pf.select(col("gid"), col("cid"), col("carr"))), "gid")
       .select(col("vec_id"), col("cid"),
         expr("vector_l2q(xq, carr)").as("d"))
       .withColumn("rn", row_number().over(
@@ -483,24 +602,33 @@ object SimilarityQueries {
       .filter(col("rank") <= knnK)
   }
 
-  /** Oracle CTEs extending [[kmeansTwoLevelCtes]] with the scaled
-    * multi-probe graph: `mpknn(vec_id, neighbor_id, rank, dist)`. */
+  /** Oracle CTEs extending [[kmeansThreeLevelCtes]] with the scaled
+    * multi-probe graph: `mpknn(vec_id, neighbor_id, rank, dist)`. Probe
+    * selection rides the super layer exactly as the Spark chain does. */
   private lazy val multiprobeScaledCtes: String = {
     val dims = LlmHash.dims
     def l2(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
-    s"""$kmeansTwoLevelCtes,
+    s"""$kmeansThreeLevelCtes,
+       |msup AS (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT x.vec_id, s.sid, ${l2("x.xq", "s.sarr")} AS sd
+       |    FROM xq x, sseeds s
+       |    WHERE s.sid IN (SELECT sid FROM pg1)
+       |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sd, sid) <= $mpSuper
+       |),
        |mroute AS (
        |  SELECT vec_id, gid FROM (
-       |    SELECT x.vec_id, g.gid, ${l2("x.xq", "g.garr")} AS gd
-       |    FROM xq x, gseeds g
-       |    WHERE g.gid IN (SELECT gid FROM p1)
+       |    SELECT x.vec_id, p.gid, ${l2("x.xq", "g.garr")} AS gd
+       |    FROM xq x JOIN msup mt USING (vec_id)
+       |      JOIN pg1 p ON p.sid = mt.sid
+       |      JOIN gseeds g ON g.gid = p.gid
        |  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY gd, gid) <= $mpCoarse
        |),
        |mcand AS (
        |  SELECT x.vec_id, c.cid AS pcid, x.xq, ${l2("x.xq", "c.carr")} AS d
        |  FROM xq x JOIN mroute rt USING (vec_id)
-       |    JOIN p1 p ON p.gid = rt.gid
+       |    JOIN pf1 p ON p.gid = rt.gid
        |    JOIN c1 c ON c.cid = p.cid
        |),
        |mp AS (
@@ -656,10 +784,10 @@ object SimilarityQueries {
     * reachability components. (Lazy: safe to sit below [[all]].) */
   private lazy val kmComponentsOracle: String = kmComponentsOracleOver(kmeansCtes)
 
-  /** The scaled-k twin's oracle — same chain over the k ∝ N TWO-LEVEL
+  /** The scaled-k twin's oracle — same chain over the k ∝ N THREE-LEVEL
     * Lloyd fit. */
   private lazy val kmComponentsScaledOracle: String =
-    kmComponentsOracleOver(kmeansTwoLevelCtes)
+    kmComponentsOracleOver(kmeansThreeLevelCtes)
 
   private def kmComponentsOracleOver(lloydCtes: String): String = {
     val dims = LlmHash.dims
@@ -758,17 +886,19 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      s"km2l-asg-v1;dims=${LlmHash.dims};cellTarget=$cellTarget;scale=$kmScale;" +
+      // km3l = the three-level assignment algorithm version: a checkout
+      // upgrading from the two-level fit re-fingerprints and rebuilds
+      s"km3l-asg-v1;sp=$assignSProbe;gp=$assignGProbe;dims=${LlmHash.dims};cellTarget=$cellTarget;scale=$kmScale;" +
         s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,
       "graft_km2l_asg_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
       s.sql(s"CREATE TABLE $table (vec_id BIGINT, cid BIGINT) USING parquet LOCATION '$loc'")
     } { (table, loc) =>
-      val tl = kmeansTwoLevelLayer(s, d)
-      tl.a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      val fit = kmeansScaledLayer(s, d)
+      fit.a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
         .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
-      tl.caches.foreach(_.unpersist(blocking = false)) // staging materialized — release (ADVICE r7)
+      fit.caches.foreach(_.unpersist(blocking = false)) // staging materialized — release (ADVICE r7)
     }
   }
 
@@ -1206,40 +1336,40 @@ object SimilarityQueries {
         idx.filter(col("kind") === "ccent").select("label", "carr"))
     },
 
-    // IVF-PQ over the SCALED (k ∝ N, two-level) cells — the production
-    // index+serve composition (VERDICT r7 #1): until now the PQ serving
-    // loop ran only against the FIXED label cells while the production
-    // corpus fit was the scaled two-level chain. Queries route TWO-LEVEL
-    // (nearest childful coarse seed → argmin over its fine children — the
-    // assignViaParents rule, so a corpus-member query's route IS its own
-    // assignment and the oracle's route CTE is just a2 filtered), then the
-    // probed ~cellTarget-occupancy cell ranks through the same ADC-LUT
-    // machinery as sim_ivfpq. Scale shape: routing is O(√k) broadcast
-    // distances per query (never all k centroids), the probed cell is
-    // CONSTANT-sized by the k ∝ N contract, and the corpus appears only as
-    // 8-byte codes.
+    // IVF-PQ over the SCALED (k ∝ N, three-level) cells — the production
+    // index+serve composition (VERDICT r7 #1): until round 8 the PQ
+    // serving loop ran only against the FIXED label cells while the
+    // production corpus fit was the scaled chain. Queries route LAYERED
+    // (nearest routable super seed → nearest coarse child → argmin over
+    // its fine children — the assignScaled rule, so a corpus-member
+    // query's route IS its own assignment and the oracle's route CTE is
+    // just a2 filtered), then the probed ~cellTarget-occupancy cell ranks
+    // through the same ADC-LUT machinery as sim_ivfpq. Scale shape:
+    // routing is O(k^(1/3)) broadcast distances per query (never all k
+    // centroids), the probed cell is CONSTANT-sized by the k ∝ N
+    // contract, and the corpus appears only as 8-byte codes.
     Q("sim_ivfpq_scaled", pqScaledOracle) { (s, d) =>
-      val tl = kmeansTwoLevelLayer(s, d)
+      val fit = kmeansScaledLayer(s, d)
       val (_, cb, codes, _) = pqBuildCodebooks(s, d)
-      val queries = tl.xq.filter(expr(querySel))
+      val queries = fit.xq.filter(expr(querySel))
         .select(col("vec_id").as("query_id"), col("xq"))
-      pqServeQueriesScaled(s, cb, codes, tl.a2.select("vec_id", "cid"),
-        tl.gseeds, tl.parents, queries, selfExclude = true)
+      pqServeQueriesScaled(s, cb, codes, fit.a2.select("vec_id", "cid"),
+        fit.sseeds, fit.pf, fit.pg, queries, selfExclude = true)
     },
 
     // The staged production face of the scaled IVF-PQ: codebooks, codes,
-    // membership, coarse seeds and the parent map persist as ONE
+    // membership, super seeds and both parent maps persist as ONE
     // fingerprinted artifact (stagePqIndexScaled); per query batch only
-    // two-level routing, the LUT, and the probed cell's ADC run. Same
+    // layered routing, the LUT, and the probed cell's ADC run. Same
     // oracle — the staged index IS the computed one by fingerprint.
     Q("sim_ivfpq_scaled_staged", pqScaledOracle) { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       val idx = s.table(stagePqIndexScaled(s, d))
-      val (cb, codes, members, gseeds, parents) = scaledIndexFrames(idx)
+      val (cb, codes, members, sseeds, pf, pg) = scaledIndexFrames(idx)
       val queries = Tables.embeddings(s, d).filter(expr(querySel))
         .select(col("vec_id").as("query_id"),
           expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
-      pqServeQueriesScaled(s, cb, codes, members, gseeds, parents,
+      pqServeQueriesScaled(s, cb, codes, members, sseeds, pf, pg,
         queries, selfExclude = true)
     },
 
@@ -2061,16 +2191,18 @@ object SimilarityQueries {
     // sim_kmeans can only state in prose. Quantized integers, (dist, cid)
     // tie order; the oracle computes the identical k as a scalar subquery.
     // At sf0.01 the re-fit is already observable (500 vectors -> 15 cells
-    // vs the fixed 8). Assignment is TWO-LEVEL (route via ceil(sqrt(k))
-    // coarse seeds, argmin within the routed seed's fine children — the
-    // sim_ivfpq coarse-routing shape applied to Lloyd itself), retiring
-    // the flat assign's O(N·k·d) = O(N²d/32) term that round 6 measured
-    // as ~500 of the 519.7s 100×-slice reading (SCALING.md).
+    // vs the fixed 8). Assignment is THREE-LEVEL since round 8 (route via
+    // kcc = ceil-integer-cbrt(k) super seeds, then that super's coarse
+    // children, then argmin within the routed coarse seed's fine children
+    // — the sim_ivfpq coarse-routing shape applied to Lloyd itself, one
+    // layer deeper than round 7's two-level rung whose O(N·√k·d) assign
+    // re-measured super-linear at auto partitions): every per-vector term
+    // is k^(1/3).
     Q("sim_kmeans_scaled",
-      s"""WITH $kmeansTwoLevelCtes
+      s"""WITH $kmeansThreeLevelCtes
          |SELECT vec_id, cid AS cluster_id, dist FROM a2 ORDER BY vec_id""".stripMargin) {
       (s, d) =>
-      kmeansTwoLevelLayer(s, d).a2
+      kmeansScaledLayer(s, d).a2
         .select(col("vec_id"), col("cid").as("cluster_id"), col("dist"))
         .orderBy("vec_id")
     },
@@ -2085,8 +2217,8 @@ object SimilarityQueries {
     // two-level-assigned scaled layer, so EVERY stage of this chain is
     // now sub-quadratic in N.
     Q("sim_components_kmeans_scaled", kmComponentsScaledOracle) { (s, d) =>
-      val tl = kmeansTwoLevelLayer(s, d)
-      kmComponentsFrom(s, d, tl.a2.select("vec_id", "cid"), tl.xq,
+      val fit = kmeansScaledLayer(s, d)
+      kmComponentsFrom(s, d, fit.a2.select("vec_id", "cid"), fit.xq,
         "sim_components_kmeans_scaled")
     },
 
@@ -2379,18 +2511,19 @@ object SimilarityQueries {
          |ORDER BY query_id, neighbor_id""".stripMargin
   }
 
-  /** Oracle for the SCALED IVF-PQ pair: the [[kmeansTwoLevelCtes]] fit
-    * (xq, gseeds, c1, p1, a2 — kmScale-quantized; kmScale == pqScale is
-    * require()d on the Spark side) + the [[pqOracle]] codebook/code CTEs
-    * rebased on that xq, + two-level query routing. A corpus-member query's
-    * two-level route IS its own a2 row (identical rule, identical
-    * (gd, gid)/(dist, cid) tie orders), so `route` filters a2 rather than
-    * restating the chain — the same identity the Spark side exploits via
-    * [[assignViaParents]]. ADC then ranks the probed SCALED cell's codes. */
+  /** Oracle for the SCALED IVF-PQ pair: the [[kmeansThreeLevelCtes]] fit
+    * (xq, sseeds, gseeds, c1, pf1, pg1, a2 — kmScale-quantized; kmScale ==
+    * pqScale is require()d on the Spark side) + the [[pqOracle]]
+    * codebook/code CTEs rebased on that xq, + layered query routing. A
+    * corpus-member query's layered route IS its own a2 row (identical
+    * rule, identical (sd, sid)/(gd, gid)/(dist, cid) tie orders), so
+    * `route` filters a2 rather than restating the chain — the same
+    * identity the Spark side exploits via [[assignScaled]]. ADC then ranks
+    * the probed SCALED cell's codes. */
   private lazy val pqScaledOracle: String = {
     def d8(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
-    s"""WITH $kmeansTwoLevelCtes,
+    s"""WITH $kmeansThreeLevelCtes,
        |sub AS (
        |  SELECT vec_id, CAST(s AS INT) AS s,
        |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
@@ -2653,35 +2786,38 @@ object SimilarityQueries {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** IVF-PQ serving against the SCALED (k ∝ N two-level) cells — the
-    * production serve shape (VERDICT r7 #1): queries route TWO-LEVEL
-    * (nearest childful coarse seed, then argmin over that seed's fine
-    * children — [[assignViaParents]], the identical rule/tie-order the
-    * corpus assignment and the streaming maintenance router use, so a
-    * query and the vector it is looking for can never land one cell
-    * apart), then the probed cell's members rank through the same
-    * ADC-LUT machinery as the fixed-label serve. Nothing touches all k
-    * centroids per query: routing is kc + (k/kc) distances — O(√k) —
-    * against broadcast-sized tables.
+  /** IVF-PQ serving against the SCALED (k ∝ N three-level) cells — the
+    * production serve shape (VERDICT r7 #1): queries route LAYERED
+    * (nearest routable super seed, then its nearest coarse child, then
+    * argmin over that seed's fine children — [[assignScaled]], the
+    * identical rule/tie-order the corpus assignment and the streaming
+    * maintenance router use, so a query and the vector it is looking for
+    * can never land one cell apart), then the probed cell's members rank
+    * through the same ADC-LUT machinery as the fixed-label serve. Nothing
+    * touches all k centroids per query: routing is ~3·kcc distances —
+    * O(k^(1/3)) — against broadcast-sized tables.
     *
     * @param members corpus (vec_id, cid) — the scaled assignment
+    * @param sseeds  super seeds (sid, sarr)
+    * @param pf      fine→coarse parent map (cid, gid, carr)
+    * @param pg      coarse→super parent map (gid, sid, garr)
     * @param delta   optional fresh vectors (vec_id, cell = scaled cid, xq)
     *                from the scaled maintenance stream; exact quantized L2,
     *                min-dedup'd against the base (the pqServeQueries delta
     *                contract) */
   private[llm] def pqServeQueriesScaled(s: org.apache.spark.sql.SparkSession,
       cb: DataFrame, codes: DataFrame, members: DataFrame,
-      gseeds: DataFrame, parents: DataFrame,
+      sseeds: DataFrame, pf: DataFrame, pg: DataFrame,
       queries: DataFrame, selfExclude: Boolean,
       delta: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // the two quantization constants must agree for the scaled index: the
-    // two-level fit routes on kmScale integers while the PQ LUT/ADC run on
+    // layered fit routes on kmScale integers while the PQ LUT/ADC run on
     // pqScale integers — one xq table serves both only because they are
     // the same grid (both 10000; a future retune must move them together)
     require(pqScale == kmScale, "scaled IVF-PQ requires pqScale == kmScale")
-    val route = assignViaParents(
-        queries.select(col("query_id").as("vec_id"), col("xq")), parents, gseeds)
+    val route = assignScaled(
+        queries.select(col("query_id").as("vec_id"), col("xq")), pf, pg, sseeds)
       .select(col("vec_id").as("query_id"), col("cid").as("probe_cid"))
     val dist = "vector_l2q(av, bv)"
     val lut = queries
@@ -2721,15 +2857,17 @@ object SimilarityQueries {
   }
 
   /** Cross-session staged SCALED IVF-PQ index — [[stagePqIndex]]'s shape
-    * over the k ∝ N two-level cells, self-contained for serving: subspace
-    * codebooks (`cb`), per-vector codes (`code`), the corpus cell
-    * membership (`member`), the coarse seeds (`gseed`: gid in `cid`,
-    * garr in `carr`) and the fine→coarse parent map with fine centroids
-    * (`parent`: gid in `vec_id`, cid, carr) — everything the two-level
-    * query router and the streaming maintenance router need, in ONE
-    * kind-tagged artifact whose fingerprint pins the corpus content, the
-    * PQ constants AND the re-fit law (a grown corpus changes N, k and the
-    * xor — a stale scaled index can never serve). */
+    * over the k ∝ N three-level cells, self-contained for serving:
+    * subspace codebooks (`cb`), per-vector codes (`code`), the corpus cell
+    * membership (`member`), the super seeds (`sseed`: sid in `cid`, sarr
+    * in `carr`), the coarse→super parent map with coarse seeds (`gparent`:
+    * gid in `cid`, sid in `vec_id`, garr in `carr`) and the fine→coarse
+    * parent map with fine centroids (`parent`: gid in `vec_id`, cid,
+    * carr) — everything the layered query router and the streaming
+    * maintenance router need, in ONE kind-tagged artifact whose
+    * fingerprint pins the corpus content, the PQ constants AND the re-fit
+    * law (a grown corpus changes N, k and the xor — a stale scaled index
+    * can never serve). */
   private[graft] def stagePqIndexScaled(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     graft.functions.GraftFunctions.register(s)
@@ -2739,7 +2877,9 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      s"pqs-v1;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
+      // pqs-v2 = the three-level layout (sseed/gparent kinds): a checkout
+      // upgrading from the two-level artifact re-fingerprints and rebuilds
+      s"pqs-v2;sp=$assignSProbe;gp=$assignGProbe;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
         s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,
@@ -2748,7 +2888,7 @@ object SimilarityQueries {
         s"carr ARRAY<BIGINT>, vec_id BIGINT, code BIGINT) " +
         s"USING parquet LOCATION '$loc'")
     } { (table, loc) =>
-      val tl = kmeansTwoLevelLayer(s, d)
+      val fit = kmeansScaledLayer(s, d)
       val (_, cb, codes, pqCaches) = pqBuildCodebooks(s, d)
       val nullV = lit(null).cast("bigint").as("vec_id")
       val nullC = lit(null).cast("bigint").as("code")
@@ -2757,29 +2897,33 @@ object SimilarityQueries {
         .unionByName(codes.select(lit("code").as("kind"), col("s").cast("int").as("s"),
           lit(null).cast("bigint").as("cid"), lit(null).cast("array<bigint>").as("carr"),
           col("vec_id"), col("code")))
-        .unionByName(tl.a2.select(lit("member").as("kind"), lit(null).cast("int").as("s"),
+        .unionByName(fit.a2.select(lit("member").as("kind"), lit(null).cast("int").as("s"),
           col("cid"), lit(null).cast("array<bigint>").as("carr"),
           col("vec_id"), nullC))
-        .unionByName(tl.gseeds.select(lit("gseed").as("kind"), lit(null).cast("int").as("s"),
-          col("gid").as("cid"), col("garr").as("carr"), nullV, nullC))
-        .unionByName(tl.parents.select(lit("parent").as("kind"), lit(null).cast("int").as("s"),
+        .unionByName(fit.sseeds.select(lit("sseed").as("kind"), lit(null).cast("int").as("s"),
+          col("sid").as("cid"), col("sarr").as("carr"), nullV, nullC))
+        .unionByName(fit.pg.select(lit("gparent").as("kind"), lit(null).cast("int").as("s"),
+          col("gid").as("cid"), col("garr").as("carr"), col("sid").as("vec_id"), nullC))
+        .unionByName(fit.pf.select(lit("parent").as("kind"), lit(null).cast("int").as("s"),
           col("cid"), col("carr"), col("gid").as("vec_id"), nullC))
       rows.write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
-      (tl.caches ++ pqCaches).foreach(_.unpersist(blocking = false))
+      (fit.caches ++ pqCaches).foreach(_.unpersist(blocking = false))
     }
   }
 
-  /** The (cb, codes, members, gseeds, parents) frame bundle sliced out of
+  /** The (cb, codes, members, sseeds, pf, pg) frame bundle sliced out of
     * a staged scaled index table — the serve path's adopt-side read. */
   private[llm] def scaledIndexFrames(idx: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
     idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
     idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
     idx.filter(col("kind") === "member").select("vec_id", "cid"),
-    idx.filter(col("kind") === "gseed")
-      .select(col("cid").as("gid"), col("carr").as("garr")),
+    idx.filter(col("kind") === "sseed")
+      .select(col("cid").as("sid"), col("carr").as("sarr")),
     idx.filter(col("kind") === "parent")
-      .select(col("vec_id").as("gid"), col("cid"), col("carr")))
+      .select(col("vec_id").as("gid"), col("cid"), col("carr")),
+    idx.filter(col("kind") === "gparent")
+      .select(col("cid").as("gid"), col("vec_id").as("sid"), col("carr").as("garr")))
 
   /** sim_hard_negatives body over any (vec_id, embedding, label) frame —
     * factored so the planted-negative spec drives the real chain. Requires

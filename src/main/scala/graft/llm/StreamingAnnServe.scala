@@ -183,55 +183,88 @@ object StreamingAnnServe {
       .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))
   }
 
-  /** [[annIndexStream]] against the SCALED (k ∝ N two-level) staged index
-    * — the production maintenance loop (VERDICT r7 #1: the flat router
-    * cannot even compile at scaled k; this one is O(√k) per vector and
-    * k-agnostic in generated code). Routing = [[routeToCellsScaled]],
-    * bit-parity with `assignViaParents`/`pqServeQueriesScaled`. */
+  /** [[annIndexStream]] against the SCALED (k ∝ N three-level) staged
+    * index — the production maintenance loop (VERDICT r7 #1: the flat
+    * router cannot even compile at scaled k; this one is O(k^(1/3)) per
+    * vector and k-agnostic in generated code). Routing =
+    * [[routeToCellsScaled]], bit-parity with
+    * `assignScaled`/`pqServeQueriesScaled`. */
   def annIndexStreamScaled(vecs: Dataset[VecEvent], corpusDir: String,
       outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val s = vecs.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val (_, _, _, gseeds, parents) = SimilarityQueries.scaledIndexFrames(
+    val (_, _, _, sseeds, pf, pg) = SimilarityQueries.scaledIndexFrames(
       s.table(SimilarityQueries.stagePqIndexScaled(s, corpusDir)))
-    routeToCellsScaled(vecs.toDF(), gseeds, parents)
+    routeToCellsScaled(vecs.toDF(), sseeds, pf, pg)
       .writeStream.format("parquet")
       .partitionBy("cell")
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
   }
 
-  /** TWO-LEVEL routing as a STREAM-SAFE projection — the
-    * `assignViaParents` rule without its aggregations (append-mode file
-    * sinks admit no groupBy): coarse pick is a row-local array_min over
-    * the ONE-ROW childful-seed array (√k entries, broadcast by
-    * construction); the fine pick is a stream-static broadcast equi-join
-    * on the routed gid (stateless, supported in append mode) followed by
-    * a row-local array_min over that seed's ~√k children. Same
-    * (gd, gid) / (dist, cid) tie orders as the batch assignment — a
-    * corpus-member vector streamed through here lands in exactly its a2
-    * cell (spec-pinned). O(√k) work per vector; NOTHING grows with k in
-    * the generated code. */
-  private[llm] def routeToCellsScaled(vecs: DataFrame, gseeds: DataFrame,
-      parents: DataFrame): DataFrame = {
-    val childful = gseeds.join(parents.select("gid").distinct(), "gid")
-    val gsRow = childful.select(struct(col("gid"), col("garr")).as("g"))
-      .agg(expr("array_sort(collect_list(g))").as("gs"))
-    val kids = parents
+  /** THREE-LEVEL routing as a STREAM-SAFE projection — the `assignScaled`
+    * rule without its aggregations (append-mode file sinks admit no
+    * groupBy): the top-`assignSProbe` super pick is a row-local slice of
+    * the sorted ONE-ROW routable-super array (kcc entries, broadcast by
+    * construction); those supers' coarse-child arrays attach by
+    * `assignSProbe` stream-static LEFT broadcast equi-joins and the
+    * top-`assignGProbe` coarse pick ranks ROW-LOCALLY across their union
+    * (per-gid child sets are disjoint, so the union has no dup gids); the
+    * fine argmin runs over the union of those seeds' child arrays,
+    * attached by `assignGProbe` more LEFT equi-joins (missing ranks
+    * contribute empty arrays). Same (sd, sid) / (gd, gid) / (dist, cid)
+    * tie orders as the batch assignment — a corpus-member vector streamed
+    * through here lands in exactly its a2 cell (spec-pinned). O(k^(1/3))
+    * work per vector; NOTHING grows with k in the generated code. */
+  private[llm] def routeToCellsScaled(vecs: DataFrame, sseeds: DataFrame,
+      pf: DataFrame, pg: DataFrame): DataFrame = {
+    val sp = SimilarityQueries.assignSProbe
+    val gp = SimilarityQueries.assignGProbe
+    val routable = sseeds.join(pg.select("sid").distinct(), "sid")
+    val ssRow = routable.select(struct(col("sid"), col("sarr")).as("g"))
+      .agg(expr("array_sort(collect_list(g))").as("ss"))
+    val gkids = pg
+      .select(col("sid"), struct(col("gid"), col("garr")).as("k"))
+      .groupBy("sid").agg(expr("array_sort(collect_list(k))").as("gkids"))
+    val kids = pf
       .select(col("gid"), struct(col("cid"), col("carr")).as("k"))
       .groupBy("gid").agg(expr("array_sort(collect_list(k))").as("kids"))
-    vecs
-      .withColumn("xq",
-        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})"))
-      .crossJoin(broadcast(gsRow)) // 1-row √k-entry array: constant by construction
-      .withColumn("gid", expr(
-        "array_min(transform(gs, g -> " +
-          "struct(vector_l2q(xq, g.garr) AS d, g.gid AS gid))).gid"))
-      .drop("gs")
-      .join(broadcast(kids), "gid") // stream-static equi-join on the routed seed
+    val topS = s"slice(array_sort(transform(ss, g -> " +
+      s"struct(vector_l2q(xq, g.sarr) AS d, g.sid AS sid))), 1, $sp)"
+    val withS = (0 until sp).foldLeft(
+      vecs
+        .withColumn("xq",
+          expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})"))
+        .crossJoin(broadcast(ssRow)) // 1-row kcc-entry array: constant by construction
+        .withColumn("stop", expr(topS))
+        .drop("ss")
+        .transform(df => (0 until sp).foldLeft(df) { (d, i) =>
+          d.withColumn(s"sid_$i", expr(s"try_element_at(stop, ${i + 1}).sid"))
+        })
+        .drop("stop")) { (df, i) =>
+      df.join(broadcast(gkids.select(col("sid").as(s"sid_$i"),
+          col("gkids").as(s"gkids_$i"))), Seq(s"sid_$i"), "left")
+    }
+    val allG = (0 until sp)
+      .map(i => s"coalesce(gkids_$i, array())").mkString("concat(", ", ", ")")
+    val topG = s"slice(array_sort(transform($allG, c -> " +
+      s"struct(vector_l2q(xq, c.garr) AS d, c.gid AS gid))), 1, $gp)"
+    val withG = withS
+      .withColumn("gtop", expr(topG))
+      .drop((0 until sp).map(i => s"gkids_$i"): _*)
+    val joined = (0 until gp).foldLeft(
+      (0 until gp).foldLeft(withG) { (df, i) =>
+        df.withColumn(s"gid_$i", expr(s"try_element_at(gtop, ${i + 1}).gid"))
+      }.drop("gtop")) { (df, i) =>
+      df.join(broadcast(kids.select(col("gid").as(s"gid_$i"),
+          col("kids").as(s"kids_$i"))), Seq(s"gid_$i"), "left")
+    }
+    val allKids = (0 until gp)
+      .map(i => s"coalesce(kids_$i, array())").mkString("concat(", ", ", ")")
+    joined
       .withColumn("cell", expr(
-        "array_min(transform(kids, c -> " +
+        s"array_min(transform($allKids, c -> " +
           "struct(vector_l2q(xq, c.carr) AS d, c.cid AS cid))).cid").cast("int"))
       .select(col("vec_id"), col("timestamp"), col("embedding"), col("cell"))
   }
@@ -251,7 +284,7 @@ object StreamingAnnServe {
     var deltaSeen = false
     val w0 = queries.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (cb, codes, members, gseeds, parents) =
+        val (cb, codes, members, sseeds, pf, pg) =
           SimilarityQueries.scaledIndexFrames(
             s.table(SimilarityQueries.stagePqIndexScaled(s, corpusDir)))
         val q = batch.select(col("query_id"),
@@ -264,7 +297,7 @@ object StreamingAnnServe {
               expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
           }.toOption
         sink(SimilarityQueries.pqServeQueriesScaled(s, cb, codes, members,
-          gseeds, parents, q, selfExclude = false, delta = delta))
+          sseeds, pf, pg, q, selfExclude = false, delta = delta))
       }
     val w1 = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()

@@ -30,7 +30,7 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val corpus = freshCorpus("pqs_route")
     val idx = spark.table(SimilarityQueries.stagePqIndexScaled(spark, corpus))
-    val (_, _, members, gseeds, parents) = SimilarityQueries.scaledIndexFrames(idx)
+    val (_, _, members, sseeds, pf, pg) = SimilarityQueries.scaledIndexFrames(idx)
 
     // stream the CORPUS VECTORS THEMSELVES through the maintenance router
     val vecs = Tables.embeddings(spark, corpus)
@@ -51,7 +51,7 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     val a2 = members.select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
     assert(streamed == a2, "streamed routing must equal the staged two-level assignment")
     // parity 2: the batch twin of the stream projection itself
-    val twin = StreamingAnnServe.routeToCellsScaled(vecs, gseeds, parents)
+    val twin = StreamingAnnServe.routeToCellsScaled(vecs, sseeds, pf, pg)
       .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)].collect().toMap
     assert(streamed == twin, "stream and batch-twin projections must agree")
     // ...and the scaled fit actually discriminates (k >= 8 cells at any N)
@@ -107,7 +107,7 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val corpus = freshCorpus("pqs_overlap")
     val idx = spark.table(SimilarityQueries.stagePqIndexScaled(spark, corpus))
-    val (cb, codes, members, gseeds, parents) = SimilarityQueries.scaledIndexFrames(idx)
+    val (cb, codes, members, sseeds, pf, pg) = SimilarityQueries.scaledIndexFrames(idx)
     // the post-rebuild, pre-compaction window: corpus member 42 is in the
     // PQ codes AND still sits in a not-yet-retired delta
     val member42 = Tables.embeddings(spark, corpus).filter(col("vec_id") === 42L)
@@ -118,7 +118,7 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     val delta = member42.select(col("vec_id"), lit(cell42).cast("int").as("cell"), col("xq"))
     val queries = member42.select(col("vec_id").as("query_id"), col("xq"))
     val got = SimilarityQueries.pqServeQueriesScaled(spark, cb, codes, members,
-        gseeds, parents, queries, selfExclude = false, delta = Some(delta))
+        sseeds, pf, pg, queries, selfExclude = false, delta = Some(delta))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val self = got.filter { case (q, n, _) => q == 42L && n == 42L }
     assert(self.length == 1, s"one slot for the doubly-present vector: ${self.toSeq}")

@@ -275,6 +275,37 @@ class ThroughputSpec extends SparkSpec {
     assert(served.get() > 0, "the sink saw top-k results")
   }
 
+  test("SCALED ANN serving sustains >=100 queries/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val numPartitions = 4
+    val perPartitionRate = 200 // 2x the 100 target: every query routes two-level + probes
+    val corpus = sf("sf0.001")
+    // adopt/build the SCALED index BEFORE serving starts — an index build
+    // is a corpus-version event, not a serving cost
+    graft.llm.SimilarityQueries.stagePqIndexScaled(spark, corpus)
+    val dims = 64
+    val queries = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select((col("value") + 1000000L).as("query_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        expr(s"transform(sequence(0, ${dims - 1}), " +
+          "j -> cast((value % 97) * 0.01 + j * 0.001 as float))").as("embedding"))
+      .as[graft.llm.QueryVec]
+    val served = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ckpt = Files.createTempDirectory("rate_anns_ckpt").toString
+    val q = graft.llm.StreamingAnnServe.serveScaled(queries, corpus, None,
+        trigger = Some(Trigger.ProcessingTime("500 milliseconds")),
+        checkpoint = Some(ckpt)) { df =>
+      served.addAndGet(df.count())
+    }
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "query rate source -> staged SCALED (k ∝ N) index: two-level route + cell ADC per micro-batch -> top-k",
+      "STREAM_RATE_ANN_SCALED.json")
+    assert(served.get() > 0, "the sink saw top-k results")
+  }
+
   test("curate trio E2E sustains >=100 docs/s/partition over >=10s (measured)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

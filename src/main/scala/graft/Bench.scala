@@ -236,18 +236,24 @@ object Bench {
     // below regressions worth recording; a LEGITIMATE whole-suite slowdown
     // (e.g. regenerated testdata) re-records by deleting the stale file or
     // setting GRAFT_BENCH_FORCE=1.
+    // GRAFT_BENCH_FORCE is the human-in-the-loop lever for a LEGITIMATE
+    // whole-suite or per-query change (new algorithm, regenerated
+    // testdata): it overrides BOTH automated refusal gates — without it a
+    // legitimately-slower query could never enter the reference (every
+    // later run re-flags it "contaminated" forever, the r8 deadlock).
+    // Never set it on ambient suspicion; the gates exist for that.
+    val force = sys.env.contains("GRAFT_BENCH_FORCE")
     val ratchetOk = {
       val (refSf2, refT) = loadCommitted()
       val common = results.collect {
         case (n, v, _, _) if v >= 0 && refT.get(n).exists(_ > 0) => (v, refT(n))
       }
-      sys.env.contains("GRAFT_BENCH_FORCE") || refSf2 != sfDir ||
-        ratchetAllows(common)
+      force || refSf2 != sfDir || ratchetAllows(common)
     }
-    val refused = only.nonEmpty || dirty.nonEmpty || !ratchetOk
+    val refused = only.nonEmpty || (!force && dirty.nonEmpty) || !ratchetOk
     val reason =
       if (only.nonEmpty) "filtered_run"
-      else if (dirty.nonEmpty) "contaminated_queries"
+      else if (!force && dirty.nonEmpty) "contaminated_queries"
       else if (!ratchetOk) s"aggregate_total_gt_${RatchetFactor}x_committed_reference"
       else ""
     if (only.isEmpty && dirty.isEmpty && !ratchetOk)

@@ -51,9 +51,9 @@ object Explain {
   val DeclaredBoundedBuilds: Map[String, Int] = Map(
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
     "sim_ivfpq" -> 1, "sim_ivfpq_staged" -> 1, "sim_kmeans" -> 2,
-    // the scaled re-fit's TWO-LEVEL final assign: one corpus × kc-row
-    // coarse-routing cross join (kc = ceil(sqrt(k)) seed rows of d longs;
-    // the round-1 assign and the k-row parent map sit behind persisted
+    // the scaled re-fit's THREE-LEVEL final assign: one corpus × kcc-row
+    // super-routing cross join (kcc = int-cbrt(k) seed rows of d longs;
+    // the round-1 assign and the parent maps sit behind persisted
     // k-row tables the static walk can't open)
     "sim_kmeans_scaled" -> 1,
     // the scaled multi-probe graph: ONE kcc-row super-routing cross join —
@@ -65,10 +65,10 @@ object Explain {
     // graph plan does not survive this query's larger plan) + the
     // sampled-brute query batch — measured at the audit SF
     "sim_knn_recall_multiprobe_scaled" -> 3,
-    // the scaled IVF-PQ: the two-level fit's final-assign routing cross
-    // join + the QUERY-batch two-level routing cross join — both kc-row
-    // childful-seed builds (kc = ceil(sqrt(k)) rows of d longs, constant
-    // by construction; the round-1 assign and the parent map sit behind
+    // the scaled IVF-PQ: the three-level fit's final-assign super-routing
+    // cross join + the QUERY-batch super-routing cross join — both kcc-row
+    // routable-super builds (kcc = int-cbrt(k) rows of d longs, constant
+    // by construction; the round-1 assign and the parent maps sit behind
     // persisted k-row tables the static walk can't open)
     "sim_ivfpq_scaled" -> 2,
     // staged twin: only the query-batch routing cross join runs per serve

@@ -121,7 +121,7 @@ object SimilarityQueries {
        |${assignCte("a2", "c1")}""".stripMargin
   }
 
-  /** Lloyd UPDATE step oracle (shared by the fixed-k and two-level chains):
+  /** Lloyd UPDATE step oracle (shared by the fixed-k and scaled chains):
     * per-(cell, dim) integer sums → rounded-mean centroid arrays. */
   private def lloydUpdateCtes(sums: String, cents: String, asg: String): String =
     s"""$sums AS (
@@ -254,7 +254,7 @@ object SimilarityQueries {
     (xq, a2)
   }
 
-  /** The k ∝ N re-fit with TWO-LEVEL Lloyd assignment — the production
+  /** The k ∝ N re-fit with THREE-LEVEL Lloyd assignment — the production
     * layer behind sim_kmeans_scaled / sim_components_kmeans_scaled and the
     * scaled multi-probe graph. k = max(8, N/[[cellTarget]]) from ONE corpus
     * count (a driver-side scalar, the same role as the componentsOf loop's
@@ -441,7 +441,7 @@ object SimilarityQueries {
 
   /** Lloyd UPDATE step (Spark twin of [[lloydUpdateCtes]]): one posexplode
     * per-(cell, dim) integer-sum aggregate (map-side combined) → rounded-
-    * mean centroid arrays. Shared by the fixed-k and two-level chains. */
+    * mean centroid arrays. Shared by the fixed-k and scaled chains. */
   private def lloydUpdate(asg: DataFrame, xq: DataFrame): DataFrame = asg
     .join(xq, "vec_id")
     .select(col("cid"), posexplode(col("xq")).as(Seq("i", "v")))
@@ -871,7 +871,7 @@ object SimilarityQueries {
     }
   }
 
-  /** [[stageKmeansAssign]] for the k ∝ N TWO-LEVEL fit: the scaled
+  /** [[stageKmeansAssign]] for the k ∝ N THREE-LEVEL fit: the scaled
     * assignment table (vec_id, cid) staged behind the same
     * fingerprint-validated cross-session machinery. The fingerprint pins
     * the algorithm version AND the re-fit law (cellTarget) — a corpus that
@@ -2214,7 +2214,7 @@ object SimilarityQueries {
     // where the fixed-k twin's per-cell pairs grow quadratically. Same
     // mutual filter, same audited pointer-jump component machinery, same
     // output contract as sim_components_kmeans; the Lloyd fit is the
-    // two-level-assigned scaled layer, so EVERY stage of this chain is
+    // three-level-assigned scaled layer, so EVERY stage of this chain is
     // now sub-quadratic in N.
     Q("sim_components_kmeans_scaled", kmComponentsScaledOracle) { (s, d) =>
       val fit = kmeansScaledLayer(s, d)
@@ -2223,12 +2223,12 @@ object SimilarityQueries {
     },
 
     // The staged production face of the SCALED chain — the
-    // sim_components_kmeans_staged contract applied to the two-level k ∝ N
+    // sim_components_kmeans_staged contract applied to the three-level k ∝ N
     // fit: the assignment table persists once per corpus version behind
     // the fingerprint-validated staging (content xor + dims + cellTarget +
     // algorithm version — growing the corpus changes BOTH the xor and k,
     // so a stale fit can never serve), and the per-run cost is the
-    // knn-within-cell + components chain only. Same oracle: the two-level
+    // knn-within-cell + components chain only. Same oracle: the layered
     // chain is deterministic, so the staged assignment IS the computed one.
     Q("sim_components_kmeans_scaled_staged", kmComponentsScaledOracle) { (s, d) =>
       val table = stageKmeansScaledAssign(s, d)
@@ -2240,14 +2240,14 @@ object SimilarityQueries {
         "sim_components_kmeans_scaled_staged")
     },
 
-    // Multi-probe kNN graph over the SCALED (k ∝ N, two-level) cells — the
+    // Multi-probe kNN graph over the SCALED (k ∝ N, three-level) cells — the
     // production graph (VERDICT r6 #2): constant-occupancy learned cells +
     // 10-cell probing (mpScaledNprobe — the 3→10 widening is the measured
     // recall fix for the smaller scaled cells) in one chain, with probe
-    // selection itself two-level
+    // selection itself super-layer
     // routed so nothing touches all k centroids per vector. Contract and
     // ranking identical to sim_knn_graph_multiprobe; only the cell layer
-    // differs (k = max(8, N/32) two-level cells vs fixed k=8 flat cells).
+    // differs (k = max(8, N/32) three-level cells vs fixed k=8 flat cells).
     Q("sim_knn_graph_multiprobe_scaled",
       s"""WITH $multiprobeScaledCtes
          |SELECT vec_id, neighbor_id, rank, dist FROM mpknn
@@ -2259,7 +2259,7 @@ object SimilarityQueries {
     // on the recall curve, same sampled exact-top-3 harness and
     // (dist, neighbor_id) total order as the other three audits, so all
     // four numbers compare directly (label cells -> learned k=8 ->
-    // learned k=8 + multiprobe -> scaled two-level + multiprobe). The
+    // learned k=8 + multiprobe -> scaled three-level + multiprobe). The
     // floor is asserted by MultiprobeRecallSpec alongside the fixed-k
     // variant's.
     Q("sim_knn_recall_multiprobe_scaled", {
@@ -2610,7 +2610,7 @@ object SimilarityQueries {
 
   /** The CELL-INDEPENDENT half of the PQ build — subspace codebooks
     * (2 Lloyd-style rounds from deterministic seeds) and per-vector 8-byte
-    * codes. Factored out so the SCALED index (k ∝ N two-level cells) can
+    * codes. Factored out so the SCALED index (k ∝ N three-level cells) can
     * share the exact PQ construction with the fixed-label index; returns
     * (xq quantized corpus, cb, codes, cache handles). */
   private[llm] def pqBuildCodebooks(s: org.apache.spark.sql.SparkSession, d: String)

@@ -270,7 +270,7 @@ object StreamingAnnServe {
   }
 
   /** [[serve]]/[[serveWithDelta]] against the SCALED staged index: each
-    * query batch routes two-level and ranks the probed k ∝ N cell via
+    * query batch routes through the layered rule and ranks the probed k ∝ N cell via
     * `pqServeQueriesScaled`; `deltaDir` (when given) adds the freshness
     * union over [[annIndexStreamScaled]]'s cell-partitioned delta, with
     * the same memoized FS-listing emptiness probe as the fixed path. */

@@ -289,6 +289,39 @@ object Multimodal {
     }
   }
 
+  /** One decoded GIF frame's perceptual hash (the [[ahash]] construction
+    * over the frame's pixels) — the video-near-dup signature unit. */
+  case class GifFrameHash(doc_id: Long, frame_idx: Long, hash_hi: Long,
+      hash_lo: Long)
+
+  /** REAL multi-frame decode → per-frame aHash: the image perceptual-hash
+    * chain applied to every frame of the sequence — the building block of
+    * video near-dup (frame signatures + temporal structure). Same
+    * mapPartitions batch contract and loud-failure stance as
+    * [[decodeGifFrames]]. */
+  def gifFrameHashes(assets: Dataset[MediaAsset]): Dataset[GifFrameHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"container holds no frames for doc ${a.doc_id}")
+        val out = (0 until n).map { i =>
+          val (hi, lo) = ahash(reader.read(i))
+          GifFrameHash(a.doc_id, i.toLong, hi, lo)
+        }
+        reader.dispose()
+        iis.close()
+        out.iterator
+      }
+    }
+  }
+
   // ------------------------------------------------------ real audio path
 
   /** Energy-window length in samples and the silence threshold (a window

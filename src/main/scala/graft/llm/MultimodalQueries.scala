@@ -203,6 +203,73 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Per-FRAME perceptual hashing through the REAL sequence decoder — the
+    // video-near-dup signature (mm_phash's aHash applied to every frame of
+    // the mm_gif_decode GIFs): each decoded frame average-hashes with the
+    // same INTEGER-exact 8×8 cell math (bit = s_cell·N_tot ≥ S_tot·n_cell,
+    // no division), and the oracle recomputes every bit of every frame
+    // from the generation formula alone (gray = 3·v, v = (seed + 31x + 7y
+    // + 97f) mod 256) — a decoder mis-parse of ANY frame, the palette, or
+    // the sequence order flips the gate. Downstream, video near-dup rides
+    // the mm_phash_pairs band machinery over (frame_idx, chunk) keys —
+    // temporal alignment for free because frames index the band key.
+    // Scale shape: decode + hash are one mapPartitions pass, no shuffle
+    // before the final sort; output is two longs per frame.
+    Q("mm_gif_phash",
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+         |    CAST(8 + h % 6 AS BIGINT) AS ht,
+         |    CAST(2 + h % 5 AS BIGINT) AS nf, h % 65536 AS seed
+         |  FROM m
+         |),
+         |px AS (
+         |  SELECT doc_id, ff.f,
+         |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
+         |    3 * ((seed + 31 * xx.x + 7 * yy.y + 97 * ff.f) % 256) AS gray
+         |  FROM g,
+         |    unnest(generate_series(0, nf - 1)) AS ff(f),
+         |    unnest(generate_series(0, w - 1)) AS xx(x),
+         |    unnest(generate_series(0, ht - 1)) AS yy(y)
+         |),
+         |cells AS (
+         |  SELECT doc_id, f, c, CAST(sum(gray) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM px GROUP BY 1, 2, 3
+         |),
+         |tot AS (
+         |  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS st,
+         |    CAST(sum(n) AS BIGINT) AS nt
+         |  FROM cells GROUP BY 1, 2
+         |),
+         |bits AS (
+         |  SELECT cells.doc_id, cells.f, c,
+         |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
+         |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id AND tot.f = cells.f
+         |)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
+         |  CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
+         |FROM bits GROUP BY doc_id, f
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+          expr("cast(8 + h % 6 as int)").as("ht"),
+          expr("cast(2 + h % 5 as int)").as("nf"), expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Int, Long)]
+      val assets = spec.map { case (id, w, ht, nf, seed) =>
+        MediaAsset(id, Multimodal.makeGif(w, ht, nf, seed)) }
+      Multimodal.gifFrameHashes(assets)
+        .toDF()
+        .select("doc_id", "frame_idx", "hash_hi", "hash_lo")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Perceptual image hashing through the REAL decoder — the image
     // near-dup signature (the multimodal simhash): each generated BMP is
     // decoded by javax.imageio, then average-hashed with INTEGER-exact

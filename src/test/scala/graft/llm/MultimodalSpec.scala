@@ -152,6 +152,24 @@ class MultimodalSpec extends SparkSpec {
       e.getMessage.contains("doc 2"), s"loud failure names the doc: ${e.getMessage}")
   }
 
+  test("GIF frame hashes: identical sequences match per frame; a re-seeded sequence does not (video near-dup signature)") {
+    import spark.implicits._
+    val a = Multimodal.makeGif(12, 9, 3, 777L)
+    val b = Multimodal.makeGif(12, 9, 3, 777L)   // identical generation
+    val c = Multimodal.makeGif(12, 9, 3, 54321L) // different content
+    val hs = Multimodal.gifFrameHashes(
+        Seq(MediaAsset(1L, a), MediaAsset(2L, b), MediaAsset(3L, c)).toDS())
+      .collect().groupBy(_.doc_id)
+    assert(hs(1L).length == 3 && hs(2L).length == 3 && hs(3L).length == 3)
+    def m(id: Long) = hs(id).map(h => h.frame_idx -> ((h.hash_hi, h.hash_lo))).toMap
+    assert(m(1L) == m(2L), "identical videos must hash identically per frame")
+    // different seed -> at least one frame differs (aHash discriminates)
+    assert(m(1L) != m(3L), "distinct videos must not share every frame hash")
+    // frame hashes vary WITHIN a sequence too (the 97f term moves content)
+    assert(hs(1L).map(h => (h.hash_hi, h.hash_lo)).distinct.length > 1,
+      "frames of one sequence are not all identical")
+  }
+
   test("decoder failure on a corrupt WAV container is loud, not silent") {
     import spark.implicits._
     val bad = Multimodal.makeWav(Array.fill(100)(128), 8000)

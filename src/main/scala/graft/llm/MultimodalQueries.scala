@@ -216,58 +216,78 @@ object MultimodalQueries {
     // Scale shape: decode + hash are one mapPartitions pass, no shuffle
     // before the final sort; output is two longs per frame.
     Q("mm_gif_phash",
-      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
-         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
-         |g AS (
-         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
-         |    CAST(8 + h % 6 AS BIGINT) AS ht,
-         |    CAST(2 + h % 5 AS BIGINT) AS nf, h % 65536 AS seed
-         |  FROM m
-         |),
-         |px AS (
-         |  SELECT doc_id, ff.f,
-         |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
-         |    3 * ((seed + 31 * xx.x + 7 * yy.y + 97 * ff.f) % 256) AS gray
-         |  FROM g,
-         |    unnest(generate_series(0, nf - 1)) AS ff(f),
-         |    unnest(generate_series(0, w - 1)) AS xx(x),
-         |    unnest(generate_series(0, ht - 1)) AS yy(y)
-         |),
-         |cells AS (
-         |  SELECT doc_id, f, c, CAST(sum(gray) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM px GROUP BY 1, 2, 3
-         |),
-         |tot AS (
-         |  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS st,
-         |    CAST(sum(n) AS BIGINT) AS nt
-         |  FROM cells GROUP BY 1, 2
-         |),
-         |bits AS (
-         |  SELECT cells.doc_id, cells.f, c,
-         |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
-         |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id AND tot.f = cells.f
-         |)
-         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-         |  CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
-         |  CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
-         |FROM bits GROUP BY doc_id, f
+      s"""WITH $gifPhashCtes
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, hash_hi, hash_lo
+         |FROM fhashes
          |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val spec = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("checksum"))
-        .withColumn("h", expr(sparkH("checksum")))
-        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
-          expr("cast(8 + h % 6 as int)").as("ht"),
-          expr("cast(2 + h % 5 as int)").as("nf"), expr("h % 65536").as("seed"))
-        .as[(Long, Int, Int, Int, Long)]
-      val assets = spec.map { case (id, w, ht, nf, seed) =>
-        MediaAsset(id, Multimodal.makeGif(w, ht, nf, seed)) }
-      Multimodal.gifFrameHashes(assets)
-        .toDF()
+      gifHashesDF(s, d)
         .select("doc_id", "frame_idx", "hash_hi", "hash_lo")
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // Video NEAR-DUP pairing over the per-frame hashes — the multimodal
+    // dd_simhash one modality further: candidate pairs meet on a 16-bit
+    // band chunk of a frame's 64-bit aHash keyed by (frame_idx, band,
+    // chunk) — TEMPORAL ALIGNMENT rides the band key for free (frame i
+    // only ever pairs with frame i) — verified per frame by total
+    // Hamming ≤ 6, and two videos pair when AT LEAST HALF of their
+    // alignable frames (ceil(min(nf1, nf2)/2)) verify. Band buckets above
+    // 64 frames drop on both sides (the dd_minhash_lsh cap stance — the
+    // fixture's wrap-around gradients form DENSE hash families, exactly
+    // the skew the cap bounds). Never all-pairs; every bucket self-join is
+    // O(cap²); the video verdict is one narrow (d1, d2, f)-distinct
+    // aggregate over verified frame pairs.
+    Q("mm_gif_pairs",
+      s"""WITH $gifPhashCtes,
+         |bands0 AS (
+         |  SELECT doc_id, nf, f, hash_hi, hash_lo, b,
+         |    (CASE WHEN b < 2 THEN hash_hi >> (16 * b)
+         |          ELSE hash_lo >> (16 * (b - 2)) END) & 65535 AS chunk
+         |  FROM fhashes, unnest([0, 1, 2, 3]) AS u(b)
+         |),
+         |okb AS (SELECT f, b, chunk FROM bands0 GROUP BY f, b, chunk HAVING count(*) <= 64),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (f, b, chunk)),
+         |nearf AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.nf AS nf1, y.nf AS nf2, x.f
+         |  FROM bands x JOIN bands y
+         |    ON x.f = y.f AND x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+         |      + bit_count(xor(x.hash_lo, y.hash_lo)) <= 6
+         |)
+         |SELECT d1, d2, CAST(count(*) AS BIGINT) AS n_near_frames
+         |FROM nearf
+         |GROUP BY d1, d2, nf1, nf2
+         |HAVING count(*) >= (least(nf1, nf2) + 1) // 2
+         |ORDER BY d1, d2""".stripMargin) { (s, d) =>
+      val fh = gifHashesDF(s, d)
+      val bandCols = (0 until 4).map(b => struct(lit(b).as("b"),
+        expr(s"(CASE WHEN $b < 2 THEN shiftright(hash_hi, 16 * $b) " +
+          s"ELSE shiftright(hash_lo, 16 * ($b - 2)) END) & 65535").as("chunk")))
+      val bands0 = fh
+        .select(col("doc_id"), col("nf"), col("frame_idx").as("f"),
+          col("hash_hi"), col("hash_lo"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("nf"), col("f"), col("hash_hi"),
+          col("hash_lo"), col("bb.b").as("b"), col("bb.chunk").as("chunk"))
+      val ok = bands0.groupBy("f", "b", "chunk").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= 64).select("f", "b", "chunk")
+      val bands = bands0.join(ok, Seq("f", "b", "chunk"), "left_semi")
+      val nearf = bands.as("x")
+        .join(bands.as("y"),
+          col("x.f") === col("y.f") && col("x.b") === col("y.b") &&
+            col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("bit_count(x.hash_hi ^ y.hash_hi) " +
+          "+ bit_count(x.hash_lo ^ y.hash_lo) <= 6"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.nf").as("nf1"), col("y.nf").as("nf2"), col("x.f").as("f"))
+        .distinct()
+      nearf.groupBy("d1", "d2", "nf1", "nf2")
+        .agg(count(lit(1)).as("n_near_frames"))
+        .filter(col("n_near_frames") >=
+          expr("(least(nf1, nf2) + 1) div 2"))
+        .select("d1", "d2", "n_near_frames")
+        .orderBy("d1", "d2")
     },
 
     // Perceptual image hashing through the REAL decoder — the image
@@ -567,6 +587,50 @@ object MultimodalQueries {
   /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the
     * generation-formula recomputation of the integer aHash; shared by
     * mm_phash and mm_phash_pairs. */
+  /** Shared CTE chain ending in `fhashes(doc_id, f, nf, hash_hi, hash_lo)`
+    * — per-frame aHashes of the deterministic GIFs, recomputed from the
+    * generation formula (gray = 3·v) alone; consumed by mm_gif_phash and
+    * mm_gif_pairs. */
+  private lazy val gifPhashCtes: String =
+    s"""b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+       |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+       |g AS (
+       |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+       |    CAST(8 + h % 6 AS BIGINT) AS ht,
+       |    CAST(2 + h % 5 AS BIGINT) AS nf, h % 65536 AS seed
+       |  FROM m
+       |),
+       |px AS (
+       |  SELECT doc_id, nf, ff.f,
+       |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
+       |    3 * ((seed + 31 * xx.x + 7 * yy.y + 97 * ff.f) % 256) AS gray
+       |  FROM g,
+       |    unnest(generate_series(0, nf - 1)) AS ff(f),
+       |    unnest(generate_series(0, w - 1)) AS xx(x),
+       |    unnest(generate_series(0, ht - 1)) AS yy(y)
+       |),
+       |fcells AS (
+       |  SELECT doc_id, nf, f, c, CAST(sum(gray) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM px GROUP BY 1, 2, 3, 4
+       |),
+       |ftot AS (
+       |  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS st,
+       |    CAST(sum(n) AS BIGINT) AS nt
+       |  FROM fcells GROUP BY 1, 2
+       |),
+       |fbits AS (
+       |  SELECT fcells.doc_id, fcells.nf, fcells.f, c,
+       |    CASE WHEN s * ftot.nt >= ftot.st * n THEN 1 ELSE 0 END AS bit
+       |  FROM fcells JOIN ftot ON ftot.doc_id = fcells.doc_id AND ftot.f = fcells.f
+       |),
+       |fhashes AS (
+       |  SELECT doc_id, nf, f,
+       |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
+       |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
+       |  FROM fbits GROUP BY doc_id, nf, f
+       |)""".stripMargin
+
   private lazy val phashCtes: String =
     s"""b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
        |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
@@ -601,6 +665,29 @@ object MultimodalQueries {
        |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
+
+  /** Spark twin of [[gifPhashCtes]]'s `fhashes`: generate each doc's GIF,
+    * decode the REAL frame sequence with ImageIO, integer-aHash every
+    * frame (Multimodal.gifFrameHashes) and attach the generation-spec
+    * frame count. UNORDERED; (doc_id, nf, frame_idx, hash_hi, hash_lo). */
+  private def gifHashesDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val spec = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("checksum"))
+      .withColumn("h", expr(sparkH("checksum")))
+      .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+        expr("cast(8 + h % 6 as int)").as("ht"),
+        expr("cast(2 + h % 5 as int)").as("nf"), expr("h % 65536").as("seed"))
+      .as[(Long, Int, Int, Int, Long)]
+    val assets = spec.map { case (id, w, ht, nf, seed) =>
+      MediaAsset(id, Multimodal.makeGif(w, ht, nf, seed)) }
+    Multimodal.gifFrameHashes(assets).toDF()
+      .join(spec.toDF("doc_id", "w", "ht", "nf", "seed")
+        .select(col("doc_id"), col("nf").cast("long").as("nf")), "doc_id")
+      .select("doc_id", "nf", "frame_idx", "hash_hi", "hash_lo")
+  }
 
   /** Spark twin of [[phashCtes]]'s `hashes`: generate each doc's BMP,
     * decode with ImageIO, integer-aHash (Multimodal.imageHashes).

@@ -57,6 +57,13 @@ object Bench {
     * from silently loosening every later threshold (VERDICT r6 #3). */
   val RatchetFactor = 1.15
 
+  /** The driver's default scale-factor dir — also the warmup corpus (warmup
+    * is about CODE, not data, so it stays pinned here even when the run
+    * targets a decade slice; ADVICE r8: a SECOND hardcoded literal for the
+    * same path let the warmup silently miss on a host with testdata
+    * elsewhere). */
+  val DefaultSfDir = "/root/testdata/sf0.1"
+
   /** Pinned CPU-calibration microbenchmark: a fixed integer-hash loop whose
     * wall-time depends only on host throughput (no allocation, no I/O, no
     * Spark). Emitted into every artifact as `calibration_sec` so a reader
@@ -105,11 +112,22 @@ object Bench {
       common.map(_._1).sum <= common.map(_._2).sum * RatchetFactor
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional positional args: run only the named queries (local iteration
     // aid — the driver passes none and gets the full suite)
     val only: Set[String] = args.toSet
+    // GRAFT_BENCH_MERGE=q1,q2 — re-record ONLY the named queries into the
+    // committed reference (min-of-3), keep every other entry byte-identical;
+    // see [[mergeDecision]] for the refusal contract (VERDICT r8 #8)
+    val mergeSet: Set[String] = sys.env.get("GRAFT_BENCH_MERGE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknownMerge = mergeSet.filterNot(SparkEntry.queries.contains)
+    if (unknownMerge.nonEmpty) {
+      System.err.println(s"[bench] GRAFT_BENCH_MERGE names unknown queries: " +
+        unknownMerge.toSeq.sorted.mkString(","))
+      sys.exit(1)
+    }
     val spark = graft.core.GraftSession.builder(cpus.toInt, "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // shuffle partitions sized to the INPUT, not the host (VERDICT r7 #3):
@@ -153,8 +171,13 @@ object Bench {
     // about CODE (JIT/codegen/classloading), not data, so it runs on the
     // driver's fixed sf0.1 regardless of the target slice — a decade-slice
     // run must not pay a multi-minute dd_jaccard warm lap at 5M docs
-    // (identical behavior for the driver's own sf0.1 runs).
-    val warmDir = "/root/testdata/sf0.1"
+    // (identical behavior for the driver's own sf0.1 runs). Falls back to
+    // the run's own sfDir when the default corpus is absent on this host —
+    // a silent warmup miss costs per-query JIT attribution (ADVICE r8).
+    val warmDir =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(DefaultSfDir)))
+        DefaultSfDir
+      else sfDir
     try { runOnce("w1_window_avg", warmDir); runOnce("q5_revenue_by_region", warmDir)
           runOnce("dd_jaccard", warmDir) }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
@@ -184,7 +207,7 @@ object Bench {
     val failed = Seq.newBuilder[String]
     val contaminated = Seq.newBuilder[String]
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n))
+      .filter(n => if (mergeSet.nonEmpty) mergeSet(n) else only.isEmpty || only(n))
     val results = names.map { name =>
       var sec = -1.0
       var gc = 0L
@@ -200,6 +223,9 @@ object Bench {
             runs += 1
         }
       attempt()
+      // merge mode re-records reference entries: always min-of-3 (the
+      // r8 re-record contract) before the usual suspicion logic runs
+      while (mergeSet.nonEmpty && sec >= 0 && runs < 3) attempt()
       if (sec < 0) failed += name
       else {
         val ref = prev.get(name).filter(_ > 0)
@@ -250,9 +276,11 @@ object Bench {
       }
       force || refSf2 != sfDir || ratchetAllows(common)
     }
-    val refused = only.nonEmpty || (!force && dirty.nonEmpty) || !ratchetOk
+    val filtered = only.nonEmpty || mergeSet.nonEmpty
+    val refused = filtered || (!force && dirty.nonEmpty) || !ratchetOk
     val reason =
-      if (only.nonEmpty) "filtered_run"
+      if (mergeSet.nonEmpty) "merge_run"
+      else if (only.nonEmpty) "filtered_run"
       else if (!force && dirty.nonEmpty) "contaminated_queries"
       else if (!ratchetOk) s"aggregate_total_gt_${RatchetFactor}x_committed_reference"
       else ""
@@ -283,8 +311,9 @@ object Bench {
     // verdict to the repo as a committed artifact, so wall-time and the
     // ratchet decision are never read from a log tail. This file is the
     // round's RECORD; BENCH_LOCAL.json stays the clean-runs-only rerun
-    // REFERENCE (the ratchet protects it, not this).
-    if (only.isEmpty) {
+    // REFERENCE (the ratchet protects it, not this). Filtered/merge runs
+    // must not overwrite the full-suite round record.
+    if (only.isEmpty && mergeSet.isEmpty) {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_VERDICT.json"),
         (verdict + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_VERDICT.json write failed: $e") }
@@ -297,6 +326,42 @@ object Bench {
         (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     }
+    // merge mode: splice ONLY the named re-records into the committed
+    // reference (every other entry byte-identical), or refuse with a
+    // machine-readable reason
+    if (mergeSet.nonEmpty) {
+      val pairs = results.map(r => (r._1, r._2))
+      mergeDecision(mergeSet, pairs, loadCommitted()._1, prev, sfDir, drift) match {
+        case Left(why) =>
+          System.err.println(s"[bench] GRAFT_BENCH_MERGE refused: $why " +
+            "(BENCH_LOCAL.json unchanged; GRAFT_BENCH_FORCE remains the " +
+            "break-glass lever for a change past the threshold)")
+          spark.stop()
+          sys.exit(1)
+        case Right(merged) =>
+          // calibration of the merged reference = the FASTEST host that
+          // contributed entries, so future drift normalization never
+          // under-scales a threshold recorded on a quicker machine
+          val mcal =
+            if (calRef > 0) math.min(calNow, calRef) else calNow
+          val mq = merged.toSeq.sortBy(_._1)
+            .map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+          val mjson = s"""{"metric":"total","value":${merged.values.sum},""" +
+            s""""unit":"sec","queries":$mq,"failed":[],"contaminated":[],""" +
+            s""""merged":${jarr(mergeSet.toSeq.sorted)},""" +
+            s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+            s""""calibration_sec":$mcal,"drift_factor":$drift,""" +
+            s""""ratchet_refused":false,"ratchet_reason":"merge",""" +
+            s""""cpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}"""
+          try {
+            java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+              (mjson + "\n").getBytes("UTF-8"))
+            System.err.println(s"[bench] merged ${mergeSet.size} re-recorded " +
+              s"entr${if (mergeSet.size == 1) "y" else "ies"} into BENCH_LOCAL.json")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] merge write failed: $e") }
+      }
+    }
     // The driver's round artifact keeps only the LAST ~2,000 chars of
     // stdout, so the trailer must be the FINAL app line (all stderr
     // messages above were printed before it): total + verdict fields +
@@ -305,6 +370,44 @@ object Bench {
     println(verdict)
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
+  }
+
+  /** GRAFT_BENCH_MERGE decision (VERDICT r8 #8): may this run's re-records
+    * of `named` queries be spliced into the committed reference? The r8
+    * re-record had to be done by hand under GRAFT_BENCH_FORCE — which
+    * overrode EVERY gate and let ambient drift ride into five unrelated
+    * tripwires. Merge mode re-records ONLY the named queries (each
+    * min-of-3), keeps every other committed entry untouched, and refuses —
+    * Left(reason) — when:
+    *  - the run's sf differs from the committed reference's (times are not
+    *    comparable across scale factors),
+    *  - there is no committed reference to merge into (a first recording is
+    *    a full run's job),
+    *  - a named query failed,
+    *  - a named query's new time exceeds its committed entry by more than
+    *    the drift-clamped rerun threshold ([[rerunThreshold]]) — a
+    *    legitimately-slower algorithm inside that band merges cleanly;
+    *    past it, the change is large enough that GRAFT_BENCH_FORCE must be
+    *    reached for consciously (and it stays the break-glass lever ONLY).
+    * Right(merged) is the full per-query reference with the named entries
+    * replaced by this run's times (named queries absent from the old
+    * reference simply append). */
+  def mergeDecision(named: Set[String], results: Seq[(String, Double)],
+      refSf: String, refT: Map[String, Double], sfDir: String,
+      drift: Double): Either[String, Map[String, Double]] = {
+    val times = results.toMap
+    val failedNames = named.filter(n => !times.get(n).exists(_ >= 0)).toSeq.sorted
+    if (refSf.nonEmpty && refSf != sfDir) Left(s"merge_sf_mismatch:$refSf")
+    else if (refT.isEmpty) Left("merge_no_committed_reference")
+    else if (failedNames.nonEmpty)
+      Left(s"merge_named_query_failed:${failedNames.mkString(",")}")
+    else {
+      val overs = named.toSeq.sorted.filter { n =>
+        refT.get(n).exists(r => r > 0 && times(n) > rerunThreshold(r, drift))
+      }
+      if (overs.nonEmpty) Left(s"merge_exceeds_threshold:${overs.mkString(",")}")
+      else Right(refT ++ named.map(n => n -> times(n)))
+    }
   }
 
   /** The verdict trailer JSON — the round's first-class wall-time record

@@ -258,33 +258,41 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.flatMap { a =>
+        // try/finally: the LOUD-failure path (unrecognized payload, zero
+        // frames, truncated container) must still release the ImageIO
+        // native resources — Spark retries the task and a per-corrupt-asset
+        // leak compounds across retries (ADVICE r8)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(a.payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
-        val reader = readers.next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"container holds no frames for doc ${a.doc_id}")
-        val frames = (0 until n).map { i =>
-          val img = reader.read(i)
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
-              x += 1
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0, s"container holds no frames for doc ${a.doc_id}")
+            // eager IndexedSeq: every frame decodes BEFORE the finally
+            // closes the stream the iterator would otherwise read from
+            val frames = (0 until n).map { i =>
+              val img = reader.read(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedGifFrame(a.doc_id, i.toLong, img.getWidth.toLong,
+                img.getHeight.toLong, sum)
             }
-            y += 1
-          }
-          DecodedGifFrame(a.doc_id, i.toLong, img.getWidth.toLong,
-            img.getHeight.toLong, sum)
-        }
-        reader.dispose()
-        iis.close()
-        frames.iterator
+            frames.iterator
+          } finally reader.dispose()
+        } finally iis.close()
       }
     }
   }
@@ -303,21 +311,24 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
       batch.flatMap { a =>
+        // same try/finally stance as [[decodeGifFrames]] (ADVICE r8)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(a.payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
-        val reader = readers.next()
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        require(n > 0, s"container holds no frames for doc ${a.doc_id}")
-        val out = (0 until n).map { i =>
-          val (hi, lo) = ahash(reader.read(i))
-          GifFrameHash(a.doc_id, i.toLong, hi, lo)
-        }
-        reader.dispose()
-        iis.close()
-        out.iterator
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0, s"container holds no frames for doc ${a.doc_id}")
+            val out = (0 until n).map { i =>
+              val (hi, lo) = ahash(reader.read(i))
+              GifFrameHash(a.doc_id, i.toLong, hi, lo)
+            }
+            out.iterator
+          } finally reader.dispose()
+        } finally iis.close()
       }
     }
   }

@@ -171,10 +171,13 @@ object StreamingDedup {
                 val near = kept.exists { case (s, _) =>
                   java.lang.Long.bitCount(s ^ sig) <= NearHamming }
                 out += BandVerdict(docId, ts, band, near, text)
-                // hot-bucket bound: keep the GuardBucketCap NEWEST sigs
-                // (rows arrive (ts, doc_id)-sorted, so takeRight is by
-                // recency) — the batch 64-doc band cap, mirrored
-                kept = (kept :+ (sig, ts)).takeRight(GuardBucketCap)
+                // hot-bucket bound: keep the GuardBucketCap NEWEST sigs BY
+                // EVENT TIME — state entries are appended across batches, so
+                // a late-but-in-watermark row can land AFTER newer-ts
+                // entries; positional takeRight would then evict a newer
+                // signature while keeping an older one (ADVICE r8). The
+                // sort is O(cap log cap) on an almost-sorted 64-entry list.
+                kept = (kept :+ (sig, ts)).sortBy(_._2).takeRight(GuardBucketCap)
             }
             state.update(BandBucketState(kept.map(_._1), kept.map(_._2)))
             // TTL: clear the bucket once the watermark passes its newest

@@ -106,20 +106,68 @@ class BenchSpec extends AnyFunSuite {
     assert(clean.contains(""""ratchet_refused":false"""))
   }
 
+  test("mergeDecision splices only the named entries, keeps the rest byte-identical (VERDICT r8 #8)") {
+    val ref = Map("sim_kmeans_scaled" -> 4.44, "tx_dsir" -> 0.78, "q1_pricing_summary" -> 1.19)
+    val sf = "/root/testdata/sf0.1"
+    // the r9 use case: re-record drift-contaminated entries DOWN
+    val r = Bench.mergeDecision(Set("sim_kmeans_scaled", "tx_dsir"),
+      Seq(("sim_kmeans_scaled", 1.9), ("tx_dsir", 0.31)), sf, ref, sf, 1.0)
+    assert(r == Right(Map("sim_kmeans_scaled" -> 1.9, "tx_dsir" -> 0.31,
+      "q1_pricing_summary" -> 1.19)), "unnamed entries untouched, named replaced")
+    // a legitimately-slower algorithm inside the drift-clamped threshold merges
+    val up = Bench.mergeDecision(Set("sim_kmeans_scaled"),
+      Seq(("sim_kmeans_scaled", 6.5)), sf, ref, sf, 1.0)
+    assert(up.isRight, "6.5s vs 4.44s ref is inside the 2x threshold")
+    // past the threshold: refuse — GRAFT_BENCH_FORCE is the only way through
+    val over = Bench.mergeDecision(Set("sim_kmeans_scaled"),
+      Seq(("sim_kmeans_scaled", 9.5)), sf, ref, sf, 1.0)
+    assert(over == Left("merge_exceeds_threshold:sim_kmeans_scaled"))
+    // drift clamp loosens the bound the same way the rerun policy does
+    assert(Bench.mergeDecision(Set("sim_kmeans_scaled"),
+      Seq(("sim_kmeans_scaled", 9.5)), sf, ref, sf, 1.2).isRight)
+    // a named query absent from the reference appends (first recording)
+    val app = Bench.mergeDecision(Set("mm_corpus_prep"),
+      Seq(("mm_corpus_prep", 2.0)), sf, ref, sf, 1.0)
+    assert(app.exists(_.get("mm_corpus_prep").contains(2.0)))
+  }
+
+  test("mergeDecision refuses failed queries, sf mismatch, and an empty reference") {
+    val ref = Map("q" -> 1.0)
+    val sf = "/root/testdata/sf0.1"
+    assert(Bench.mergeDecision(Set("q"), Seq(("q", -1.0)), sf, ref, sf, 1.0)
+      == Left("merge_named_query_failed:q"))
+    assert(Bench.mergeDecision(Set("q"), Seq(("q", 0.9)),
+      "/root/testdata/sf0.01", ref, sf, 1.0)
+      == Left("merge_sf_mismatch:/root/testdata/sf0.01"))
+    assert(Bench.mergeDecision(Set("q"), Seq(("q", 0.9)), "", Map.empty, sf, 1.0)
+      == Left("merge_no_committed_reference"))
+  }
+
   test("autoShufflePartitions: input-derived, clamped to [cores, 512] (VERDICT r7 #3)") {
     import graft.core.GraftSession
     // tiny input (the driver SFs): exactly the per-core default
     assert(GraftSession.autoShufflePartitions("/root/testdata/sf0.1", 32) == 32)
     // missing dir: falls back to cores, never throws
     assert(GraftSession.autoShufflePartitions("/nonexistent/slice", 16) == 16)
-    // synthetic big input: a sparse file gives the walk real byte counts
+    // synthetic big input: a sparse file gives the walk real byte counts.
+    // Guard (ADVICE r8): on a filesystem without sparse support (some CI
+    // overlays / network mounts) the "6 GiB" write materializes for real —
+    // detect via usable-space delta and cancel rather than fill the disk.
     val dir = java.nio.file.Files.createTempDirectory("auto_shuf")
+    val usableBefore = java.nio.file.Files.getFileStore(dir).getUsableSpace
     val f = dir.resolve("data.parquet")
     val ch = java.nio.channels.FileChannel.open(f,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     ch.position(6L * 1024 * 1024 * 1024 - 1) // 6 GiB sparse
     ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
     ch.close()
+    val materialized =
+      usableBefore - java.nio.file.Files.getFileStore(dir).getUsableSpace >
+        1L * 1024 * 1024 * 1024
+    if (materialized) {
+      java.nio.file.Files.delete(f); java.nio.file.Files.delete(dir)
+      cancel("filesystem materializes sparse files — skipping the big-input assertions")
+    }
     // 6 GiB / 32 MiB = 192 — the cluster-shape count the r7 100M-event
     // probe needed a hand lever for
     assert(GraftSession.autoShufflePartitions(dir.toString, 16) == 192)

@@ -29,15 +29,15 @@ class MultiprobeRecallSpec extends SparkSpec {
     assert(multi > single, f"multi-probe must beat single-probe: $multi%.3f <= $single%.3f")
   }
 
-  test("SCALED multi-probe graph (k ∝ N two-level cells + nprobe=10) holds the 0.5 recall floor at sf0.1") {
+  test("SCALED multi-probe graph (k ∝ N three-level cells + nprobe=10) holds the 0.5 recall floor at sf0.1") {
     val dir = sf("sf0.1")
     val rows = graft.SparkEntry.queries("sim_knn_recall_multiprobe_scaled")(spark, dir)
       .select("query_id", "n_hit").collect()
     assert(rows.nonEmpty, "scaled audit returned no rows")
     val recall = rows.map(_.getLong(1)).sum.toDouble / (3.0 * rows.length)
-    info(f"recall@3: scaled two-level cells, nprobe=10: $recall%.3f")
+    info(f"recall@3: scaled three-level cells, nprobe=10: $recall%.3f")
     // the production composition must not trade the multiprobe recall win
-    // away for the two-level assignment's speed: same floor as the fixed-k
+    // away for the three-level assignment's speed: same floor as the fixed-k
     // multiprobe graph, on ~8x more (k = N/32 = 62) cells
     assert(recall >= 0.5, f"scaled multi-probe recall floor: $recall%.3f < 0.5")
   }

@@ -198,7 +198,7 @@ class StageReuseSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
-  test("SCALED (two-level) assignment table: adopts on match, re-fits when the corpus grows") {
+  test("SCALED (three-level) assignment table: adopts on match, re-fits when the corpus grows") {
     val dir = Files.createTempDirectory("stage_km2l")
     dir.toFile.deleteOnExit()
     val corpus = dir.toString
@@ -210,7 +210,7 @@ class StageReuseSpec extends SparkSpec {
 
     val base = PipelineQueries.stagingsComputed
     val a1 = asg()
-    assert(PipelineQueries.stagingsComputed == base + 1, "first call runs the two-level chain")
+    assert(PipelineQueries.stagingsComputed == base + 1, "first call runs the three-level chain")
     assert(a1.size == 500 && a1.values.toSet.size > 8,
       s"k follows N (500/32 -> 15 cells seeded): ${a1.values.toSet.size}")
 
@@ -218,7 +218,7 @@ class StageReuseSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val a2 = asg()
     assert(PipelineQueries.stagingsComputed == base + 1,
-      "matching fingerprint adopts without a two-level pass")
+      "matching fingerprint adopts without a three-level pass")
     assert(a2 == a1, "adopted assignments are identical")
 
     // the re-fit law is part of the fingerprint: GROW the corpus — a fresh

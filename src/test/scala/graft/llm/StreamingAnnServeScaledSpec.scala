@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.core.Tables
 
-/** The SCALED (k ∝ N two-level) serving loop end-to-end — VERDICT r7 #1:
+/** The SCALED (k ∝ N three-level) serving loop end-to-end — VERDICT r7 #1:
   * the streaming maintenance/serve path running against the PRODUCTION
   * index fit, with bit-exact routing parity between the batch assignment,
   * the ingest router, and the serve-path query router, plus the full
@@ -49,7 +49,7 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     // parity 1: the staged a2 membership — a vector and a query with its
     // embedding can never land one cell apart
     val a2 = members.select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
-    assert(streamed == a2, "streamed routing must equal the staged two-level assignment")
+    assert(streamed == a2, "streamed routing must equal the staged three-level assignment")
     // parity 2: the batch twin of the stream projection itself
     val twin = StreamingAnnServe.routeToCellsScaled(vecs, sseeds, pf, pg)
       .select(col("vec_id"), col("cell").cast("long")).as[(Long, Long)].collect().toMap

@@ -279,7 +279,7 @@ class ThroughputSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val numPartitions = 4
-    val perPartitionRate = 200 // 2x the 100 target: every query routes two-level + probes
+    val perPartitionRate = 200 // 2x the 100 target: every query routes three-level + probes
     val corpus = sf("sf0.001")
     // adopt/build the SCALED index BEFORE serving starts — an index build
     // is a corpus-version event, not a serving cost
@@ -301,7 +301,7 @@ class ThroughputSpec extends SparkSpec {
       served.addAndGet(df.count())
     }
     measureRate(q, numPartitions, perPartitionRate * numPartitions,
-      "query rate source -> staged SCALED (k ∝ N) index: two-level route + cell ADC per micro-batch -> top-k",
+      "query rate source -> staged SCALED (k ∝ N) index: three-level route + cell ADC per micro-batch -> top-k",
       "STREAM_RATE_ANN_SCALED.json")
     assert(served.get() > 0, "the sink saw top-k results")
   }

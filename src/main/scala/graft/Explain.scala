@@ -74,6 +74,10 @@ object Explain {
     // staged twin: only the query-batch routing cross join runs per serve
     // (fit, parents and membership come from the fingerprinted stage)
     "sim_ivfpq_scaled_staged" -> 1,
+    // wide re-rank tier: the query-batch MULTIPROBE routing cross join
+    // (same xq × routable-supers shape, wider keeps); ADC, shortlist and
+    // the |Q|·C exact re-rank join are all equi-joins
+    "sim_ivfpq_scaled_rerank" -> 1,
     "sim_twostage" -> 1,
     "sim_twostage_ann" -> 1, "sim_ivf_staged" -> 1,
     "sim_hard_negatives" -> 1, "sim_diverse_topk" -> 1,

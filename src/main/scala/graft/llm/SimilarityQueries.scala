@@ -32,6 +32,15 @@ import LlmHash._
 object SimilarityQueries {
 
   private val topK = 5
+
+  /** ADC shortlist width of the WIDE re-rank serve: per query, the top
+    * [[serveTopC]] candidates by ADC survive to the exact re-rank pass —
+    * |Q|·C rows join back to the corpus for true quantized vectors, so the
+    * exact arithmetic touches a constant per query, never a cell.
+    * (Declared with the top constants: the query map builds EAGERLY at
+    * object init and interpolates this into the rerank oracle — a
+    * declaration below the map renders as 0.) */
+  private[llm] val serveTopC = 32
   /** sim_diverse_topk per-label-cell result cap (the diversity knob). */
   private val divCap = 2
   /** sim_recall_curve sweep points and their max (the rank-frame cutoff). */
@@ -39,7 +48,7 @@ object SimilarityQueries {
   private val curveMaxK = curveKs.max
   /** every 50th vector is a "query" — a deterministic stand-in for a query
     * batch arriving from upstream */
-  private val querySel = "vec_id % 50 = 0"
+  private[llm] val querySel = "vec_id % 50 = 0"
   /** Matryoshka prefix length for sim_twostage's coarse pass. */
   private val preDim = 16
   /** stage-1 candidates per query retained for exact re-rank (5× topK). */
@@ -58,7 +67,7 @@ object SimilarityQueries {
   private[llm] val pqScale = 10000
 
   /** sim_knn_graph: neighbors kept per vector. */
-  private val knnK = 3
+  private[llm] val knnK = 3
 
   /** sim_pagerank: power-iteration rounds (unrolled identically in the
     * oracle CTE chain). */
@@ -93,7 +102,7 @@ object SimilarityQueries {
     * exactly why the downstream consumers treat the k-row centroid table
     * as the only broadcastable side. */
   private val kmK = 8
-  private val kmScale = 10000
+  private[llm] val kmScale = 10000
 
   /** DuckDB CTE chain for the Lloyd chain at seed count `kExpr` (a SQL
     * expression — a literal for the fixed-k queries, a scalar subquery for
@@ -388,10 +397,29 @@ object SimilarityQueries {
     // occupancy count, split-donor selection) — persist the thin
     // (vec_id, cid, dist) frames so each routed assign runs once; each
     // cents table feeds two parent maps, a routing pass, and the
-    // within-cell argmin — persist the ~k-row tables too
-    val a1 = assignScaled(xq, pf0, pg0, sseeds)
+    // within-cell argmin — persist the ~k-row tables too.
+    // TRUNCATE the round boundaries (localCheckpoint + LogicalRDD rebuild,
+    // the componentsOf pattern): a persisted frame's InMemoryRelation
+    // keeps its child SparkPlan, and every plan-tree WALK
+    // (SparkPlanInfo/treeString per executed query) expands those cached
+    // subtrees as a TREE — with the split repair, c1 references a1 four
+    // times (update + occupancy + donor rank + donor pick) and a2
+    // references c1 through pf1/pg1/c1 again, so the walked node count
+    // multiplies per level and the r9 bench run wedged the DRIVER for
+    // 10+ minutes inside SparkPlanInfo.fromSparkPlan on exactly this
+    // chain. Cutting a1 and c1 to LogicalRDD leaves bounds every
+    // downstream plan at depth ~2; the data was being materialized here
+    // anyway (both were persisted), so the only cost is a row re-encode
+    // on k-row / thin-N-row frames.
+    def cut(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      val width = 2 * ck.sparkSession.sparkContext.defaultParallelism
+      val rdd = if (ck.rdd.getNumPartitions > width) ck.rdd.coalesce(width) else ck.rdd
+      ck.sparkSession.createDataFrame(rdd, ck.schema)
+    }
+    val a1 = cut(assignScaled(xq, pf0, pg0, sseeds))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c1 = lloydUpdate(a1, xq).unionByName(splitSeeds(a1, k))
+    val c1 = cut(lloydUpdate(a1, xq).unionByName(splitSeeds(a1, k)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pf1 = fineParents(c1, gseeds)
     val pg1 = superParents(pf1, gseeds, sseeds)
@@ -608,20 +636,28 @@ object SimilarityQueries {
 
   /** Coarse cells probed per vector when SELECTING the fine probe cells in
     * the scaled multi-probe graph: ranking fine cells from the union of
-    * FOUR coarse cells' children keeps a near-boundary vector's true
+    * TWELVE coarse cells' children keeps a near-boundary vector's true
     * neighbor cells in scope even when they parent to an adjacent coarse
-    * seed. 4 coarse children sets ≈ 4·kcc fine candidates per vector. */
-  private val mpCoarse = 4
+    * seed. 12 coarse children sets ≈ 12·kcc fine candidates per vector —
+    * still O(k^(1/3)). Widened 4→12 in round 9: the RecallProbe grid
+    * showed probe SELECTION (not probe count) binds recall — at nc=4,
+    * nprobe 10→14 moved recall@3 not at all (0.558→0.558) while nc alone
+    * moved it 0.558→0.608→0.700→0.800 (nc=4/6/8/12); the adopted
+    * (4, 12, 26) measures recall@3 = 0.800 at sf0.1 (VERDICT r8 #4). */
+  private val mpCoarse = 12
 
   /** Fine cells probed per vector in the SCALED multi-probe graph. With
     * k ∝ N the cells are occupancy-~[[cellTarget]] — ~8× smaller than the
     * fixed k=8 cells at sf0.1 — so a natural cluster splits across several
     * cells and nprobe must cover that split: 3 probes measured recall@3 =
-    * 0.29 where the fixed-k graph's 3-of-8 probes measured 0.66. 10 probes
-    * ≈ 10·[[cellTarget]] = 320 candidates per vector — still CONSTANT per
+    * 0.29 where the fixed-k graph's 3-of-8 probes measured 0.66. 26 probes
+    * ≈ 26·[[cellTarget]] = 832 candidates per vector — still CONSTANT per
     * vector as the corpus grows (the point of k ∝ N), and ~linear total
-    * pair work. */
-  private val mpScaledNprobe = 10
+    * pair work. Widened 10→26 with [[mpCoarse]] 4→12 in round 9 (VERDICT
+    * r8 #4): the RecallProbe curve at sf0.1 reads (nc=4,np=10) 0.558 →
+    * (8,18) 0.700 → (10,22) 0.725 → (12,26) 0.800; the extra pair work is
+    * the np ratio (2.6×), the route stays O(k^(1/3)) per vector. */
+  private val mpScaledNprobe = 26
 
   /** Multi-probe kNN graph over the k ∝ N THREE-LEVEL cells — the
     * production composition (VERDICT r6 #2, r7 #2): [[kmeansScaledLayer]]
@@ -638,35 +674,51 @@ object SimilarityQueries {
     * thin (id, id, dist) frames — vectors are re-attached by vec_id join
     * after each rank, never shuffled through a window. UNORDERED — callers
     * sort. */
-  private def multiprobeKnnScaledDF(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val fit = kmeansScaledLayer(s, d)
-    val (xq, a2) = (fit.xq, fit.a2)
-    // parent maps the final assign already built — reuse, don't re-persist
-    // (ADVICE r7)
-    val msup = xq.crossJoin(broadcast(routableSupers(fit.pg, fit.sseeds)))
+  /** Layered multi-probe FINE-CELL selection over any (vec_id, xq) frame —
+    * the probe router shared by the scaled graph and the wide re-rank
+    * serve: rank the coarse children of the `nSuper` nearest routable
+    * supers, keep `nCoarse`; rank those seeds' fine children, keep the top
+    * `nprobe` — O(k^(1/3)) centroids touched per vector, every seed table
+    * broadcast. Returns (vec_id, pcid). Probe #1 equals [[assignScaled]]'s
+    * argmin cell whenever nSuper ≥ [[assignSProbe]] and nCoarse ≥
+    * [[assignGProbe]] (same rule, same tie order, wider keeps). */
+  private[llm] def multiprobeRouteDF(xq: DataFrame, sseeds: DataFrame,
+      pg: DataFrame, pf: DataFrame, nSuper: Int, nCoarse: Int,
+      nprobe: Int): DataFrame = {
+    val msup = xq.crossJoin(broadcast(routableSupers(pg, sseeds)))
       .withColumn("sd", expr("vector_l2q(xq, sarr)"))
       .select(col("vec_id"), col("sid"), col("sd"))
       .withColumn("srn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("sd"), col("sid"))))
-      .filter(col("srn") <= mpSuper)
+      .filter(col("srn") <= nSuper)
       .select("vec_id", "sid")
     val mroute = msup.join(xq, "vec_id")
-      .join(broadcast(fit.pg.select(col("sid"), col("gid"), col("garr"))), "sid")
+      .join(broadcast(pg.select(col("sid"), col("gid"), col("garr"))), "sid")
       .select(col("vec_id"), col("gid"),
         expr("vector_l2q(xq, garr)").as("gd"))
       .withColumn("grn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("gd"), col("gid"))))
-      .filter(col("grn") <= mpCoarse)
+      .filter(col("grn") <= nCoarse)
       .select("vec_id", "gid")
-    val probes = mroute.join(xq, "vec_id")
-      .join(broadcast(fit.pf.select(col("gid"), col("cid"), col("carr"))), "gid")
+    mroute.join(xq, "vec_id")
+      .join(broadcast(pf.select(col("gid"), col("cid"), col("carr"))), "gid")
       .select(col("vec_id"), col("cid"),
         expr("vector_l2q(xq, carr)").as("d"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
-      .filter(col("rn") <= mpScaledNprobe)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("cid").as("pcid"))
+  }
+
+  private[llm] def multiprobeKnnScaledDF(s: org.apache.spark.sql.SparkSession,
+      d: String, nSuper: Int = mpSuper, nCoarse: Int = mpCoarse,
+      nprobe: Int = mpScaledNprobe): DataFrame = {
+    val fit = kmeansScaledLayer(s, d)
+    val (xq, a2) = (fit.xq, fit.a2)
+    // parent maps the final assign already built — reuse, don't re-persist
+    // (ADVICE r7)
+    val probes = multiprobeRouteDF(xq, fit.sseeds, fit.pg, fit.pf,
+      nSuper, nCoarse, nprobe)
     probes.join(xq, "vec_id")
       .join(
         a2.select(col("cid").as("pcid"), col("vec_id").as("neighbor_id"))
@@ -1452,6 +1504,25 @@ object SimilarityQueries {
           expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
       pqServeQueriesScaled(s, cb, codes, members, sseeds, pf, pg,
         queries, selfExclude = true)
+    },
+
+    // The WIDE re-rank serve tier over the staged scaled index (VERDICT r8
+    // #4): multiprobe routing (the graph's router — probe #1 is the
+    // single-cell serve's cell), ADC over the pooled probed members,
+    // top-serveTopC shortlist, exact quantized re-rank of the shortlist
+    // only. Recall is bounded by the probed cells' coverage (the graph
+    // audit's number) instead of ONE cell's; the exact pass costs |Q|·C
+    // distances — the sim_twostage prune-first shape on an IVF-PQ route.
+    Q("sim_ivfpq_scaled_rerank", pqScaledRerankOracle) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val idx = s.table(stagePqIndexScaled(s, d))
+      val (cb, codes, members, sseeds, pf, pg) = scaledIndexFrames(idx)
+      val xqC = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
+      val queries = xqC.filter(expr(querySel))
+        .select(col("vec_id").as("query_id"), col("xq"))
+      pqServeQueriesScaledWide(s, cb, codes, members, sseeds, pf, pg,
+        queries, xqC, selfExclude = true)
     },
 
     // Two-stage retrieval (the Matryoshka / re-rank shape): a cheap coarse
@@ -2323,9 +2394,10 @@ object SimilarityQueries {
 
     // Multi-probe kNN graph over the SCALED (k ∝ N, three-level) cells — the
     // production graph (VERDICT r6 #2): constant-occupancy learned cells +
-    // 10-cell probing (mpScaledNprobe — the 3→10 widening is the measured
-    // recall fix for the smaller scaled cells) in one chain, with probe
-    // selection itself super-layer
+    // 26-cell probing from a 12-coarse selection pool (mpCoarse /
+    // mpScaledNprobe — the round-9 widening measured recall@3 0.558 →
+    // 0.800; see the RecallProbe grid in their scaladoc) in one chain,
+    // with probe selection itself super-layer
     // routed so nothing touches all k centroids per vector. Contract and
     // ranking identical to sim_knn_graph_multiprobe; only the cell layer
     // differs (k = max(8, N/32) three-level cells vs fixed k=8 flat cells).
@@ -2601,11 +2673,13 @@ object SimilarityQueries {
     * `route` filters a2 rather than restating the chain — the same
     * identity the Spark side exploits via [[assignScaled]]. ADC then ranks
     * the probed SCALED cell's codes. */
-  private lazy val pqScaledOracle: String = {
+  /** The PQ codebook/codes oracle fragment (sub → seed → one Lloyd round →
+    * cb → codes) over an existing `xq` CTE — shared by the scaled serve
+    * oracles. */
+  private lazy val pqCodebookCtes: String = {
     def d8(a: String, b: String) =
       s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
-    s"""WITH $kmeansThreeLevelCtes,
-       |sub AS (
+    s"""sub AS (
        |  SELECT vec_id, CAST(s AS INT) AS s,
        |    list_slice(xq, CAST(s*$pqSubDim+1 AS INT), CAST(s*$pqSubDim+$pqSubDim AS INT)) AS sv
        |  FROM xq, unnest(generate_series(0, ${pqM - 1})) AS t(s)
@@ -2630,7 +2704,14 @@ object SimilarityQueries {
        |    SELECT sub.vec_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS dist
        |    FROM sub JOIN cb ON cb.s = sub.s
        |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) = 1
-       |),
+       |)""".stripMargin
+  }
+
+  private lazy val pqScaledOracle: String = {
+    def d8(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    s"""WITH $kmeansThreeLevelCtes,
+       |$pqCodebookCtes,
        |route AS (SELECT vec_id AS query_id, cid AS probe_cid FROM a2 WHERE $querySel),
        |lut AS (
        |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
@@ -2648,6 +2729,48 @@ object SimilarityQueries {
        |)
        |SELECT query_id, neighbor_id, adist FROM adc
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $topK
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** Oracle for the WIDE re-rank serve ([[pqServeQueriesScaledWide]]):
+    * the multiprobe route (`mp`, [[multiprobeScaledCtes]]) supplies the
+    * probed cells, the PQ fragment ([[pqCodebookCtes]]) the codes, ADC
+    * pools the probed members, the top [[serveTopC]] survive to an exact
+    * full-dimension re-rank. */
+  private lazy val pqScaledRerankOracle: String = {
+    def d8(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 8), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    val dims = LlmHash.dims
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]))) AS BIGINT)"
+    s"""WITH $multiprobeScaledCtes,
+       |$pqCodebookCtes,
+       |qroute AS (SELECT vec_id AS query_id, pcid AS probe_cid FROM mp WHERE $querySel),
+       |lut AS (
+       |  SELECT sub.vec_id AS query_id, sub.s, cb.cid, ${d8("sub.sv", "cb.carr")} AS d
+       |  FROM sub JOIN cb ON cb.s = sub.s
+       |  WHERE sub.$querySel
+       |),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adist
+       |  FROM qroute r
+       |  JOIN a2 v ON v.cid = r.probe_cid
+       |  JOIN codes c ON c.vec_id = v.vec_id
+       |  JOIN lut l ON l.query_id = r.query_id AND l.s = c.s AND l.cid = c.code
+       |  WHERE c.vec_id <> r.query_id
+       |  GROUP BY l.query_id, c.vec_id
+       |),
+       |shortl AS (
+       |  SELECT query_id, neighbor_id, adist FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $serveTopC
+       |),
+       |rr AS (
+       |  SELECT sh.query_id, sh.neighbor_id, sh.adist, ${l2("q.xq", "n.xq")} AS fdist
+       |  FROM shortl sh JOIN xq n ON n.vec_id = sh.neighbor_id
+       |    JOIN xq q ON q.vec_id = sh.query_id
+       |)
+       |SELECT query_id, neighbor_id, adist, fdist FROM rr
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY fdist, neighbor_id) <= $topK
        |ORDER BY query_id, neighbor_id""".stripMargin
   }
 
@@ -2934,6 +3057,98 @@ object SimilarityQueries {
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scoredAll.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
       .select("query_id", "neighbor_id", "adist")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** WIDE re-rank IVF-PQ serving over the scaled cells — the recall tier
+    * above [[pqServeQueriesScaled]] (VERDICT r8 #4): where the single-cell
+    * serve bounds recall by ONE cell's coverage, this path (1) probes the
+    * query's top-`nprobe` fine cells through [[multiprobeRouteDF]] (the
+    * graph's router — probe #1 is the single-cell serve's cell, so this is
+    * a strict superset), (2) ranks the pooled members by the SAME ADC LUT
+    * (content still moves as 8-byte codes — nprobe× the LUT joins, nothing
+    * else grows), (3) keeps the top [[serveTopC]] per query and re-ranks
+    * ONLY those by exact quantized L2 against the corpus vectors —
+    * prune-first, the sim_twostage shape: |Q|·C exact distances instead of
+    * |Q|·cell, and the ADC's sub-quantization error cannot reorder the
+    * final top-k. Output (query_id, neighbor_id, adist, fdist): the ADC
+    * score that selected and the exact score that ranked.
+    *
+    * @param xqCorpus (vec_id, xq) — the corpus at [[pqScale]] quantization,
+    *                 read thin (two columns) and joined only against the
+    *                 |Q|·C shortlist
+    * @param delta    optional fresh vectors, same contract as
+    *                 [[pqServeQueriesScaled]] (exact scores, min-dedup'd) */
+  private[llm] def pqServeQueriesScaledWide(s: org.apache.spark.sql.SparkSession,
+      cb: DataFrame, codes: DataFrame, members: DataFrame,
+      sseeds: DataFrame, pf: DataFrame, pg: DataFrame,
+      queries: DataFrame, xqCorpus: DataFrame, selfExclude: Boolean,
+      nprobe: Int = mpScaledNprobe,
+      delta: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    require(pqScale == kmScale, "scaled IVF-PQ requires pqScale == kmScale")
+    val route = multiprobeRouteDF(
+        queries.select(col("query_id").as("vec_id"), col("xq")),
+        sseeds, pg, pf, mpSuper, mpCoarse, nprobe)
+      .select(col("vec_id").as("query_id"), col("pcid").as("probe_cid"))
+    val dist = "vector_l2q(av, bv)"
+    val lut = queries
+      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+      .select(col("query_id"), col("s").cast("int").as("s"),
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
+      .join(broadcast(cb), "s")
+      .withColumnRenamed("carr", "bv")
+      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
+    val cellMembers = broadcast(route)
+      .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
+      // a member can sit in several probed cells' buckets only if cells
+      // overlapped — they don't (unique assignment); no dedup needed
+    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+               else cellMembers)
+      .join(codes, "vec_id")
+      .join(broadcast(lut.withColumnsRenamed(
+          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
+        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d").as("adist"))
+    val scoredAll = delta.fold(adc) { dl =>
+      val fresh = broadcast(route)
+        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+          col("fq") === col("query_id"))
+        .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
+          col("cell") === col("probe_cid"))
+        .filter(!(lit(selfExclude) && col("neighbor_id") === col("query_id")))
+        .select(col("query_id"), col("neighbor_id"),
+          expr("vector_l2q(qxq, dxq)").as("adist"))
+      adc.unionByName(fresh)
+        .groupBy("query_id", "neighbor_id")
+        .agg(min("adist").as("adist")) // base ∪ delta overlap: one slot, the exact score
+    }
+    // shortlist: top-C by ADC — a window over thin (query, neighbor, adist)
+    val wc = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = scoredAll.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= serveTopC)
+      .select("query_id", "neighbor_id", "adist")
+    // exact re-rank: |Q|·C rows pull their true vectors by id (AQE
+    // broadcasts the tiny shortlist side), then one window to the final k.
+    // Delta survivors aren't in the base corpus yet — the lookup is the
+    // union (dropDuplicates: an overlapping id has the IDENTICAL xq on
+    // both sides, same quantization of the same vector).
+    val lookup = delta.fold(
+        xqCorpus.select(col("vec_id").as("neighbor_id"), col("xq").as("nxq"))) { dl =>
+      xqCorpus.select(col("vec_id"), col("xq"))
+        .unionByName(dl.select(col("vec_id"), col("xq")))
+        .dropDuplicates("vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("xq").as("nxq"))
+    }
+    val wf = Window.partitionBy("query_id").orderBy(col("fdist"), col("neighbor_id"))
+    shortlist
+      .join(lookup, Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("xq").as("qxq"))), Seq("query_id"))
+      .withColumn("fdist", expr("vector_l2q(qxq, nxq)"))
+      .withColumn("rn2", row_number().over(wf))
+      .filter(col("rn2") <= topK)
+      .select("query_id", "neighbor_id", "adist", "fdist")
       .orderBy("query_id", "neighbor_id")
   }
 

@@ -302,4 +302,46 @@ object StreamingAnnServe {
     val w1 = trigger.fold(w0)(w0.trigger)
     checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
   }
+
+  /** [[serveScaled]] at the WIDE RE-RANK recall tier (VERDICT r8 #4): each
+    * query batch probes its top-nprobe fine cells through the graph's
+    * multiprobe router, pools their members by ADC, and exact-re-ranks the
+    * top-C shortlist against the true quantized corpus vectors
+    * (`pqServeQueriesScaledWide`). Recall is the probed-cell-coverage
+    * number the graph audit measures instead of one cell's; the extra cost
+    * per batch is nprobe× the LUT joins plus |Q|·C exact distances and a
+    * thin (vec_id, embedding) corpus read for the shortlist join —
+    * measured against the single-cell tier in STREAM_RATE_ANN_SCALED.
+    * Delta contract identical to [[serveScaled]]. */
+  def serveScaledRerank(queries: Dataset[QueryVec], corpusDir: String,
+      deltaDir: Option[String] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      checkpoint: Option[String] = None)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val s = queries.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    var deltaSeen = false
+    val w0 = queries.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (cb, codes, members, sseeds, pf, pg) =
+          SimilarityQueries.scaledIndexFrames(
+            s.table(SimilarityQueries.stagePqIndexScaled(s, corpusDir)))
+        val q = batch.select(col("query_id"),
+          expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+        val xqC = graft.core.Tables.embeddings(s, corpusDir)
+          .select(col("vec_id"),
+            expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+        if (!deltaSeen) deltaSeen = deltaDir.exists(dirHasDataFiles(s, _))
+        val delta =
+          if (!deltaSeen) None
+          else scala.util.Try {
+            s.read.parquet(deltaDir.get).select(col("vec_id"), col("cell"),
+              expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+          }.toOption
+        sink(SimilarityQueries.pqServeQueriesScaledWide(s, cb, codes, members,
+          sseeds, pf, pg, q, xqC, selfExclude = false, delta = delta))
+      }
+    val w1 = trigger.fold(w0)(w0.trigger)
+    checkpoint.fold(w1)(c => w1.option("checkpointLocation", c)).start()
+  }
 }

@@ -154,6 +154,21 @@ object StreamingDedup {
         when(col("bb.band") === 0, col("text")).as("text"),
         col("ts")) // the watermark column must reach the stateful operator
       .as[(Long, Long, Long, Int, Int, Option[String], java.sql.Timestamp)]
+    bandedGuardCore(banded, NearHamming, delayMs).unionByName(shorts)
+  }
+
+  /** The banded-Hamming FMGWS core shared by the text ([[dedupNearBandedStream]])
+    * and signature ([[dedupNearBandedSigStream]]) guards: keyed on
+    * (band, band-value), a bucket holds the in-window 64-bit signatures,
+    * each arrival verifies against them at full-signature Hamming ≤
+    * `maxHamming`, and state is watermark-pruned, [[GuardBucketCap]]-capped
+    * by event time, and TTL-cleared. Input rows are
+    * (id, timestamp, sig, band, bval, payload, ts) with `ts` the
+    * watermarked column. */
+  private def bandedGuardCore(
+      banded: Dataset[(Long, Long, Long, Int, Int, Option[String], java.sql.Timestamp)],
+      maxHamming: Int, delayMs: Long): Dataset[BandVerdict] = {
+    import banded.sparkSession.implicits._
     banded.groupByKey { case (_, _, _, band, bval, _, _) => (band, bval) }
       .flatMapGroupsWithState[BandBucketState, BandVerdict](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -169,7 +184,7 @@ object StreamingDedup {
             rows.toSeq.sortBy(r => (r._2, r._1)).foreach {
               case (docId, ts, sig, band, _, text, _) =>
                 val near = kept.exists { case (s, _) =>
-                  java.lang.Long.bitCount(s ^ sig) <= NearHamming }
+                  java.lang.Long.bitCount(s ^ sig) <= maxHamming }
                 out += BandVerdict(docId, ts, band, near, text)
                 // hot-bucket bound: keep the GuardBucketCap NEWEST sigs BY
                 // EVENT TIME — state entries are appended across batches, so
@@ -187,8 +202,75 @@ object StreamingDedup {
             out.result().iterator
           }
       }
-      .unionByName(shorts)
   }
+
+  /** The multimodal band geometry, mirrored from the batch pair joins
+    * (`MultimodalQueries.bandedHammingPairsDF`): 64-bit signature as two
+    * 32-bit halves, 4 bands × 16 bits, near ⇔ total Hamming ≤
+    * [[MmNearHamming]]. Like the batch side, 4 bands under Hamming 6 is a
+    * recall TRADE, not a pigeonhole guarantee (that would need 7 bands) —
+    * near-identical media land within Hamming ~2 in practice, where ≥1
+    * shared band IS guaranteed, and the batch job behind the guard closes
+    * whatever the window policy admits. */
+  val MmNearHamming = 6
+
+  /** An asset ingest event carrying its 64-bit perceptual signature as the
+    * batch side's two 32-bit halves (phash `ImageHash`, audio
+    * energy-envelope fp, a video keyframe hash — any
+    * [[graft.llm.Multimodal]] signature). The guard moves SIGNATURES only:
+    * at 100 TB the payload bytes live in object storage and must never
+    * ride an LSH shuffle — callers hash upstream (the decode `mapPartitions`)
+    * and re-fetch survivors by id. */
+  case class SigEvent(asset_id: Long, timestamp: Long, hash_hi: Long, hash_lo: Long)
+
+  /** Streaming banded near-dup guard over ANY 64-bit signature — the
+    * in-stream twin of the batch `mm_phash_dedup` / `mm_audio_dedup` pair
+    * joins, and the multimodal counterpart of [[dedupNearBandedStream]]
+    * (VERDICT r8 #6): image/audio/video ingest gets the same in-window
+    * suppression text has. Each asset's signature explodes to 4
+    * (band, 16-bit value) rows routed to band buckets
+    * (`flatMapGroupsWithState` keyed on (band, value) — the LSH shuffle as
+    * state partitioning); an arrival is `near` iff a stored in-window
+    * signature verifies at FULL-signature Hamming ≤ `maxHamming` (band
+    * equality alone never suppresses); survivors reassemble per micro-batch
+    * via [[sigSurvivors]]. State bound: ≤ [[GuardBucketCap]] (long, long)
+    * pairs per bucket over the watermark window, watermark-pruned +
+    * TTL-cleared — identical to the text guard's envelope. */
+  def dedupNearBandedSigStream(assets: Dataset[SigEvent], delayMs: Long = 10000L,
+      maxHamming: Int = MmNearHamming): Dataset[BandVerdict] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    // the batch band split (b<2 from the hi half, else lo), then the two
+    // halves pack into ONE state long — both are 32-bit values, so
+    // bit_count(hi1^hi2) + bit_count(lo1^lo2) = bit_count(packed1^packed2)
+    val bandCols = (0 until 4).map { b =>
+      val src = if (b < 2) s"shiftright(hash_hi, ${16 * b})"
+        else s"shiftright(hash_lo, ${16 * (b - 2)})"
+      struct(lit(b).as("band"), expr(s"cast($src & 65535 as int)").as("bval"))
+    }
+    val banded = assets.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withColumn("sig", expr("shiftleft(hash_hi, 32) | hash_lo"))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("asset_id"), col("timestamp"), col("sig"),
+        explode(array(bandCols: _*)).as("bb"), col("ts"))
+      .select(col("asset_id"), col("timestamp"), col("sig"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"),
+        lit(null).cast("string").as("text"),
+        col("ts")) // the watermark column must reach the stateful operator
+      .as[(Long, Long, Long, Int, Int, Option[String], java.sql.Timestamp)]
+    bandedGuardCore(banded, maxHamming, delayMs)
+  }
+
+  /** Per-micro-batch reassembly of [[dedupNearBandedSigStream]]'s verdicts
+    * (run INSIDE `foreachBatch`, same contract as [[nearBandedSurvivors]]):
+    * the surviving (asset_id, timestamp) keys — ids only, payloads are
+    * re-fetched by the caller (see [[SigEvent]]). */
+  def sigSurvivors(batch: DataFrame): DataFrame =
+    batch.groupBy(col("doc_id").as("asset_id"), col("timestamp"))
+      .agg(max(col("near")).as("suppressed"))
+      .filter(!col("suppressed"))
+      .select("asset_id", "timestamp")
 
   /** Per-micro-batch reassembly of [[dedupNearBandedStream]]'s verdicts —
     * run it INSIDE `foreachBatch` (all of a doc's band rows land in the

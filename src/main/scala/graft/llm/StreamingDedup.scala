@@ -272,6 +272,122 @@ object StreamingDedup {
       .filter(!col("suppressed"))
       .select("asset_id", "timestamp")
 
+  /** A video ingest event carrying its per-frame 64-bit perceptual hashes
+    * in temporal order (each frame's aHash halves packed `hi<<32 | lo`).
+    * Signatures only — the [[SigEvent]] stance: decode + per-frame aHash
+    * happen upstream in the decode `mapPartitions`; payload bytes never
+    * ride the LSH shuffle. A frameless asset (empty array) never reaches
+    * the guard's keyed state and must be admitted upstream, the way the
+    * text guard bypasses un-shingleable docs. */
+  case class FrameSeqEvent(asset_id: Long, timestamp: Long, frames: Array[Long])
+
+  /** One stage-1 emission of [[dedupNearFrameSeqStream]]: the arriving
+    * asset's (frame_idx, band) row; when a stored in-window asset's
+    * SAME-INDEX frame verified at full-hash Hamming ≤ maxHamming it names
+    * that asset (`other_id`, `other_nf`), otherwise `other_id = -1` (the
+    * presence row every asset emits so [[frameSeqSurvivors]] sees it). */
+  case class FrameHit(asset_id: Long, timestamp: Long, nf: Int,
+      frame_idx: Int, other_id: Long, other_nf: Int)
+
+  /** Per-bucket state of the frame guard: in-window (sig, ts, asset_id,
+    * nf) quadruples, [[GuardBucketCap]]-bounded by event time. */
+  case class FrameBucketState(sigs: Seq[Long], ts: Seq[Long],
+      ids: Seq[Long], nfs: Seq[Int])
+
+  /** Streaming FRAME-SEQUENCE near-dup guard — the in-stream twin of the
+    * batch `mm_gif_pairs` rule (VERDICT r9 #7), closing video ingest the
+    * way [[dedupNearBandedSigStream]] closed image/audio: a later video is
+    * near an in-window earlier one iff the count of temporally ALIGNED
+    * near frames (same frame index, full-hash Hamming ≤ `maxHamming`)
+    * reaches half the shorter sequence — `(min(nf1, nf2) + 1) div 2`, the
+    * batch HAVING clause verbatim.
+    *
+    * Shape: each frame's 64-bit hash explodes to 4 (band, 16-bit value)
+    * rows keyed on **(frame_idx, band, value)** — the batch `vbands` join
+    * key (`x.f = y.f AND x.b = y.b AND x.chunk = y.chunk`) as state
+    * partitioning, so only same-index frames ever meet, exactly like the
+    * batch pair join. A bucket verifies at full-hash Hamming (band
+    * equality alone never matches) and emits per-pair frame hits; the
+    * half-alignable verdict is a per-micro-batch reassembly
+    * ([[frameSeqSurvivors]]) because it needs the hit count across ALL of
+    * an asset's frames — all of which land in the same micro-batch, so no
+    * cross-batch pair state exists. State bound: ≤ [[GuardBucketCap]]
+    * quadruples per (frame_idx × 4 × 2^16) bucket over the watermark
+    * window, watermark-pruned + TTL-cleared — the shared guard envelope.
+    * Hamming tolerance or frame alignment beyond the window stays the
+    * batch job's (`mm_gif_pairs`) responsibility. */
+  def dedupNearFrameSeqStream(assets: Dataset[FrameSeqEvent],
+      delayMs: Long = 10000L, maxHamming: Int = MmNearHamming)
+      : Dataset[FrameHit] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    // the 4×16-bit chunking of the packed hash is the same PARTITION of
+    // the 64 bits as the batch's per-half split (band labels permute; the
+    // key includes the label so routing is consistent), and
+    // bit_count(p1 ^ p2) = bit_count(hi1^hi2) + bit_count(lo1^lo2)
+    val banded = assets.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withColumn("nf", size(col("frames")))
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("asset_id"), col("timestamp"), col("nf"), col("ts"),
+        posexplode(col("frames")).as(Seq("f", "sig")))
+      .withColumn("b", explode(expr("sequence(0, 3)")))
+      .select(col("asset_id"), col("timestamp"), col("nf"),
+        col("f").cast("int").as("f"), col("sig"), col("b").cast("int").as("b"),
+        expr("cast(shiftright(sig, 16 * b) & 65535 as int)").as("bval"),
+        col("ts")) // the watermark column must reach the stateful operator
+      .as[(Long, Long, Int, Int, Long, Int, Int, java.sql.Timestamp)]
+    banded.groupByKey { case (_, _, _, f, _, b, bval, _) => (f, b, bval) }
+      .flatMapGroupsWithState[FrameBucketState, FrameHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[FrameBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(FrameBucketState(Nil, Nil, Nil, Nil))
+            var kept = st.sigs.indices.map(i =>
+              (st.sigs(i), st.ts(i), st.ids(i), st.nfs(i)))
+              .filter(_._2 >= wm).toList
+            val out = Seq.newBuilder[FrameHit]
+            rows.toSeq.sortBy(r => (r._2, r._1)).foreach {
+              case (id, tsm, nf, f, sig, _, _, _) =>
+                val hits = kept.filter { case (s, _, oid, _) =>
+                  oid != id && java.lang.Long.bitCount(s ^ sig) <= maxHamming }
+                if (hits.isEmpty) out += FrameHit(id, tsm, nf, f, -1L, 0)
+                else hits.foreach { case (_, _, oid, onf) =>
+                  out += FrameHit(id, tsm, nf, f, oid, onf) }
+                // newest-by-event-time cap, the bandedGuardCore rule
+                kept = ((sig, tsm, id, nf) :: kept).sortBy(_._2)
+                  .takeRight(GuardBucketCap)
+            }
+            state.update(FrameBucketState(kept.map(_._1), kept.map(_._2),
+              kept.map(_._3), kept.map(_._4)))
+            state.setTimeoutTimestamp(
+              math.max(kept.map(_._2).max + delayMs, wm + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per-micro-batch reassembly of [[dedupNearFrameSeqStream]]'s frame
+    * hits (run INSIDE `foreachBatch`, the [[sigSurvivors]] contract): a
+    * frame pair found via several bands counts ONCE (the batch `vnearf`
+    * DISTINCT), aligned-near-frame counts apply the half-of-shorter rule
+    * per candidate pair, and an asset survives iff NO earlier in-window
+    * asset reached the bar. Returns surviving (asset_id, timestamp) —
+    * ids only; payloads re-fetch by id ([[SigEvent]] stance). */
+  def frameSeqSurvivors(batch: DataFrame): DataFrame = {
+    val suppressed = batch.filter(col("other_id") >= 0)
+      .select("asset_id", "nf", "frame_idx", "other_id", "other_nf")
+      .distinct()
+      .groupBy("asset_id", "nf", "other_id", "other_nf")
+      .agg(count(lit(1)).as("n_near"))
+      .filter(col("n_near") >= expr("(least(nf, other_nf) + 1) div 2"))
+      .select("asset_id").distinct()
+    batch.select("asset_id", "timestamp").distinct()
+      .join(suppressed, Seq("asset_id"), "left_anti")
+  }
+
   /** Per-micro-batch reassembly of [[dedupNearBandedStream]]'s verdicts —
     * run it INSIDE `foreachBatch` (all of a doc's band rows land in the
     * same batch, so this is a complete per-doc reduce with no cross-batch

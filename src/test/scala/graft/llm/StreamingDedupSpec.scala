@@ -306,4 +306,86 @@ class StreamingDedupSpec extends SparkSpec {
       s"variant (2) suppressed in-window, distinct (3) admitted, " +
         s"re-admit after eviction (6): $survivors")
   }
+
+  test("FRAME guard: a temporally-shifted GIF near-dup is suppressed in-stream by the half-alignable rule (VERDICT r9 #7)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // REAL decode + per-frame hash chain: the exact signatures the batch
+    // mm_gif_pairs pipeline computes (Multimodal.ahash over every
+    // JDK-decoded GIF frame), packed hi<<32|lo per the guard contract
+    def gifHashes(bytes: Array[Byte]): Array[Long] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        try {
+          reader.setInput(iis)
+          (0 until reader.getNumImages(true)).map { i =>
+            val (hi, lo) = Multimodal.ahash(reader.read(i))
+            (hi << 32) | lo
+          }.toArray
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = gifHashes(Multimodal.makeGif(10, 10, 4, 7L))
+    assert(base.length == 4)
+    // a distinct GIF: every ALIGNED frame pair beyond the Hamming envelope
+    // (so zero aligned near frames — unambiguously far)
+    val far = (100L to 299L).iterator
+      .map(s => gifHashes(Multimodal.makeGif(10, 10, 4, s)))
+      .find(f => f.indices.forall(i =>
+        ham(f(i), base(i)) > StreamingDedup.MmNearHamming))
+      .getOrElse(fail("no all-frames-far GIF found"))
+    // second and third far GIFs, each aligned-far from base, far, and
+    // each other — the two mosaics below must only be near what they are
+    // PLANTED to be near (not via shared filler frames)
+    def findFar(seeds: Iterator[Long], others: Seq[Array[Long]]): Array[Long] =
+      seeds.map(s => gifHashes(Multimodal.makeGif(10, 10, 4, s)))
+        .find(f => others.forall(o => f.indices.forall(i =>
+          ham(f(i), o(i)) > StreamingDedup.MmNearHamming)))
+        .getOrElse(fail("no all-frames-far GIF found"))
+    val far2 = findFar((300L to 599L).iterator, Seq(base, far))
+    val far3 = findFar((600L to 899L).iterator, Seq(base, far, far2))
+    // half-alignable boundary cases, synthesized from REAL frame hashes:
+    // 2 of 4 aligned near frames meets (4+1) div 2 = 2; 1 of 4 does not
+    val halfNear = Array(base(0), base(1), far2(2), far2(3))
+    val oneNear = Array(base(0), far3(1), far3(2), far3(3))
+
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamingDedup.FrameSeqEvent]
+    val q = StreamingDedup.dedupNearFrameSeqStream(mem.toDS(), delayMs = 10000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDedup.FrameHit], _: Long) =>
+        val ids = StreamingDedup.frameSeqSurvivors(b.toDF())
+          .select("asset_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        survivors.synchronized { survivors ++= ids }; ()
+      }.start()
+    mem.addData(StreamingDedup.FrameSeqEvent(1L, 1000L, base))
+    q.processAllAvailable()
+    // the SAME video re-encoded/re-crawled 1.5 s later (temporal shift in
+    // ARRIVAL): all 4 aligned frames within Hamming — suppressed; the far
+    // GIF admitted; the 2-of-4 mosaic exactly meets the half rule —
+    // suppressed; the 1-of-4 mosaic stays under it — admitted
+    mem.addData(StreamingDedup.FrameSeqEvent(2L, 2500L, base),
+      StreamingDedup.FrameSeqEvent(3L, 2600L, far),
+      StreamingDedup.FrameSeqEvent(4L, 2700L, halfNear),
+      StreamingDedup.FrameSeqEvent(5L, 2800L, oneNear))
+    q.processAllAvailable()
+    // advance the watermark far past the window: state prunes/evicts
+    mem.addData(StreamingDedup.FrameSeqEvent(6L, 300000L,
+      Array.fill(4)(0x0123456789abcdefL)))
+    q.processAllAvailable()
+    mem.addData(StreamingDedup.FrameSeqEvent(7L, 301000L,
+      Array.fill(4)(0x0f0f0f0f0f0f0f0fL)))
+    q.processAllAvailable()
+    // post-eviction re-arrival of the base sequence is new again — the
+    // windowed-knowledge trade every ingest guard makes
+    mem.addData(StreamingDedup.FrameSeqEvent(8L, 302000L, base))
+    q.processAllAvailable()
+    q.stop()
+    assert(survivors.toSet == Set(1L, 3L, 5L, 6L, 7L, 8L),
+      s"re-encode (2) and half-mosaic (4) suppressed; far (3) and 1-of-4 " +
+        s"(5) admitted; re-admit after eviction (8): $survivors")
+  }
 }

@@ -182,6 +182,37 @@ class ThroughputSpec extends SparkSpec {
       "STREAM_RATE_MM.json")
   }
 
+  test("frame-sequence video guard sustains >=100 videos/s/partition over >=10s (measured)") {
+    import org.apache.spark.sql.functions._
+    val numPartitions = 4
+    val perPartitionRate = 500 // 5x the 100 videos/s/partition target
+    // value-derived 4-frame hash sequences (the mm_gif_pairs shape): each
+    // video explodes to 4 frames x 4 bands = 16 state-routed rows, so the
+    // guard does 16x the per-row work of the signature guard — rate is
+    // measured in VIDEOS (input rows), the unit the target speaks in.
+    // Signatures only, decode upstream (the FrameSeqEvent contract).
+    val videos = spark.readStream.format("rate")
+      .option("rowsPerSecond", (perPartitionRate * numPartitions).toString)
+      .option("numPartitions", numPartitions.toString).load()
+      .select(col("value").as("asset_id"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        expr("transform(sequence(0, 3), i -> " +
+          "(hash(value * 7 + i) & 4294967295) | " +
+          "shiftleft(hash(value * 13 + i) & 4294967295, 32))").as("frames"))
+      .as[graft.llm.StreamingDedup.FrameSeqEvent](
+        org.apache.spark.sql.Encoders.product[graft.llm.StreamingDedup.FrameSeqEvent])
+    val ckpt = Files.createTempDirectory("rate_fseq_ckpt").toString
+    val q = graft.llm.StreamingDedup.dedupNearFrameSeqStream(videos, delayMs = 5000L)
+      .writeStream.format("memory").queryName("rate_fseq")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    measureRate(q, numPartitions, perPartitionRate * numPartitions,
+      "video frame-hash rate source -> per-frame 4x16-bit band route keyed (frame,band,value) -> bucket FMGWS (aligned-frame Hamming<=6 verify, watermark-pruned state) -> memory sink (append)",
+      "STREAM_RATE_FRAMESEQ.json")
+  }
+
   test("sessionizer sustains >=100 events/s/partition over >=10s (measured)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

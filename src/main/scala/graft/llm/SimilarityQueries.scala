@@ -64,6 +64,13 @@ object SimilarityQueries {
   private val pqM = 8
   private val pqSubDim = 8
   private val pqK = 16
+  /** Codebook-training sample cap (vectors): ≥ every oracle-checked corpus
+    * (sf0.1 holds 200k), so the deterministic hash-sample in
+    * [[pqBuildCodebooks]] degenerates to the full corpus wherever a value
+    * oracle runs and only engages at decade slices. 2^18 ≈ 16k training
+    * rows per codeword at pqK=16 — two orders past the ~39·k rule of
+    * thumb for k-means training-set sufficiency. */
+  private[llm] val pqTrainCap = 262144L
   private[llm] val pqScale = 10000
 
   /** sim_knn_graph: neighbors kept per vector. */
@@ -354,10 +361,30 @@ object SimilarityQueries {
     * and rely on the Verify/Bench clearCache contract. */
   private[llm] case class ScaledFit(xq: DataFrame, sseeds: DataFrame,
       gseeds: DataFrame, cents: DataFrame, pf: DataFrame, pg: DataFrame,
-      a2: DataFrame, k: Long, caches: Seq[DataFrame])
+      a2: DataFrame, k: Long, caches: Seq[DataFrame],
+      ckRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    /** Release EVERYTHING the fit pinned in the block manager: the persisted
+      * frames AND the localCheckpoint block sets behind the cut() truncation
+      * points — catalog.clearCache() drops only the former, so a loop of
+      * fits (RecallProbe's grid) would otherwise accumulate checkpoint
+      * blocks until GC (ADVICE r9). Callers must not touch the fit's frames
+      * after release: a localCheckpoint RDD is non-recomputable by design
+      * (lineage truncated), so its unpersist is destructive — which is also
+      * the honest caveat on executor loss (a lost block means refit, the
+      * price of keeping plan walks O(1); the staged faces make refit rare). */
+    def release(): Unit = {
+      caches.foreach(_.unpersist(blocking = false))
+      ckRdds.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Test hook: number of scaled fits this JVM actually ran — the
+    * cross-artifact adoption spec asserts a valid PQ stage means ZERO. */
+  @volatile private[graft] var scaledFitsComputed: Int = 0
 
   private[llm] def kmeansScaledLayer(s: org.apache.spark.sql.SparkSession, d: String)
       : ScaledFit = {
+    scaledFitsComputed += 1
     graft.functions.GraftFunctions.register(s)
     val n = Tables.embeddings(s, d).count()
     val k = math.max(8L, n / cellTarget)
@@ -428,8 +455,16 @@ object SimilarityQueries {
     // downstream plan at depth ~2; the data was being materialized here
     // anyway (both were persisted), so the only cost is a row re-encode
     // on k-row / thin-N-row frames.
+    // the checkpoint block sets are tracked so fit.release() can free them
+    // (ADVICE r9: clearCache() does not reach checkpoint blocks); captured
+    // as the getPersistentRDDs delta — the internal InternalRow RDD that
+    // localCheckpoint persisted is not otherwise reachable from the API
+    val ckRdds = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     def cut(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val ck = df.localCheckpoint()
+      ckRdds ++= sc.getPersistentRDDs.view.filterKeys(!before(_)).values
       val width = 2 * ck.sparkSession.sparkContext.defaultParallelism
       val rdd = if (ck.rdd.getNumPartitions > width) ck.rdd.coalesce(width) else ck.rdd
       ck.sparkSession.createDataFrame(rdd, ck.schema)
@@ -442,7 +477,7 @@ object SimilarityQueries {
     val pg1 = superParents(pf1, gseeds, sseeds)
     ScaledFit(xq, sseeds, gseeds, c1, pf1, pg1,
       assignScaled(xq, pf1, pg1, sseeds), k,
-      Seq(xq, a1, c1, pf0, pg0, pf1, pg1))
+      Seq(xq, a1, c1, pf0, pg0, pf1, pg1), ckRdds.toSeq)
   }
 
   /** Fine→coarse parent map: every fine centroid's nearest coarse seed,
@@ -1045,10 +1080,28 @@ object SimilarityQueries {
       "graft_km2l_asg_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
       s.sql(s"CREATE TABLE $table (vec_id BIGINT, cid BIGINT) USING parquet LOCATION '$loc'")
     } { (table, loc) =>
-      val fit = kmeansScaledLayer(s, d)
-      fit.a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
-        .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
-      fit.caches.foreach(_.unpersist(blocking = false)) // staging materialized — release (ADVICE r7)
+      // Cross-artifact adoption (SCALING r10): a VALID scaled PQ index
+      // already carries this fit's assignment as its kind='member' rows —
+      // the fit is deterministic and the pqs fingerprint pins a strict
+      // SUPERSET of the km3l constants over the same corpus count+xor —
+      // so a host that built the serve index never pays the fit twice
+      // (48 min at 20M vectors). The sidecar check is byte-exact; any
+      // mismatch falls through to the real fit.
+      val pqFpFile = pqsStageDir(s, d).resolve("_graft_fingerprint")
+      val adoptable = java.nio.file.Files.exists(pqFpFile) &&
+        new String(java.nio.file.Files.readAllBytes(pqFpFile), "UTF-8") ==
+          pqsScaledFp(s, d)
+      if (adoptable) {
+        s.read.parquet(pqsStageDir(s, d).toString)
+          .filter(col("kind") === "member")
+          .select(col("vec_id"), col("cid").cast("long").as("cid"))
+          .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+      } else {
+        val fit = kmeansScaledLayer(s, d)
+        fit.a2.select(col("vec_id"), col("cid").cast("long").as("cid"))
+          .write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
+        fit.release() // staging materialized — frames AND checkpoint blocks (ADVICE r7/r9)
+      }
     }
   }
 
@@ -1504,7 +1557,8 @@ object SimilarityQueries {
       val queries = fit.xq.filter(expr(querySel))
         .select(col("vec_id").as("query_id"), col("xq"))
       pqServeQueriesScaled(s, cb, codes, fit.a2.select("vec_id", "cid"),
-        fit.sseeds, fit.pf, fit.pg, queries, selfExclude = true)
+        fit.sseeds, fit.pf, fit.pg, queries, selfExclude = true,
+        hintQueryBroadcast = false)
     },
 
     // The staged production face of the scaled IVF-PQ: codebooks, codes,
@@ -1520,7 +1574,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"),
           expr(s"vector_quantize(embedding, $kmScale)").as("xq"))
       pqServeQueriesScaled(s, cb, codes, members, sseeds, pf, pg,
-        queries, selfExclude = true)
+        queries, selfExclude = true, hintQueryBroadcast = false)
     },
 
     // The WIDE re-rank serve tier over the staged scaled index (VERDICT r8
@@ -1539,7 +1593,7 @@ object SimilarityQueries {
       val queries = xqC.filter(expr(querySel))
         .select(col("vec_id").as("query_id"), col("xq"))
       pqServeQueriesScaledWide(s, cb, codes, members, sseeds, pf, pg,
-        queries, xqC, selfExclude = true)
+        queries, xqC, selfExclude = true, hintQueryBroadcast = false)
     },
 
     // Two-stage retrieval (the Matryoshka / re-rank shape): a cheap coarse
@@ -2848,14 +2902,33 @@ object SimilarityQueries {
       .agg(expr("cast(round(cast(sum(v) as double) / count(*), 0) as bigint)").as("cm"))
       .groupBy(keys.map(col): _*)
       .agg(expr("transform(array_sort(collect_list(struct(i, cm))), p -> p.cm)").as("carr"))
+    // Codebooks train on a deterministic hash-SAMPLE of at most ~pqTrainCap
+    // vectors (the FAISS stance: codebooks are distribution statistics —
+    // k-means on a bounded sample, codes assigned over the full corpus).
+    // Training on the whole corpus put a 160M-row (vec_id, s)-keyed
+    // sort-merge join (a1 ⋈ sub, sub-vector arrays on one side) through
+    // shuffle scratch and died at 20M vectors (SPILL_OUT_OF_MEMORY,
+    // SCALING r9); the sampled train chain is O(cap) regardless of N while
+    // the full-corpus passes that remain (codes argmin) are broadcast-join
+    // + map-side-combined — no corpus-sized wide shuffle anywhere. The cap
+    // exceeds every oracle-checked corpus (sf0.1 = 200k vectors), so step
+    // = 1 and the sample IS the corpus at driver scale — oracle SQL is
+    // exact, unchanged; the sample only engages at decade slices, which
+    // are measured by probes (recall/occupancy), not value oracles.
+    val n = Tables.embeddings(s, d).count()
+    val step = math.max(1L, n / pqTrainCap)
+    val train =
+      if (step == 1L) sub
+      else sub.filter(expr(s"pmod(md5_long60(cast(vec_id as string)), ${step}L) = 0"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = sub.filter(col("vec_id") < pqK)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("carr"))
     val a1 = argmin(
-      sub.join(broadcast(seed), "s")
+      train.join(broadcast(seed), "s")
         .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
       Seq("vec_id", "s"), "cid")
     val cb = centroids(
-      a1.join(sub, Seq("vec_id", "s"))
+      a1.join(train, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "v"))),
       Seq("s", "cid"))
     val codes = argmin(
@@ -2863,7 +2936,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
       Seq("vec_id", "s"), "code")
       .select("vec_id", "s", "code")
-    (xq, cb, codes, Seq(xq, sub))
+    (xq, cb, codes, Seq(xq, sub) ++ (if (step == 1L) Nil else Seq(train)))
   }
 
   /** Cross-session staged IVF-PQ index (the FAISS write-index-to-disk
@@ -2883,7 +2956,7 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      s"pq-v1;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
+      s"pq-v2;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
         s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,
@@ -2919,7 +2992,7 @@ object SimilarityQueries {
     val (xq, _) = pqFrames(s, d)
     pqServeQueries(s, d, cb, codes, ccent,
       xq.filter(expr(querySel)).select(col("vec_id").as("query_id"), col("xq")),
-      selfExclude = true)
+      selfExclude = true, hintQueryBroadcast = false)
   }
 
   /** IVF-PQ serving for an ARBITRARY query batch (query_id, xq quantized
@@ -2942,8 +3015,11 @@ object SimilarityQueries {
   private[llm] def pqServeQueries(s: org.apache.spark.sql.SparkSession, d: String,
       cb: DataFrame, codes: DataFrame, ccent: DataFrame,
       queries: DataFrame, selfExclude: Boolean,
-      delta: Option[DataFrame] = None): DataFrame = {
+      delta: Option[DataFrame] = None,
+      hintQueryBroadcast: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // |Q|-proportional hint gating — same rule as the wide tier (ADVICE r9)
+    def bcq(df: DataFrame): DataFrame = if (hintQueryBroadcast) broadcast(df) else df
     // Serving needs only the corpus's (vec_id, cell-label) membership — a
     // two-column scan, NOT the quantized vectors: routing uses the
     // broadcast centroids, ranking uses the 8-byte codes. Do not call
@@ -2970,12 +3046,12 @@ object SimilarityQueries {
       .join(broadcast(cb), "s")
       .withColumnRenamed("carr", "bv")
       .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
-    val cellMembers = broadcast(route)
+    val cellMembers = bcq(route)
       .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
     val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
                else cellMembers)
       .join(codes, "vec_id")
-      .join(broadcast(lut.withColumnsRenamed(
+      .join(bcq(lut.withColumnsRenamed(
           Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
         col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -2989,8 +3065,8 @@ object SimilarityQueries {
     // bound of what ADC approximates, so min picks the exact one whenever
     // both exist); the aggregate is survivor-sized (ADVICE r7).
     val scoredAll = delta.fold(adc) { dl =>
-      val fresh = broadcast(route)
-        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+      val fresh = bcq(route)
+        .join(bcq(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
           col("fq") === col("query_id"))
         .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
           col("cell") === col("probe_label"))
@@ -3030,8 +3106,11 @@ object SimilarityQueries {
       cb: DataFrame, codes: DataFrame, members: DataFrame,
       sseeds: DataFrame, pf: DataFrame, pg: DataFrame,
       queries: DataFrame, selfExclude: Boolean,
-      delta: Option[DataFrame] = None): DataFrame = {
+      delta: Option[DataFrame] = None,
+      hintQueryBroadcast: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // |Q|-proportional hint gating — same rule as the wide tier (ADVICE r9)
+    def bcq(df: DataFrame): DataFrame = if (hintQueryBroadcast) broadcast(df) else df
     // the two quantization constants must agree for the scaled index: the
     // layered fit routes on kmScale integers while the PQ LUT/ADC run on
     // pqScale integers — one xq table serves both only because they are
@@ -3048,19 +3127,19 @@ object SimilarityQueries {
       .join(broadcast(cb), "s")
       .withColumnRenamed("carr", "bv")
       .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
-    val cellMembers = broadcast(route)
+    val cellMembers = bcq(route)
       .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
     val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
                else cellMembers)
       .join(codes, "vec_id")
-      .join(broadcast(lut.withColumnsRenamed(
+      .join(bcq(lut.withColumnsRenamed(
           Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
         col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("d").as("adist"))
     val scoredAll = delta.fold(adc) { dl =>
-      val fresh = broadcast(route)
-        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+      val fresh = bcq(route)
+        .join(bcq(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
           col("fq") === col("query_id"))
         .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
           col("cell") === col("probe_cid"))
@@ -3101,9 +3180,19 @@ object SimilarityQueries {
       sseeds: DataFrame, pf: DataFrame, pg: DataFrame,
       queries: DataFrame, xqCorpus: DataFrame, selfExclude: Boolean,
       nprobe: Int = mpScaledNprobe,
-      delta: Option[DataFrame] = None): DataFrame = {
+      delta: Option[DataFrame] = None,
+      hintQueryBroadcast: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     require(pqScale == kmScale, "scaled IVF-PQ requires pqScale == kmScale")
+    // ADVICE r9: route (|Q|*nprobe rows), lut (|Q|*M*K rows) and the
+    // queries frame scale with |Q| — the streaming serve's micro-batch |Q|
+    // is tiny and KEEPS the explicit hint (stats on a fresh batch frame
+    // can't prove broadcastability in time), but the batch face's |Q| =
+    // N/50 grows a decade per slice and a hinted broadcast is one AQE
+    // cannot demote; there the hint is dropped and AQE upgrades the
+    // shuffle join to broadcast at runtime whenever the measured size
+    // allows (it does at every test SF).
+    def bcq(df: DataFrame): DataFrame = if (hintQueryBroadcast) broadcast(df) else df
     val route = multiprobeRouteDF(
         queries.select(col("query_id").as("vec_id"), col("xq")),
         sseeds, pg, pf, mpSuper, mpCoarse, nprobe)
@@ -3116,21 +3205,21 @@ object SimilarityQueries {
       .join(broadcast(cb), "s")
       .withColumnRenamed("carr", "bv")
       .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
-    val cellMembers = broadcast(route)
+    val cellMembers = bcq(route)
       .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
       // a member can sit in several probed cells' buckets only if cells
       // overlapped — they don't (unique assignment); no dedup needed
     val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
                else cellMembers)
       .join(codes, "vec_id")
-      .join(broadcast(lut.withColumnsRenamed(
+      .join(bcq(lut.withColumnsRenamed(
           Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
         col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("d").as("adist"))
     val scoredAll = delta.fold(adc) { dl =>
-      val fresh = broadcast(route)
-        .join(broadcast(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
+      val fresh = bcq(route)
+        .join(bcq(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
           col("fq") === col("query_id"))
         .join(dl.select(col("vec_id").as("neighbor_id"), col("cell"), col("xq").as("dxq")),
           col("cell") === col("probe_cid"))
@@ -3161,7 +3250,7 @@ object SimilarityQueries {
     val wf = Window.partitionBy("query_id").orderBy(col("fdist"), col("neighbor_id"))
     shortlist
       .join(lookup, Seq("neighbor_id"))
-      .join(broadcast(queries.select(col("query_id"), col("xq").as("qxq"))), Seq("query_id"))
+      .join(bcq(queries.select(col("query_id"), col("xq").as("qxq"))), Seq("query_id"))
       .withColumn("fdist", expr("vector_l2q(qxq, nxq)"))
       .withColumn("rn2", row_number().over(wf))
       .filter(col("rn2") <= topK)
@@ -3181,21 +3270,34 @@ object SimilarityQueries {
     * fingerprint pins the corpus content, the PQ constants AND the re-fit
     * law (a grown corpus changes N, k and the xor — a stale scaled index
     * can never serve). */
+  /** The scaled-PQ-index fingerprint: the corpus content hash plus every
+    * constant of BOTH the three-level fit and the PQ coding — a strict
+    * superset of [[stageKmeansScaledAssign]]'s km3l fingerprint, which is
+    * what makes cross-artifact adoption below sound.
+    * (pqs-v4 = capped split repair; v5 = sampled codebook training.) */
+  private def pqsScaledFp(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val r = Tables.embeddings(s, d).agg(
+      count(lit(1)).as("n"),
+      expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
+        "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
+      .head
+    s"pqs-v5;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
+      s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
+  }
+
+  /** The scaled-PQ stage directory under the session warehouse — shared by
+    * the builder and the cross-artifact adoption check. */
+  private def pqsStageDir(s: org.apache.spark.sql.SparkSession, d: String)
+      : java.nio.file.Path =
+    java.nio.file.Paths.get(java.net.URI.create(
+      s.conf.get("spark.sql.warehouse.dir")).getPath,
+      "graft_pqs_index_" + math.abs(d.hashCode).toString)
+
   private[graft] def stagePqIndexScaled(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     graft.functions.GraftFunctions.register(s)
-    def fp = {
-      val r = Tables.embeddings(s, d).agg(
-        count(lit(1)).as("n"),
-        expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
-          "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
-        .head
-      // pqs-v4 = the three-level fit with the CAPPED hot-cell split repair
-      // (VERDICT r8 #2 + r9 SplitCap): a checkout upgrading from the
-      // uncapped v3 artifact re-fingerprints and rebuilds
-      s"pqs-v4;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;dims=${LlmHash.dims};" +
-        s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
-    }
+    def fp = pqsScaledFp(s, d)
     graft.core.StagedTable.getOrStage(s,
       "graft_pqs_index_" + math.abs(d.hashCode).toString, fp) { (table, loc) =>
       s.sql(s"CREATE TABLE $table (kind STRING, s INT, cid BIGINT, " +
@@ -3221,7 +3323,8 @@ object SimilarityQueries {
         .unionByName(fit.pf.select(lit("parent").as("kind"), lit(null).cast("int").as("s"),
           col("cid"), col("carr"), col("gid").as("vec_id"), nullC))
       rows.write.mode("overwrite").option("path", loc.toString).saveAsTable(table)
-      (fit.caches ++ pqCaches).foreach(_.unpersist(blocking = false))
+      fit.release() // frames AND checkpoint blocks (ADVICE r9)
+      pqCaches.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -90,9 +90,23 @@ object GenScale {
     // the SEVENTH-decade slice needs only embeddings (20M vectors, the
     // similarity chain), and writing the unused 1B-row events table would
     // cost ~25 GB of disk for nothing
+    val known = Set("documents", "embeddings", "events")
     val tables: Set[String] = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set("documents", "embeddings", "events"))
+      .getOrElse(known)
+    // ADVICE r9: a typo ('embedding') must fail loud, not silently write
+    // nothing; and a subset regen into an existing dir leaves STALE sibling
+    // tables from a prior run — possibly at a different replication factor
+    // — producing a silently inconsistent slice
+    val unknown = tables -- known
+    require(unknown.isEmpty,
+      s"unknown table name(s) ${unknown.mkString(", ")}; valid: ${known.mkString(", ")}")
+    (known -- tables).foreach { t =>
+      if (new java.io.File(s"$out/$t.parquet").exists())
+        System.err.println(s"[genscale] WARNING: $out/$t.parquet exists from " +
+          s"a prior run and is NOT being regenerated — if its replication " +
+          s"factor differs from this run's ($reps), the slice is inconsistent")
+    }
 
     val salt = (out.hashCode & 0x7fffffff) % 1000000
     if (tables("documents")) {

@@ -18,12 +18,22 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("WARN")
     val parts = graft.core.GraftSession.autoTuneShuffle(spark, sfDir, cpus)
     System.err.println(s"[time] $sfDir shuffle partitions = $parts")
-    // one small warm lap for JIT/codegen attribution (the Bench stance)
-    try {
-      graft.SparkEntry.queries(names.head)(spark, "/root/testdata/sf0.01")
-        .write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
-    } catch { case e: Throwable => System.err.println(s"[time] warmup failed: $e") }
+    // one small warm lap PER NAMED QUERY for JIT/codegen attribution (the
+    // Bench stance). ADVICE r9: the warm dir comes from the env (as in
+    // Explain/Bench) rather than a hardcoded host path, and a failed warm
+    // lap is announced per-query, not swallowed for the whole list.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    if (!new java.io.File(warmDir).isDirectory)
+      System.err.println(s"[time] warm dir $warmDir missing — queries run COLD " +
+        "(set SPARK_GRAFT_WARM_DIR); first-lap JIT cost lands in the measurement")
+    else names.foreach { name =>
+      try {
+        graft.SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        System.err.println(s"[time] warmup $name failed: $e") }
+    }
     names.foreach { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -236,4 +236,40 @@ class StageReuseSpec extends SparkSpec {
     assert(a3.size == 1000, s"re-fit covers the grown corpus: ${a3.size}")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("cross-artifact adoption: a valid scaled PQ index supplies the fit assignment with ZERO new fits (SCALING r10)") {
+    val dir = Files.createTempDirectory("stage_xadopt")
+    dir.toFile.deleteOnExit()
+    val corpus = dir.toString
+    Tables.embeddings(spark, sf("sf0.001"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val kmTable = "graft_km2l_asg_" + math.abs(corpus.hashCode).toString
+    val pqTable = "graft_pqs_index_" + math.abs(corpus.hashCode).toString
+
+    // build the PQ-scaled serve index first (one fit inside its builder)
+    spark.table(SimilarityQueries.stagePqIndexScaled(spark, corpus))
+    val members = spark.table(pqTable).filter(col("kind") === "member")
+      .collect().map(r => r.getLong(4) -> r.getLong(2)).toMap
+    assert(members.size == 500, "pq index carries the full membership")
+
+    // fresh-process simulation, km2l stage absent: its builder must ADOPT
+    // the pq index's member rows, not run a second three-level fit
+    PipelineQueries.resetStageCache()
+    spark.sql(s"DROP TABLE IF EXISTS $kmTable")
+    val loc = java.nio.file.Paths.get(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath, kmTable)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val fitsBefore = SimilarityQueries.scaledFitsComputed
+    val asg = spark.table(SimilarityQueries.stageKmeansScaledAssign(spark, corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(SimilarityQueries.scaledFitsComputed == fitsBefore,
+      "a valid PQ stage means the km2l build runs zero fits")
+    assert(asg == members, "adopted assignment is byte-identical to the index membership")
+    spark.sql(s"DROP TABLE IF EXISTS $kmTable")
+    spark.sql(s"DROP TABLE IF EXISTS $pqTable")
+  }
 }

@@ -2849,18 +2849,26 @@ object SimilarityQueries {
     * the row-local projections BOTH the index build and the serve path
     * start from. Persisted; callers unpersist via the returned handles.
     */
-  private def pqFrames(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+  /** `persist = false` (the sampled-training build at decade scale) keeps
+    * the corpus-sized xq and the M×-exploded sub frames UNPINNED: with a
+    * sampled train set each has a single consumer, and persisting them is
+    * pure block-manager disk — the 20M-vector stage build died on scratch
+    * exhaustion with ~25 GB of pinned sub blocks before this flag existed
+    * (SCALING r10). Re-deriving either is one projection over the parquet
+    * scan. */
+  private def pqFrames(s: org.apache.spark.sql.SparkSession, d: String,
+      persist: Boolean = true): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
-    val xq = Tables.embeddings(s, d)
+    def pin(df: DataFrame): DataFrame =
+      if (persist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val xq = pin(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        expr(s"vector_quantize(embedding, $pqScale)").as("xq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sub = xq
+        expr(s"vector_quantize(embedding, $pqScale)").as("xq")))
+    val sub = pin(xq
       .select(col("vec_id"), col("label"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
       .select(col("vec_id"), col("label"), col("s").cast("int").as("s"),
-        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("sv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("sv")))
     (xq, sub)
   }
 
@@ -2890,7 +2898,12 @@ object SimilarityQueries {
     * (xq quantized corpus, cb, codes, cache handles). */
   private[llm] def pqBuildCodebooks(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
-    val (xq, sub) = pqFrames(s, d)
+    val n = Tables.embeddings(s, d).count()
+    val step = math.max(1L, n / pqTrainCap)
+    // at step = 1 (every oracle-checked corpus) sub feeds three consumers
+    // (seed, train, codes) and earns its persist; at decade scale the
+    // sampled train is the only repeat consumer, so xq/sub stay unpinned
+    val (xq, sub) = pqFrames(s, d, persist = step == 1L)
     val dist = "vector_l2q(av, bv)"
     def argmin(df: DataFrame, keys: Seq[String], outCid: String) = df
       .withColumn("dist", expr(dist))
@@ -2915,8 +2928,6 @@ object SimilarityQueries {
     // = 1 and the sample IS the corpus at driver scale — oracle SQL is
     // exact, unchanged; the sample only engages at decade slices, which
     // are measured by probes (recall/occupancy), not value oracles.
-    val n = Tables.embeddings(s, d).count()
-    val step = math.max(1L, n / pqTrainCap)
     val train =
       if (step == 1L) sub
       else sub.filter(expr(s"pmod(md5_long60(cast(vec_id as string)), ${step}L) = 0"))
@@ -2936,7 +2947,8 @@ object SimilarityQueries {
         .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
       Seq("vec_id", "s"), "code")
       .select("vec_id", "s", "code")
-    (xq, cb, codes, Seq(xq, sub) ++ (if (step == 1L) Nil else Seq(train)))
+    (xq, cb, codes,
+      if (step == 1L) Seq(xq, sub) else Seq(train))
   }
 
   /** Cross-session staged IVF-PQ index (the FAISS write-index-to-disk

@@ -64,6 +64,18 @@ object SimilarityQueries {
   private val pqM = 8
   private val pqSubDim = 8
   private val pqK = 16
+  /** Bits per sub-code. pqK = 16 codewords → 4 bits, so a vector's WHOLE
+    * M = 8 code packs into one BIGINT (the FAISS `uint8_t code[M]` layout,
+    * flattened): the index's corpus-sized artifact is (vec_id, code) —
+    * 20M rows at the seventh decade, not the 160M (vec_id, s, code)
+    * triples whose per-serve join was measured at 51.6×/decade (SCALING
+    * r10: the codes shuffle + the |Q|·M·K LUT join spilled ~70 GB at
+    * 400k queries × 20M vectors; the packed ADC reads each distance with
+    * two integer ops instead of a join). */
+  private[llm] val pqCodeBits = {
+    require((pqK & (pqK - 1)) == 0, "pqK must be a power of two to pack")
+    java.lang.Integer.numberOfTrailingZeros(pqK)
+  }
   /** Codebook-training sample cap (vectors): ≥ every oracle-checked corpus
     * (sf0.1 holds 200k), so the deterministic hash-sample in
     * [[pqBuildCodebooks]] degenerates to the full corpus wherever a value
@@ -1535,7 +1547,7 @@ object SimilarityQueries {
       val idx = s.table(stagePqIndex(s, d))
       pqServe(s, d,
         idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
-        idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+        idx.filter(col("kind") === "code").select("vec_id", "code"),
         idx.filter(col("kind") === "ccent").select("label", "carr"))
     },
 
@@ -2942,11 +2954,17 @@ object SimilarityQueries {
       a1.join(train, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "v"))),
       Seq("s", "cid"))
+    // PACK at build: the per-(vec_id, s) argmin rows fold into ONE long per
+    // vector (code_s << s·pqCodeBits, disjoint bit ranges so sum == or) —
+    // the stage's corpus-sized artifact shrinks M× and the serve-side ADC
+    // needs no join against per-subspace rows at all (shift+mask instead).
     val codes = argmin(
       sub.join(broadcast(cb), "s")
         .select(col("vec_id"), col("s"), col("cid"), col("sv").as("av"), col("carr").as("bv")),
       Seq("vec_id", "s"), "code")
-      .select("vec_id", "s", "code")
+      .groupBy("vec_id")
+      .agg(sum(expr(s"code << (s * $pqCodeBits)")).as("code"))
+      .select("vec_id", "code")
     (xq, cb, codes,
       if (step == 1L) Seq(xq, sub) else Seq(train))
   }
@@ -2968,7 +2986,9 @@ object SimilarityQueries {
         expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
           "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
         .head
-      s"pq-v2;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
+      // pq-v3 = PACKED per-vector codes (one bigint), replacing the
+      // (vec_id, s, code) triples of v2
+      s"pq-v3;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
         s"vecs=${r.getLong(0)};xor=${r.getLong(1)}"
     }
     graft.core.StagedTable.getOrStage(s,
@@ -2982,7 +3002,8 @@ object SimilarityQueries {
         lit(null).cast("bigint").as("code"), lit(null).cast("int").as("label"))
       val rows = cb.select(Seq(lit("cb").as("kind"), col("s"), col("cid"),
           col("carr")) ++ nulls: _*)
-        .unionByName(codes.select(lit("code").as("kind"), col("s"),
+        .unionByName(codes.select(lit("code").as("kind"),
+          lit(null).cast("int").as("s"),
           lit(null).cast("bigint").as("cid"),
           lit(null).cast("array<bigint>").as("carr"),
           col("vec_id"), col("code"), lit(null).cast("int").as("label")))
@@ -3024,6 +3045,51 @@ object SimilarityQueries {
     *   units and one top-k window merges them (the classic IVF
     *   fresh-buffer design: exact over the small delta, ADC over the
     *   compacted base). */
+  /** Shared packed-ADC scorer (the FAISS ADC shape, Spark-first): per
+    * query ONE positional lookup array of all M·K codeword distances; per
+    * corpus candidate ONE packed bigint code; the asymmetric distance is
+    * an M-step `aggregate` of shift/mask array reads — no join against
+    * per-subspace code rows (160M at 20M vectors) and no
+    * (query, s, code)-keyed LUT join (|Q|·M·K rows): SCALING r10 measured
+    * that join pair at 51.6×/decade (800 s at 400k queries × 20M vectors,
+    * ~70 GB spill); this shape shuffles only the candidate pairs and |Q|
+    * 128-slot arrays. Values are bit-identical: the same vector_l2q
+    * codeword distances, summed in the same integer domain.
+    *
+    * @param candidates (query_id, vec_id) probed pairs — unique by
+    *                   construction (cells are disjoint)
+    * @param codes      (vec_id, code) PACKED per-vector codes
+    * @param queries    (query_id, xq) at pqScale quantization
+    * @param cb         (s, cid, carr) subspace codebooks
+    * @param bcq        the |Q|-gated broadcast-hint wrapper of the caller */
+  private def adcScores(candidates: DataFrame, codes: DataFrame,
+      queries: DataFrame, cb: DataFrame,
+      bcq: DataFrame => DataFrame): DataFrame = {
+    // per-(query, s, cid) codeword distance, SCATTERED into a positional
+    // array (slot = s·K + cid) through a 128-entry map — a dead codeword
+    // (one no code references) leaves a null slot no lookup ever touches
+    val lutArr = queries
+      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
+      .select(col("query_id"), col("s").cast("int").as("s"),
+        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
+      .join(broadcast(cb), "s")
+      .withColumnRenamed("carr", "bv")
+      .select(col("query_id"), col("s"), col("cid"),
+        expr("vector_l2q(av, bv)").as("d"))
+      .groupBy("query_id")
+      .agg(expr(s"map_from_entries(collect_list(struct(cast(s * $pqK + cid as int), d)))")
+        .as("lmap"))
+      .select(col("query_id"),
+        expr(s"transform(sequence(0, ${pqM * pqK - 1}), i -> lmap[i])").as("larr"))
+    candidates
+      .join(codes, "vec_id")
+      .join(bcq(lutArr), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${pqM - 1}), 0L, (acc, s) -> " +
+          s"acc + larr[cast(s * $pqK + ((code >> (s * $pqCodeBits)) & ${pqK - 1}) as int)])")
+          .as("adist"))
+  }
+
   private[llm] def pqServeQueries(s: org.apache.spark.sql.SparkSession, d: String,
       cb: DataFrame, codes: DataFrame, ccent: DataFrame,
       queries: DataFrame, selfExclude: Boolean,
@@ -3051,23 +3117,12 @@ object SimilarityQueries {
       .crossJoin(broadcast(ccent.select(col("label").as("cid"), col("carr").as("bv"))))
       .transform(df => argmin(df, Seq("query_id"), "probe_label"))
       .select("query_id", "probe_label")
-    val lut = queries
-      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
-      .select(col("query_id"), col("s").cast("int").as("s"),
-        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
-      .join(broadcast(cb), "s")
-      .withColumnRenamed("carr", "bv")
-      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
     val cellMembers = bcq(route)
       .join(xq.select(col("vec_id"), col("label")), col("label") === col("probe_label"))
-    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
-               else cellMembers)
-      .join(codes, "vec_id")
-      .join(bcq(lut.withColumnsRenamed(
-          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
-        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("d").as("adist"))
+    val adc = adcScores(
+      (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+       else cellMembers).select("query_id", "vec_id"),
+      codes, queries, cb, bcq)
     // fresh-buffer side: the probed cell's not-yet-indexed vectors, exact
     // quantized L2 (delta is compaction-bounded — small by contract).
     // A vector present in BOTH the PQ codes and a not-yet-retired delta
@@ -3131,24 +3186,12 @@ object SimilarityQueries {
     val route = assignScaled(
         queries.select(col("query_id").as("vec_id"), col("xq")), pf, pg, sseeds)
       .select(col("vec_id").as("query_id"), col("cid").as("probe_cid"))
-    val dist = "vector_l2q(av, bv)"
-    val lut = queries
-      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
-      .select(col("query_id"), col("s").cast("int").as("s"),
-        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
-      .join(broadcast(cb), "s")
-      .withColumnRenamed("carr", "bv")
-      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
     val cellMembers = bcq(route)
       .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
-    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
-               else cellMembers)
-      .join(codes, "vec_id")
-      .join(bcq(lut.withColumnsRenamed(
-          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
-        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("d").as("adist"))
+    val adc = adcScores(
+      (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+       else cellMembers).select("query_id", "vec_id"),
+      codes, queries, cb, bcq)
     val scoredAll = delta.fold(adc) { dl =>
       val fresh = bcq(route)
         .join(bcq(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
@@ -3209,26 +3252,14 @@ object SimilarityQueries {
         queries.select(col("query_id").as("vec_id"), col("xq")),
         sseeds, pg, pf, mpSuper, mpCoarse, nprobe)
       .select(col("vec_id").as("query_id"), col("pcid").as("probe_cid"))
-    val dist = "vector_l2q(av, bv)"
-    val lut = queries
-      .select(col("query_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("xq"))
-      .select(col("query_id"), col("s").cast("int").as("s"),
-        expr(s"slice(xq, s * $pqSubDim + 1, $pqSubDim)").as("av"))
-      .join(broadcast(cb), "s")
-      .withColumnRenamed("carr", "bv")
-      .select(col("query_id"), col("s"), col("cid"), expr(dist).as("d"))
     val cellMembers = bcq(route)
       .join(members.select(col("vec_id"), col("cid")), col("cid") === col("probe_cid"))
       // a member can sit in several probed cells' buckets only if cells
       // overlapped — they don't (unique assignment); no dedup needed
-    val adc = (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
-               else cellMembers)
-      .join(codes, "vec_id")
-      .join(bcq(lut.withColumnsRenamed(
-          Map("query_id" -> "lq", "s" -> "ls", "cid" -> "lcid"))),
-        col("lq") === col("query_id") && col("ls") === col("s") && col("lcid") === col("code"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("d").as("adist"))
+    val adc = adcScores(
+      (if (selfExclude) cellMembers.filter(col("vec_id") =!= col("query_id"))
+       else cellMembers).select("query_id", "vec_id"),
+      codes, queries, cb, bcq)
     val scoredAll = delta.fold(adc) { dl =>
       val fresh = bcq(route)
         .join(bcq(queries.select(col("query_id").as("fq"), col("xq").as("qxq"))),
@@ -3294,7 +3325,8 @@ object SimilarityQueries {
       expr("coalesce(bit_xor(md5_long60(concat(cast(vec_id as string), '|', " +
         "cast(label as string), '|', cast(embedding as string)))), 0L)").as("x"))
       .head
-    s"pqs-v5;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
+    // pqs-v6 = packed per-vector codes (see pq-v3)
+    s"pqs-v6;sp=$assignSProbe;gp=$assignGProbe;cap=$splitCap;scale=$pqScale;M=$pqM;sub=$pqSubDim;k=$pqK;tcap=$pqTrainCap;dims=${LlmHash.dims};" +
       s"cellTarget=$cellTarget;kmScale=$kmScale;vecs=${r.getLong(0)};xor=${r.getLong(1)}"
   }
 
@@ -3322,7 +3354,7 @@ object SimilarityQueries {
       val nullC = lit(null).cast("bigint").as("code")
       val rows = cb.select(lit("cb").as("kind"), col("s"), col("cid"),
           col("carr"), nullV, nullC)
-        .unionByName(codes.select(lit("code").as("kind"), col("s").cast("int").as("s"),
+        .unionByName(codes.select(lit("code").as("kind"), lit(null).cast("int").as("s"),
           lit(null).cast("bigint").as("cid"), lit(null).cast("array<bigint>").as("carr"),
           col("vec_id"), col("code")))
         .unionByName(fit.a2.select(lit("member").as("kind"), lit(null).cast("int").as("s"),
@@ -3345,7 +3377,7 @@ object SimilarityQueries {
   private[llm] def scaledIndexFrames(idx: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
     idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
-    idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+    idx.filter(col("kind") === "code").select("vec_id", "code"),
     idx.filter(col("kind") === "member").select("vec_id", "cid"),
     idx.filter(col("kind") === "sseed")
       .select(col("cid").as("sid"), col("carr").as("sarr")),

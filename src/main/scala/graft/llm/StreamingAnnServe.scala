@@ -45,7 +45,7 @@ object StreamingAnnServe {
           expr(s"vector_quantize(embedding, ${SimilarityQueries.pqScale})").as("xq"))
         sink(SimilarityQueries.pqServeQueries(s, corpusDir,
           idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
-          idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+          idx.filter(col("kind") === "code").select("vec_id", "code"),
           idx.filter(col("kind") === "ccent").select("label", "carr"),
           q, selfExclude = false))
       }
@@ -93,7 +93,7 @@ object StreamingAnnServe {
           }.toOption // a race with the first commit degrades to base-only
         sink(SimilarityQueries.pqServeQueries(s, corpusDir,
           idx.filter(col("kind") === "cb").select("s", "cid", "carr"),
-          idx.filter(col("kind") === "code").select("vec_id", "s", "code"),
+          idx.filter(col("kind") === "code").select("vec_id", "code"),
           idx.filter(col("kind") === "ccent").select("label", "carr"),
           q, selfExclude = false, delta = delta))
       }

@@ -145,8 +145,13 @@ class StageReuseSpec extends SparkSpec {
     assert(kinds == Set("cb", "code", "ccent"),
       s"the artifact carries codebooks, codes, and coarse centroids: $kinds")
     val nVecs = Tables.embeddings(spark, corpus).count()
-    assert(i1.count(_.getString(0) == "code") == nVecs * 8,
-      "one code row per (vector, subspace)")
+    // r10 packed layout: ONE bigint code row per vector (4-bit sub-codes
+    // shifted into disjoint ranges), not a row per (vector, subspace)
+    assert(i1.count(_.getString(0) == "code") == nVecs,
+      "one PACKED code row per vector")
+    assert(i1.filter(_.getString(0) == "code")
+      .forall(r => { val c = r.getLong(5); c >= 0L && c < (1L << 32) }),
+      "a packed code is 8 sub-codes x 4 bits — 32 bits")
 
     // "new process": memo gone, catalog entry gone, files + sidecar on disk
     PipelineQueries.resetStageCache()

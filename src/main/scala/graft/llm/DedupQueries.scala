@@ -412,8 +412,21 @@ object DedupQueries {
     // near-dup clusters). Rebuilding the frame from the checkpointed RDD
     // drops originStats back to defaultSizeInBytes — stats stay O(1) per
     // round; the only cost is a row re-encode over the (node, lbl) pairs.
-    def truncated(df: DataFrame): DataFrame = {
+    // Each truncation pins a localCheckpoint BLOCK SET that
+    // catalog.clearCache() cannot release (the ScaledFit.release rule,
+    // generalized — ADVICE r9): without per-round release a 20-round loop
+    // holds 20 dead label generations for the rest of the session, and a
+    // bench/notebook session running many component queries accumulates
+    // them until eviction pressure (the r10 components warm-run band,
+    // 76–184 s at the sixth decade, tracked this). Track each call's
+    // block-set delta; the loop frees generation n−1 as soon as n is
+    // materialized, and only the FINAL generation (backing the returned
+    // frame — non-recomputable by design) stays pinned.
+    def truncated(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val ck = df.localCheckpoint()
+      val delta = sc.getPersistentRDDs.view.filterKeys(!before(_)).values.toSeq
       // Bound the checkpointed RDD's partition count by CLUSTER WIDTH
       // (defaultParallelism scales with executors×cores), not by the
       // static shuffle.partitions: AQE coalesces SQL exchanges but not an
@@ -424,7 +437,7 @@ object DedupQueries {
       // coalesce is a no-op when partitions already fit the width.
       val width = 2 * ck.sparkSession.sparkContext.defaultParallelism
       val rdd = if (ck.rdd.getNumPartitions > width) ck.rdd.coalesce(width) else ck.rdd
-      ck.sparkSession.createDataFrame(rdd, ck.schema)
+      (ck.sparkSession.createDataFrame(rdd, ck.schema), delta)
     }
     // sym is scanned by EVERY round's nmin join — truncate its lineage
     // BEFORE the loop, not just cache it: an InMemoryRelation keeps its
@@ -435,11 +448,11 @@ object DedupQueries {
     // flat ~10 s/round at EVERY corpus size (r7; the trivial-edge twin ran
     // the same rounds in 0.3 s). A localCheckpoint cuts the plan to a
     // LogicalRDD; the persist keeps the scan columnar.
-    val sym = truncated(
+    val (symDf, symCk) = truncated(
       edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symDf.persist(StorageLevel.MEMORY_AND_DISK)
     val tInit0 = System.nanoTime()
-    var labels = truncated(sym.select(col("d1").as("node")).distinct()
+    var (labels, prevCk) = truncated(sym.select(col("d1").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")))
     System.err.println(f"[$tag] init (chain+labels): ${(System.nanoTime() - tInit0) / 1e9}%.2fs")
     var changed = 1L
@@ -449,7 +462,7 @@ object DedupQueries {
       val nmin = sym.join(labels, col("d2") === col("node"))
         .groupBy("d1").agg(min("lbl").as("nl"))
       val withNmin = labels.join(nmin, col("node") === col("d1"), "left")
-      val next = truncated(if (iter == 0) {
+      val (next, nextCk) = truncated(if (iter == 0) {
         // round 1: labels are the identity, so label-of-own-label is a
         // self-join no-op — skip the jump term (one join + exchange saved)
         withNmin.select(col("node"), col("lbl"),
@@ -472,6 +485,10 @@ object DedupQueries {
       })
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       labels = next.select(col("node"), col("nlbl").as("lbl"))
+      // generation n is materialized (localCheckpoint is eager) — free
+      // generation n−1's checkpoint blocks now, not at clearCache-never
+      prevCk.foreach(_.unpersist(blocking = false))
+      prevCk = nextCk
       iter += 1
       System.err.println(f"[$tag] round $iter: ${(System.nanoTime() - tR0) / 1e9}%.2fs")
     }
@@ -480,8 +497,11 @@ object DedupQueries {
     // the loop materialized everything and `labels` is localCheckpoint-
     // truncated (no lineage back into the chain), so internal caches can
     // go NOW — a long-lived session (notebook, staged pipeline) must not
-    // accumulate per-corpus cached RDDs until clearCache()
+    // accumulate per-corpus cached RDDs until clearCache(). Only the FINAL
+    // label generation's checkpoint blocks stay pinned: they back the
+    // returned frame and are non-recomputable by design.
     sym.unpersist(blocking = false)
+    symCk.foreach(_.unpersist(blocking = false))
     labels
   }
 

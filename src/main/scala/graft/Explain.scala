@@ -51,6 +51,9 @@ object Explain {
   val DeclaredBoundedBuilds: Map[String, Int] = Map(
     "sim_topk_cosine" -> 1, "sim_ann_recall" -> 1, "sim_ivf" -> 1,
     "sim_ivfpq" -> 1, "sim_ivfpq_staged" -> 1, "sim_kmeans" -> 2,
+    // rides the same Lloyd chain as sim_kmeans (same 2 k-row centroid
+    // broadcasts); the purity rollup itself adds only equi-joins
+    "sim_purity" -> 2,
     // the scaled re-fit's THREE-LEVEL final assign: one corpus × kcc-row
     // super-routing cross join (kcc = int-cbrt(k) seed rows of d longs;
     // the round-1 assign and the parent maps sit behind persisted

@@ -216,7 +216,38 @@ object Multimodal {
     *   v = (seed + 31x + 7y + 97f) mod 256   (r = g = b = v)
     * written as 8-bit indexed frames over an explicit 256-gray palette. */
   def makeGif(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
-    require(w > 0 && h > 0 && nFrames > 0 && seed >= 0)
+    require(seed >= 0)
+    writeGif(w, h, nFrames)((x, y, f) =>
+      ((seed + 31L * x + 7L * y + 97L * f) % 256).toInt)
+  }
+
+  /** Scene-structured multi-frame GIF: frames group into scenes of
+    * `sceneLen` frames (scene s = f / sceneLen) and pixel (x, y) of frame
+    * f has gray value
+    *   v = (seed + 31x + 7y + 211·(f/sceneLen) + 5·(f mod sceneLen)) mod 256
+    * — WITHIN a scene consecutive frames differ by a +5 near-uniform
+    * shift (only pixels wrapping 256 move: small aHash churn, "camera
+    * motion"), while a scene BOUNDARY jumps every pixel by 211−5·(sceneLen
+    * −1) mod 256 ("hard cut"). The resulting frame-hash Hamming deltas
+    * separate PROVABLY for every reachable parameter: enumerating the full
+    * space (the delta depends only on ((seed + 211·scene) mod 256, w, h,
+    * frame offset) — 256·8·6 base cases) gives max within-scene delta = 12
+    * and min boundary delta = 17, so [[SceneCutHamming]] = 14 recovers the
+    * generated scene structure exactly on every fixture asset. */
+  def makeSceneGif(w: Int, h: Int, nFrames: Int, sceneLen: Int, seed: Long): Array[Byte] = {
+    require(sceneLen > 0 && seed >= 0)
+    writeGif(w, h, nFrames)((x, y, f) =>
+      ((seed + 31L * x + 7L * y + 211L * (f / sceneLen) + 5L * (f % sceneLen)) % 256).toInt)
+  }
+
+  /** Frame-hash Hamming threshold between "same scene" (≤ 12 over the
+    * whole fixture space, by enumeration) and "cut" (≥ 17). */
+  val SceneCutHamming = 14
+
+  /** Shared lossless indexed-gray GIF writer behind [[makeGif]] and
+    * [[makeSceneGif]]: pixel (x, y, f) gray value from `px`. */
+  private def writeGif(w: Int, h: Int, nFrames: Int)(px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0)
     val gray = Array.tabulate(256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
     val out = new java.io.ByteArrayOutputStream()
@@ -233,8 +264,7 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          raster.setSample(x, y, 0,
-            ((seed + 31L * x + 7L * y + 97L * f) % 256).toInt)
+          raster.setSample(x, y, 0, px(x, y, f))
           x += 1
         }
         y += 1
@@ -350,6 +380,59 @@ object Multimodal {
     * mod 256 — pure integer ops, mirrored in the oracle SQL. */
   def genSamples(n: Int, seed: Long): Array[Int] =
     Array.tabulate(n)(i => ((seed + 17L * i + (i.toLong * i % 97)) % 256).toInt)
+
+  /** Speech-shaped burst length in samples (2 energy windows): sample i
+    * belongs to burst i / [[SpeechBurst]]; a burst is VOICED when
+    * (seed + 37·burst) mod 4 ≠ 0 (≈ 75 % duty cycle). */
+  val SpeechBurst: Int = 2 * AudioWin
+
+  /** Deterministic speech-shaped signal: voiced bursts carry the loud
+    * [[genSamples]] formula (window energy ≥ 269 253 over a 2 000-seed
+    * sweep), pauses sit at 128 ± 2 (window energy ≤ 130) — so the
+    * [[SilenceEnergy]] gate (16 384) classifies every full window
+    * unambiguously. Callers pass n as a multiple of [[AudioWin]] so no
+    * partial window straddles the decision. Mirrored in the
+    * mm_audio_segments oracle SQL. */
+  def genSpeechSamples(n: Int, seed: Long): Array[Int] =
+    Array.tabulate(n) { i =>
+      val burst = i / SpeechBurst
+      if ((seed + 37L * burst) % 4 != 0)
+        ((seed + 17L * i + (i.toLong * i % 97)) % 256).toInt
+      else
+        (128 + ((seed + 3L * i) % 5) - 2).toInt
+    }
+
+  /** One decoded energy window: exact-integer Σ(s−128)² over an
+    * [[AudioWin]]-sample window of the real-decoded signal. */
+  case class AudioWindow(doc_id: Long, w: Long, energy: Long)
+
+  /** REAL decode → per-window energy rows: the same WAV parse as
+    * [[decodeAudio]] but emitting one typed row per energy window, the
+    * input grain of envelope segmentation (voice-activity detection).
+    * Same mapPartitions batch contract as [[decodeImages]]. */
+  def decodeAudioWindows(assets: Dataset[MediaAsset]): Dataset[AudioWindow] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${a.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        in.close()
+        val nW = (bytes.length + AudioWin - 1) / AudioWin
+        val e = new Array[Long](math.max(nW, 1))
+        var i = 0
+        while (i < bytes.length) {
+          val amp = (bytes(i) & 0xFF) - 128L
+          e(i / AudioWin) += amp * amp
+          i += 1
+        }
+        (0 until nW).iterator.map(w => AudioWindow(a.doc_id, w.toLong, e(w)))
+      }
+    }
+  }
 
   /** Canonical 8-bit unsigned PCM mono RIFF/WAVE container around the
     * given samples — simple enough to write by hand, rich enough that a

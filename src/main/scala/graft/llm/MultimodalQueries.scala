@@ -503,6 +503,196 @@ object MultimodalQueries {
       out
     },
 
+    // Video SCENE SEGMENTATION through the real GIF decoder — the
+    // temporal-structure operator a video-text curation pipeline runs
+    // before captioning/sampling (scene-level clips, not raw frame
+    // ranges, are the training unit). A dedicated scene-structured
+    // fixture (Multimodal.makeSceneGif) gives the detector something real
+    // to find: within a scene consecutive frames drift by a +5 gray shift
+    // (aHash delta ≤ 12 over the ENUMERATED full parameter space), a
+    // scene boundary reshuffles every pixel (delta ≥ 17), so the Hamming
+    // threshold 14 recovers the generated scene structure exactly on
+    // every asset — and the oracle recomputes the same detection from the
+    // generation formula, so a decoder drift, hash drift, or threshold
+    // drift all break the gate. Scale shape: one mapPartitions
+    // decode+hash pass (no payload shuffle), then every window/agg is
+    // partitioned by doc_id and bounded by a video's frame count — one
+    // doc_id shuffle end to end; hashes (16 bytes/frame), never pixels,
+    // are what moves.
+    Q("mm_scene_cuts", {
+      val thr = Multimodal.SceneCutHamming
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(8 + h % 8 AS BIGINT) AS w,
+         |    CAST(8 + h % 6 AS BIGINT) AS ht,
+         |    CAST(8 + h % 9 AS BIGINT) AS nf,
+         |    CAST(3 + (h % 7) % 3 AS BIGINT) AS sl, h % 65536 AS seed
+         |  FROM m
+         |),
+         |px AS (
+         |  SELECT doc_id, ff.f,
+         |    (yy.y * 8) // ht * 8 + (xx.x * 8) // w AS c,
+         |    3 * ((seed + 31 * xx.x + 7 * yy.y + 211 * (ff.f // sl) + 5 * (ff.f % sl)) % 256) AS gray
+         |  FROM g,
+         |    unnest(generate_series(0, nf - 1)) AS ff(f),
+         |    unnest(generate_series(0, w - 1)) AS xx(x),
+         |    unnest(generate_series(0, ht - 1)) AS yy(y)
+         |),
+         |fcells AS (
+         |  SELECT doc_id, f, c, CAST(sum(gray) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM px GROUP BY 1, 2, 3
+         |),
+         |ftot AS (
+         |  SELECT doc_id, f, CAST(sum(s) AS BIGINT) AS st,
+         |    CAST(sum(n) AS BIGINT) AS nt
+         |  FROM fcells GROUP BY 1, 2
+         |),
+         |fbits AS (
+         |  SELECT fcells.doc_id, fcells.f, c,
+         |    CASE WHEN s * ftot.nt >= ftot.st * n THEN 1 ELSE 0 END AS bit
+         |  FROM fcells JOIN ftot ON ftot.doc_id = fcells.doc_id AND ftot.f = fcells.f
+         |),
+         |fh AS (
+         |  SELECT doc_id, f,
+         |    CAST(sum(CASE WHEN c < 32 THEN bit * (CAST(1 AS BIGINT) << c) ELSE 0 END) AS BIGINT) AS hash_hi,
+         |    CAST(sum(CASE WHEN c >= 32 THEN bit * (CAST(1 AS BIGINT) << (c - 32)) ELSE 0 END) AS BIGINT) AS hash_lo
+         |  FROM fbits GROUP BY doc_id, f
+         |),
+         |dl AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN f = 0 THEN 0
+         |         WHEN bit_count(xor(hash_hi, lag(hash_hi) OVER (PARTITION BY doc_id ORDER BY f)))
+         |            + bit_count(xor(hash_lo, lag(hash_lo) OVER (PARTITION BY doc_id ORDER BY f))) > $thr THEN 1
+         |         ELSE 0 END AS is_cut
+         |  FROM fh
+         |),
+         |sc AS (
+         |  SELECT doc_id, f,
+         |    sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene_id
+         |  FROM dl
+         |),
+         |slen AS (SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS len FROM sc GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |    CAST(sum(is_cut) AS BIGINT) AS n_cuts
+         |  FROM dl GROUP BY 1
+         |),
+         |seg AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS longest_scene FROM slen GROUP BY 1)
+         |SELECT a.doc_id, n_frames, n_cuts,
+         |  n_cuts + 1 AS n_scenes, longest_scene,
+         |  n_frames * 1.0 / (n_cuts + 1) AS mean_scene_len
+         |FROM agg a JOIN seg ON seg.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val thr = Multimodal.SceneCutHamming
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(8 + h % 8 as int)").as("w"),
+          expr("cast(8 + h % 6 as int)").as("ht"),
+          expr("cast(8 + h % 9 as int)").as("nf"),
+          expr("cast(3 + (h % 7) % 3 as int)").as("sl"),
+          expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Int, Int, Long)]
+      val assets = spec.map { case (id, w, ht, nf, sl, seed) =>
+        MediaAsset(id, Multimodal.makeSceneGif(w, ht, nf, sl, seed)) }
+      val fh = Multimodal.gifFrameHashes(assets).toDF()
+      val pw = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val dl = fh
+        .withColumn("ph", lag("hash_hi", 1).over(pw))
+        .withColumn("pl", lag("hash_lo", 1).over(pw))
+        .withColumn("is_cut",
+          when(col("frame_idx") === 0, lit(0))
+            .when(expr(s"bit_count(hash_hi ^ ph) + bit_count(hash_lo ^ pl) > $thr"), lit(1))
+            .otherwise(lit(0)))
+      val sc = dl.withColumn("scene_id", sum("is_cut").over(pw))
+      val agg = dl.groupBy("doc_id").agg(
+        count("*").as("n_frames"), sum("is_cut").cast("long").as("n_cuts"))
+      val seg = sc.groupBy("doc_id", "scene_id").agg(count("*").as("len"))
+        .groupBy("doc_id").agg(max("len").as("longest_scene"))
+      agg.join(seg, "doc_id")
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          (col("n_cuts") + 1).as("n_scenes"), col("longest_scene"),
+          (col("n_frames") * lit(1.0) / (col("n_cuts") + 1)).as("mean_scene_len"))
+        .orderBy("doc_id")
+    },
+
+    // Audio ACTIVITY SEGMENTATION through the real WAV decoder — the
+    // voice-activity-detection shape an ASR-corpus pipeline runs to cut
+    // recordings into trainable utterances. A speech-shaped fixture
+    // (Multimodal.genSpeechSamples: 128-sample bursts, 75 % voiced at the
+    // loud genSamples formula, pauses at 128 ± 2) separates cleanly under
+    // the existing SilenceEnergy gate (voiced windows ≥ 269k vs pause
+    // ≤ 130 vs threshold 16 384; sample counts are window-aligned so no
+    // partial window straddles the decision), and the per-window energies
+    // come from the REAL javax.sound decode, so a container mis-parse or
+    // windowing drift breaks the gate. Segments are maximal active-window
+    // runs via the gaps-and-islands construction — every window/agg is
+    // doc_id-partitioned and bounded by a recording's window count.
+    // Scale shape: one mapPartitions decode pass (no payload shuffle),
+    // 24-byte window rows, one doc_id shuffle end to end.
+    Q("mm_audio_segments", {
+      import Multimodal.{AudioWin, SilenceEnergy, SpeechBurst}
+      s"""WITH b AS (SELECT doc_id, md5(text) AS checksum FROM documents),
+         |m AS (SELECT doc_id, ${duckH("checksum")} AS h FROM b),
+         |g AS (
+         |  SELECT doc_id, CAST(1024 + (h % 16) * 64 AS BIGINT) AS n,
+         |    h % 65536 AS seed
+         |  FROM m
+         |),
+         |s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (seed + 37 * (ii.i // $SpeechBurst)) % 4 <> 0
+         |         THEN ((seed + 17 * ii.i + (ii.i * ii.i) % 97) % 256) - 128
+         |         ELSE ((seed + 3 * ii.i) % 5) - 2 END AS a,
+         |    ii.i // $AudioWin AS w
+         |  FROM g, unnest(generate_series(0, n - 1)) AS ii(i)
+         |),
+         |win AS (SELECT doc_id, w, sum(a * a) AS e FROM s GROUP BY 1, 2),
+         |act AS (SELECT doc_id, w, (e >= $SilenceEnergy) AS active FROM win),
+         |runs AS (
+         |  SELECT doc_id, w, active,
+         |    w - row_number() OVER (PARTITION BY doc_id, active ORDER BY w) AS grp
+         |  FROM act
+         |),
+         |seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM runs WHERE active GROUP BY doc_id, grp),
+         |pseg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(max(len) AS BIGINT) AS longest_segment
+         |  FROM seg GROUP BY 1
+         |),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+         |  FROM act GROUP BY 1
+         |)
+         |SELECT t.doc_id, n_windows, n_active,
+         |  CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+         |  CAST(coalesce(longest_segment, 0) AS BIGINT) AS longest_segment,
+         |  n_active * 1.0 / n_windows AS active_frac
+         |FROM tot t LEFT JOIN pseg p ON p.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val spec = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("checksum"))
+        .withColumn("h", expr(sparkH("checksum")))
+        .select(col("doc_id"), expr("cast(1024 + (h % 16) * 64 as int)").as("n"),
+          expr("cast(8000 + (h % 4) * 4000 as int)").as("rate"),
+          expr("h % 65536").as("seed"))
+        .as[(Long, Int, Int, Long)]
+      val assets = spec.map { case (id, n, rate, seed) =>
+        MediaAsset(id, Multimodal.makeWav(Multimodal.genSpeechSamples(n, seed), rate)) }
+      audioSegmentsOf(Multimodal.decodeAudioWindows(assets).toDF())
+        .orderBy("doc_id")
+    },
+
     // The multimodal corpus-prep composed END-TO-END (VERDICT r8 "what's
     // missing" #3 — llm_corpus_prep's shape for media): decode every asset
     // through the REAL JDK codecs (BMP image, WAV audio, GIF frame
@@ -868,6 +1058,31 @@ object MultimodalQueries {
        |)""".stripMargin
 
   private lazy val phashCtes: String = phashCtesP("")
+
+  /** Activity segmentation over decoded (doc_id, w, energy) window rows:
+    * active = energy ≥ [[Multimodal.SilenceEnergy]], segments = maximal
+    * active runs (gaps-and-islands), one summary row per recording. A
+    * recording with zero active windows reports 0 segments (the left
+    * join's coalesce path). All windows/aggs are doc_id-partitioned. */
+  private[llm] def audioSegmentsOf(win: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = win.withColumn("active", col("energy") >= Multimodal.SilenceEnergy)
+    val runs = act.withColumn("grp",
+      col("w") - row_number().over(Window.partitionBy("doc_id", "active").orderBy("w")))
+    val pseg = runs.filter(col("active"))
+      .groupBy("doc_id", "grp").agg(count("*").as("len"))
+      .groupBy("doc_id").agg(
+        count("*").as("n_segments"), max("len").as("longest_segment"))
+    act.groupBy("doc_id").agg(
+        count("*").as("n_windows"),
+        sum(when(col("active"), 1).otherwise(0)).cast("long").as("n_active"))
+      .join(pseg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+        (col("n_active") * lit(1.0) / col("n_windows")).as("active_frac"))
+  }
 
   /** Spark twin of [[gifPhashCtes]]'s `fhashes`: generate each doc's GIF,
     * decode the REAL frame sequence with ImageIO, integer-aHash every

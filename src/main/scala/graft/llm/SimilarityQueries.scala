@@ -1489,6 +1489,51 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // EXTERNAL clustering-quality audit — purity of the k-means cells
+    // against the corpus's known labels (the eval-subset audit a curation
+    // team runs before trusting cluster-level decisions like SemDeDup or
+    // cluster-balanced sampling: internal scores (sim_silhouette) say the
+    // geometry is tight, purity says the geometry agrees with meaning).
+    // One row per cluster: size, majority label (smallest label wins count
+    // ties — deterministic both engines), majority count, and the purity
+    // quotient emitted UNROUNDED (exact-integer division, the
+    // tx_quality_score stance). Scale shape: rides the shared Lloyd
+    // layer's assignment, then one (cid, label) map-side-combined count —
+    // cluster-count-sized frames from there on; windows partition by cid
+    // over ≤ |labels| rows each. In production the labeled subset is tiny
+    // (an eval slice), so the audit costs one assignment pass over it.
+    Q("sim_purity",
+      s"""WITH $kmeansCtes,
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |jc AS (
+         |  SELECT cid, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM a2 JOIN lbl USING (vec_id) GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT cid, label, c,
+         |    row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
+         |    sum(c) OVER (PARTITION BY cid) AS n
+         |  FROM jc
+         |)
+         |SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_members,
+         |  CAST(label AS BIGINT) AS majority_label, c AS n_majority,
+         |  c * 1.0 / n AS purity
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (_, a2) = kmeansLayer(s, d)
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val jc = a2.select("vec_id", "cid").join(lbl, "vec_id")
+        .groupBy("cid", "label").agg(count("*").as("c"))
+      val wC = Window.partitionBy("cid")
+      jc.withColumn("rn", row_number().over(wC.orderBy(col("c").desc, col("label"))))
+        .withColumn("n", sum("c").over(wC))
+        .filter(col("rn") === 1)
+        .select(col("cid").as("cluster_id"), col("n").cast("long").as("n_members"),
+          col("label").cast("long").as("majority_label"), col("c").as("n_majority"),
+          (col("c") * lit(1.0) / col("n")).as("purity"))
+        .orderBy("cluster_id")
+    },
+
     // SemDeDup (semantic dedup, Abbas et al. 2023): within each semantic
     // cluster, drop every vector that has a lower-id neighbor above the
     // cosine threshold — the embedding-space curation pass that removes

@@ -207,4 +207,90 @@ class MultimodalSpec extends SparkSpec {
       s"identical recordings fold under the min id: $audio")
     assert(audio(3L)._2 == 1, s"distinct recording self-canonical: $audio")
   }
+
+  /** md5 hex of a UTF-8 string — the test-side twin of Spark's `md5()`. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The fixture-spec hash h = first 15 hex chars of md5(md5(text)). */
+  private def specH(text: String): Long =
+    java.lang.Long.parseLong(md5hex(md5hex(text)).take(15), 16)
+
+  test("scene GIF: frame-hash deltas separate within-scene from boundary; mm_scene_cuts recovers the generated structure exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // unit level: a planted spec — every within-scene delta sits at or
+    // under the enumerated max (12), every boundary at or above the
+    // enumerated min (17), so threshold 14 classifies all of them
+    val (w, ht, nf, sl, seed) = (10, 9, 12, 4, 12345L)
+    val assets = Seq(MediaAsset(7L, Multimodal.makeSceneGif(w, ht, nf, sl, seed))).toDS()
+    val hs = Multimodal.gifFrameHashes(assets).collect().sortBy(_.frame_idx)
+    assert(hs.length == nf, s"decoder must report all $nf frames")
+    hs.sliding(2).foreach { case Array(a, b) =>
+      val d = java.lang.Long.bitCount(a.hash_hi ^ b.hash_hi) +
+        java.lang.Long.bitCount(a.hash_lo ^ b.hash_lo)
+      if (b.frame_idx % sl == 0) assert(d >= 17, s"boundary at ${b.frame_idx} read $d")
+      else assert(d <= 12, s"within-scene at ${b.frame_idx} read $d")
+    }
+    // query level: the detected structure equals the generation ground
+    // truth for every doc (guaranteed corpus-wide by the enumeration)
+    val dir = java.nio.file.Files.createTempDirectory("scenecuts_sf")
+    dir.toFile.deleteOnExit()
+    val texts = Map(1L -> "scene text one", 2L -> "another video", 3L -> "third clip")
+    texts.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("mm_scene_cuts")(spark, dir.toString).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val h = specH(texts(r.getLong(0)))
+      val nfE = 8 + (h % 9).toInt
+      val slE = 3 + ((h % 7) % 3).toInt
+      val scenesE = (nfE + slE - 1) / slE
+      assert(r.getLong(1) == nfE, s"n_frames for doc ${r.getLong(0)}: $r")
+      assert(r.getLong(3) == scenesE, s"n_scenes for doc ${r.getLong(0)}: $r")
+      assert(r.getLong(4) == slE, s"longest_scene for doc ${r.getLong(0)}: $r")
+    }
+  }
+
+  test("speech WAV: decoded activity segmentation equals the generation ground truth; zero-active recordings report zero segments") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("audioseg_sf")
+    dir.toFile.deleteOnExit()
+    val texts = Map(1L -> "utterance alpha", 2L -> "utterance beta", 3L -> "utterance gamma")
+    texts.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("mm_audio_segments")(spark, dir.toString).collect()
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      // independent in-test windowing + run-length over the generator
+      val h = specH(texts(r.getLong(0)))
+      val n = 1024 + (h % 16).toInt * 64
+      val samples = Multimodal.genSpeechSamples(n, h % 65536)
+      val nw = n / Multimodal.AudioWin
+      val acts = (0 until nw).map { wi =>
+        (0 until Multimodal.AudioWin).map { j =>
+          val a = samples(wi * Multimodal.AudioWin + j) - 128L; a * a
+        }.sum >= Multimodal.SilenceEnergy
+      }
+      val nseg = acts.zipWithIndex.count { case (a, i) => a && (i == 0 || !acts(i - 1)) }
+      var longest = 0; var run = 0
+      acts.foreach { a => run = if (a) run + 1 else 0; longest = math.max(longest, run) }
+      assert(r.getLong(1) == nw, s"n_windows for doc ${r.getLong(0)}: $r")
+      assert(r.getLong(2) == acts.count(identity), s"n_active for doc ${r.getLong(0)}: $r")
+      assert(r.getLong(3) == nseg, s"n_segments for doc ${r.getLong(0)}: $r")
+      assert(r.getLong(4) == longest, s"longest_segment for doc ${r.getLong(0)}: $r")
+      assert(nseg >= 1, s"fixture should have at least one voiced run: $r")
+    }
+    // the zero-active edge through the factored core: all windows silent
+    val silent = (0 until 8).map(wi => (9L, wi.toLong, 100L)).toDF("doc_id", "w", "energy")
+    val z = MultimodalQueries.audioSegmentsOf(silent).collect().head
+    assert(z.getLong(1) == 8 && z.getLong(2) == 0 && z.getLong(3) == 0 && z.getLong(4) == 0,
+      s"all-silent recording must report zero segments: $z")
+  }
 }

@@ -332,6 +332,13 @@ object Multimodal {
   case class GifFrameHash(doc_id: Long, frame_idx: Long, hash_hi: Long,
       hash_lo: Long)
 
+  /** [[GifFrameHash]] plus the decoder-reported frame COUNT of its
+    * container — carried on every frame row so consumers that need nf
+    * (the half-alignable-frames video rule) read it off the decode output
+    * instead of re-deriving it with a second corpus scan + join. */
+  case class GifFrameHashN(doc_id: Long, nf: Long, frame_idx: Long,
+      hash_hi: Long, hash_lo: Long)
+
   /** REAL multi-frame decode → per-frame aHash: the image perceptual-hash
     * chain applied to every frame of the sequence — the building block of
     * video near-dup (frame signatures + temporal structure). Same
@@ -355,6 +362,37 @@ object Multimodal {
             val out = (0 until n).map { i =>
               val (hi, lo) = ahash(reader.read(i))
               GifFrameHash(a.doc_id, i.toLong, hi, lo)
+            }
+            out.iterator
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** [[gifFrameHashes]] emitting the decoder-reported frame count on every
+    * row ([[GifFrameHashN]]) — one decode pass produces both the per-frame
+    * signatures AND nf, so the batch video-near-dup chain needs no second
+    * documents scan to attach the alignable-frame denominator. Same
+    * mapPartitions batch contract and loud-failure stance. */
+  def gifFrameHashesN(assets: Dataset[MediaAsset]): Dataset[GifFrameHashN] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.flatMap { a =>
+        // same try/finally stance as [[decodeGifFrames]] (ADVICE r8)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no decoder recognizes payload for doc ${a.doc_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            require(n > 0, s"container holds no frames for doc ${a.doc_id}")
+            val out = (0 until n).map { i =>
+              val (hi, lo) = ahash(reader.read(i))
+              GifFrameHashN(a.doc_id, n.toLong, i.toLong, hi, lo)
             }
             out.iterator
           } finally reader.dispose()

@@ -358,7 +358,12 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp = DedupQueries.componentsOf(edges, "mm_phash_dedup")
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      val out = phashDF(s, d).select("doc_id")
+      // hash-table doc_id set == documents doc_id set (imageHashes is a
+      // 1:1 map over every doc, loud on failure), so the output join reads
+      // the ids from the parquet scan instead of paying a SECOND full
+      // BMP generate+decode pass (r10 optimization, guide §1.2: don't
+      // compute things you throw away)
+      val out = Tables.documents(s, d).select("doc_id")
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -492,7 +497,10 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp = DedupQueries.componentsOf(edges, "mm_audio_dedup")
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      val out = fps.select("doc_id")
+      // fingerprint doc_id set == documents doc_id set (decodeAudioFp is a
+      // 1:1 map over every doc, loud on failure) — same second-decode
+      // removal as mm_phash_dedup
+      val out = Tables.documents(s, d).select("doc_id")
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -1086,8 +1094,15 @@ object MultimodalQueries {
 
   /** Spark twin of [[gifPhashCtes]]'s `fhashes`: generate each doc's GIF,
     * decode the REAL frame sequence with ImageIO, integer-aHash every
-    * frame (Multimodal.gifFrameHashes) and attach the generation-spec
-    * frame count. UNORDERED; (doc_id, nf, frame_idx, hash_hi, hash_lo). */
+    * frame. UNORDERED; (doc_id, nf, frame_idx, hash_hi, hash_lo).
+    *
+    * nf is the DECODER-reported frame count carried on every frame row
+    * (Multimodal.gifFrameHashesN) — the former shape re-derived nf from
+    * the generation spec with a SECOND full documents scan (md5 over every
+    * text) plus a broadcast join; the oracle pins the decoded frame set to
+    * 0..nf−1 per doc, so decoder count and spec count are provably the
+    * same value and the join bought nothing (r10 optimization, guide
+    * §2.4: remove shuffles outright). */
   private def gifHashesDF(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1101,9 +1116,7 @@ object MultimodalQueries {
       .as[(Long, Int, Int, Int, Long)]
     val assets = spec.map { case (id, w, ht, nf, seed) =>
       MediaAsset(id, Multimodal.makeGif(w, ht, nf, seed)) }
-    Multimodal.gifFrameHashes(assets).toDF()
-      .join(spec.toDF("doc_id", "w", "ht", "nf", "seed")
-        .select(col("doc_id"), col("nf").cast("long").as("nf")), "doc_id")
+    Multimodal.gifFrameHashesN(assets).toDF()
       .select("doc_id", "nf", "frame_idx", "hash_hi", "hash_lo")
   }
 
@@ -1135,7 +1148,16 @@ object MultimodalQueries {
     * mm_gif_pairs and the composed mm_corpus_prep chain. */
   private def gifPairsDF(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
+    // persist the per-frame hash table (4 longs/frame) so the multi-frame
+    // GIF decode — the chain's dominant cost — runs ONCE: without it the
+    // bucket-cap count and the self-join each re-derive the decode (the
+    // before-plan shows two separate MapPartitions decode passes; only the
+    // y-side reused the x-side's exchange). Guide §2.4/§5: cache a reused
+    // intermediate whose recompute is far pricier than its footprint. The
+    // bench/verify drivers clearCache() per query (the bandedHammingPairsDF
+    // stance).
     val fh = gifHashesDF(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(b => struct(lit(b).as("b"),
       expr(s"(CASE WHEN $b < 2 THEN shiftright(hash_hi, 16 * $b) " +
         s"ELSE shiftright(hash_lo, 16 * ($b - 2)) END) & 65535").as("chunk")))

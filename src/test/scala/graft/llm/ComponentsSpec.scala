@@ -12,12 +12,21 @@ import graft.SparkSpec
   * wedges past its time limit, post-fix it runs in seconds. */
 class ComponentsSpec extends SparkSpec {
 
+  /** Run `body` with the hybrid gate forced to the DISTRIBUTED loop (the
+    * local-edge limit at 0), restoring the default afterwards. */
+  private def forcingLoop[T](body: => T): T = {
+    spark.conf.set("spark.graft.components.localEdgeLimit", "0")
+    try body finally spark.conf.unset("spark.graft.components.localEdgeLimit")
+  }
+
   test("deep path converges in O(log diameter) rounds with O(1) plan stats") {
     import spark.implicits._
     val n = 4096
     val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("d1", "d2").repartition(4)
-    val out = DedupQueries.componentsOf(edges, "spec_path")
+    // the loop is this test's subject — force the hybrid gate past the
+    // local union-find (which would otherwise absorb a 4095-edge graph)
+    val out = forcingLoop { DedupQueries.componentsOf(edges, "spec_path") }
     // every node collapses to the path's min label
     val labels = out.select("lbl").distinct().as[Long].collect()
     assert(labels.toSeq == Seq(0L), s"path split into ${labels.length} components")
@@ -53,6 +62,25 @@ class ComponentsSpec extends SparkSpec {
         assert(lbl == want(node.toInt), s"seed $seed: node $node -> $lbl != ${want(node.toInt)}")
       }
     }
+  }
+
+  test("hybrid gate: single-task union-find and the distributed loop agree") {
+    import spark.implicits._
+    // dense-ish random graph with chains, self-dups and both edge
+    // directions — the shapes the banded producers emit
+    val rng = new scala.util.Random(7)
+    val n = 300
+    val edges = (Seq.fill(260)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b } ++ Seq((5L, 6L), (6L, 5L), (5L, 6L)))
+      .toDF("d1", "d2").repartition(4)
+      .persist()
+    val local = DedupQueries.componentsOf(edges, "spec_hybrid_local")
+      .as[(Long, Long)].collect().toMap
+    val loop = forcingLoop {
+      DedupQueries.componentsOf(edges, "spec_hybrid_loop")
+    }.as[(Long, Long)].collect().toMap
+    edges.unpersist(blocking = false)
+    assert(local == loop, "hybrid paths disagree")
   }
 
   test("disjoint cliques stay separate; labels are component minima") {

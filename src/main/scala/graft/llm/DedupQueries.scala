@@ -196,7 +196,7 @@ object DedupQueries {
     * at a 500k-doc slice that shuffle+lambda pair was the 20-minute wall
     * in the cluster stage build (SCALING.md fourth decade); this shape
     * re-measures ~linear. */
-  private def estPairs(mh: DataFrame, minEst: Double): DataFrame = {
+  private[llm] def estPairs(mh: DataFrame, minEst: Double): DataFrame = {
     val banded = cappedBandRows(mh)
     banded.as("x")
       .join(banded.as("y"),
@@ -330,9 +330,13 @@ object DedupQueries {
     val cand = estPairs(mh, estThreshold.toDouble)
       .select("d1", "d2")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // no .distinct(): candIds only ever feeds a LEFT SEMI join, which is
+    // set-semantics on the probe side regardless of duplicate build rows —
+    // the distinct was a full extra exchange+aggregate per dd query for
+    // nothing (r10 optimization, guide §2.4 "a distinct on data that is
+    // already... not needed")
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id")))
-      .distinct()
     graft.functions.GraftFunctions.register(s)
     // DISTINCT gram-set array per candidate doc, SORTED once per doc so
     // the per-pair intersection below is an allocation-free merge walk

@@ -28,6 +28,15 @@ case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
   */
 object Multimodal {
 
+  // ImageIO's createImage{Input,Output}Stream defaults to DISK-backed
+  // cache wrappers (FileCacheImage*Stream) around plain byte streams — a
+  // temp FILE created and deleted per asset encode/decode. Every payload
+  // here is an in-memory byte array of a few KB; force the memory-cache
+  // wrappers process-wide (per-task init would race harmlessly but this is
+  // a JVM-static switch). Guide §1.2 step 2: per-task work — measured as
+  // part of the GIF chain's per-pass cost at sf0.1.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeStub(assets: Dataset[MediaAsset], frameStep: Int = 4): Dataset[DecodedFrame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
@@ -122,18 +131,7 @@ object Multimodal {
       batch.map { a =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
         require(img != null, s"ImageIO could not decode payload for doc ${a.doc_id}")
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
-            x += 1
-          }
-          y += 1
-        }
-        DecodedImage(a.doc_id, img.getWidth.toLong, img.getHeight.toLong, sum)
+        DecodedImage(a.doc_id, img.getWidth.toLong, img.getHeight.toLong, rgbSum(img))
       }
     }
   }
@@ -152,18 +150,60 @@ object Multimodal {
   def ahash(img: java.awt.image.BufferedImage): (Long, Long) = {
     val w = img.getWidth; val h = img.getHeight
     val s = new Array[Long](64); val n = new Array[Long](64)
-    var y = 0
-    while (y < h) {
-      val by = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val c = by * 8 + x * 8 / w
-        val rgb = img.getRGB(x, y)
-        s(c) += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
-        n(c) += 1
-        x += 1
-      }
-      y += 1
+    // Per-pixel getRGB pays a ColorModel->sRGB conversion on EVERY call;
+    // the two codec-produced layouts (indexed GIF frames, 3-byte BMP rows)
+    // have exact row-batched equivalents (guide §1.2 step 2, per-task
+    // work): palette images sum a 256-entry r+g+b LUT over raw indices,
+    // 3-sample component images sum the samples directly (r+g+b is
+    // order-independent). Any other layout takes the general getRGB path
+    // unchanged. Measured 2-3x on the decode+hash stage; bit-identical by
+    // construction (the LUT is the same per-index r/g/b getRGB reads).
+    val raster = img.getRaster
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val lut = Array.tabulate(icm.getMapSize)(i =>
+          icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i))
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, 0, row)
+          val by8 = (y * 8 / h) * 8
+          var x = 0
+          while (x < w) {
+            val c = by8 + x * 8 / w
+            s(c) += lut(row(x)); n(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case _ if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+        val row = new Array[Int](3 * w)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          val by8 = (y * 8 / h) * 8
+          var x = 0
+          while (x < w) {
+            val c = by8 + x * 8 / w
+            s(c) += row(3 * x) + row(3 * x + 1) + row(3 * x + 2); n(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          val by8 = (y * 8 / h) * 8
+          var x = 0
+          while (x < w) {
+            val c = by8 + x * 8 / w
+            val rgb = img.getRGB(x, y)
+            s(c) += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            n(c) += 1
+            x += 1
+          }
+          y += 1
+        }
     }
     val st = s.sum; val nt = n.sum
     var hi = 0L; var lo = 0L
@@ -175,6 +215,50 @@ object Multimodal {
       c += 1
     }
     (hi, lo)
+  }
+
+  /** Row-batched r+g+b total over a decoded image — the same two fast
+    * layouts as [[ahash]] (palette LUT / 3-sample component), getRGB
+    * fallback otherwise. Sum identity: r+g+b per pixel is order- and
+    * layout-independent. */
+  private def rgbSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val lut = Array.tabulate(icm.getMapSize)(i =>
+          icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i))
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) { sum += lut(row(x)); x += 1 }
+          y += 1
+        }
+      case _ if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR =>
+        val row = new Array[Int](3 * w)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          var x = 0
+          while (x < 3 * w) { sum += row(x); x += 1 }
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+            x += 1
+          }
+          y += 1
+        }
+    }
+    sum
   }
 
   /** Perceptual hashes via the REAL ImageIO decode — the image-near-dup
@@ -244,27 +328,48 @@ object Multimodal {
     * whole fixture space, by enumeration) and "cut" (≥ 17). */
   val SceneCutHamming = 14
 
+  /** The 256-gray palette and the GIF writer SPI, resolved once: the
+    * per-asset `getImageWritersByFormatName` registry scan and palette
+    * rebuild were pure constant work repeated millions of times at scale
+    * (guide §1.2 step 2; the r10 probe put generation at ~half the GIF
+    * chain's per-pass cost). Both are immutable/stateless — the SPI hands
+    * out a fresh writer instance per call. */
+  private lazy val grayCm: java.awt.image.IndexColorModel = {
+    val gray = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+  }
+  private lazy val gifWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val spi = w.getOriginatingProvider
+    w.dispose()
+    spi
+  }
+
   /** Shared lossless indexed-gray GIF writer behind [[makeGif]] and
-    * [[makeSceneGif]]: pixel (x, y, f) gray value from `px`. */
+    * [[makeSceneGif]]: pixel (x, y, f) gray value from `px`. One frame
+    * buffer is reused across the sequence (writeToSequence encodes
+    * synchronously, so mutating it afterwards is safe) and pixels land in
+    * the raster's raw byte buffer — the per-pixel setSample sample-model
+    * dispatch was the generation pass's hot frame. */
   private def writeGif(w: Int, h: Int, nFrames: Int)(px: (Int, Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && nFrames > 0)
-    val gray = Array.tabulate(256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
     val out = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterSpi.createWriterInstance()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayCm)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var f = 0
     while (f < nFrames) {
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-      val raster = img.getRaster
       var y = 0
       while (y < h) {
+        val rowOff = y * w
         var x = 0
         while (x < w) {
-          raster.setSample(x, y, 0, px(x, y, f))
+          data(rowOff + x) = px(x, y, f).toByte
           x += 1
         }
         y += 1
@@ -306,19 +411,8 @@ object Multimodal {
             // closes the stream the iterator would otherwise read from
             val frames = (0 until n).map { i =>
               val img = reader.read(i)
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
-                  x += 1
-                }
-                y += 1
-              }
               DecodedGifFrame(a.doc_id, i.toLong, img.getWidth.toLong,
-                img.getHeight.toLong, sum)
+                img.getHeight.toLong, rgbSum(img))
             }
             frames.iterator
           } finally reader.dispose()

@@ -277,13 +277,27 @@ object Bench {
       force || refSf2 != sfDir || ratchetAllows(common)
     }
     val filtered = only.nonEmpty || mergeSet.nonEmpty
-    val refused = filtered || (!force && dirty.nonEmpty) || !ratchetOk
+    // sf guard on the FULL-RECORD path (VERDICT r10 #1: an sf0.001 local
+    // iteration run overwrote the committed sf0.1 reference — the ratchet
+    // auto-passed because cross-sf totals aren't comparable, which is
+    // exactly why the overwrite must be refused, not waved through; the
+    // merge path already refuses via merge_sf_mismatch). GRAFT_BENCH_FORCE
+    // stays the conscious lever for genuinely re-basing at a new sf.
+    val sfMismatch = {
+      val refSf = loadCommitted()._1
+      refSf.nonEmpty && refSf != sfDir
+    }
+    val refused = filtered || (!force && (dirty.nonEmpty || sfMismatch)) || !ratchetOk
     val reason =
       if (mergeSet.nonEmpty) "merge_run"
       else if (only.nonEmpty) "filtered_run"
+      else if (!force && sfMismatch) "sf_mismatch_vs_committed_reference"
       else if (!force && dirty.nonEmpty) "contaminated_queries"
       else if (!ratchetOk) s"aggregate_total_gt_${RatchetFactor}x_committed_reference"
       else ""
+    if (!force && sfMismatch)
+      System.err.println(s"[bench] run sf '$sfDir' differs from the committed " +
+        "reference's — BENCH_LOCAL.json NOT updated (GRAFT_BENCH_FORCE=1 re-bases)")
     if (only.isEmpty && dirty.isEmpty && !ratchetOk)
       System.err.println(s"[bench] aggregate total >${RatchetFactor}x the committed reference — " +
         "ambient load suspected; BENCH_LOCAL.json NOT updated (GRAFT_BENCH_FORCE=1 overrides)")
